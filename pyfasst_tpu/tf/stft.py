@@ -1,0 +1,161 @@
+"""STFT / inverse-STFT with weighted overlap-add (WOLA).
+
+Reference parity: pyfasst/tftransforms/tft.py::STFT.computeTransform /
+invertTransform (UNVERIFIED; mount empty -- see SURVEY.md). The reference uses
+sinebell windows with hop = wlen/2 and a Python FFT loop; here analysis framing
+is a single gather + batched rfft (or a GEMM-native matmul-DFT that maps the
+whole transform onto the MXU, cf. PAPERS.md "MelT"), and synthesis is a single
+scatter-add overlap-add, all jittable.
+
+Reconstruction is exact (not just COLA-approximate): the inverse divides by the
+per-sample window-energy sum sum_k w^2[t - k*hop], so any window/hop with full
+coverage reconstructs to float precision when the spectrum is unmodified.
+
+Conventions: signals are (nsamples,) or (nsamples, I); spectra are (F, N) or
+(F, N, I) complex with F = wlen//2 + 1, N the frame count.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sine_window(wlen: int, dtype=np.float64) -> np.ndarray:
+    """Periodic sine window (sqrt-Hann); the reference's 'sinebell'."""
+    return np.sin(np.pi * (np.arange(wlen, dtype=dtype) + 0.5) / wlen)
+
+
+def _frame_geometry(nsamples: int, wlen: int, hop: int):
+    """Padding and frame count so every input sample is window-interior."""
+    pad_front = wlen - hop
+    cover = nsamples + 2 * (wlen - hop)
+    n_frames = max(1, int(np.ceil(max(cover - wlen, 0) / hop)) + 1)
+    padded_len = (n_frames - 1) * hop + wlen
+    pad_back = padded_len - nsamples - pad_front
+    return pad_front, pad_back, n_frames, padded_len
+
+
+def _frame_indices(n_frames: int, wlen: int, hop: int) -> np.ndarray:
+    return (np.arange(n_frames)[:, None] * hop
+            + np.arange(wlen)[None, :]).astype(np.int32)
+
+
+def _ola_norm(window, idx, padded_len: int):
+    """Per-sample window-energy sum  sum_k w^2[t - k*hop]  (scatter-add)."""
+    w2 = jnp.broadcast_to(window[None, :] ** 2, idx.shape)
+    wsum = jnp.zeros(padded_len, window.dtype).at[idx].add(w2)
+    return jnp.maximum(wsum, 1e-12)
+
+
+def _dft_matrices(wlen: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag rfft matrices for the GEMM-native path: X = frames @ (C - iS)."""
+    f = np.arange(wlen // 2 + 1)
+    t = np.arange(wlen)
+    ang = 2.0 * np.pi * np.outer(t, f) / wlen
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wlen", "hop", "method"))
+def _stft_core(x, window, wlen: int, hop: int, method: str):
+    nsamples = x.shape[0]
+    pad_front, pad_back, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
+    xp = jnp.pad(x, ((pad_front, pad_back),) + ((0, 0),) * (x.ndim - 1))
+    idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
+    frames = xp[idx] * (window[:, None] if x.ndim == 2 else window)[None]
+    if method == "matmul":
+        C, S = _dft_matrices(wlen, window.dtype)
+        C, S = jnp.asarray(C), jnp.asarray(S)
+        if x.ndim == 2:
+            re = jnp.einsum("nwi,wf->nfi", frames, C)
+            im = jnp.einsum("nwi,wf->nfi", frames, S)
+        else:
+            re, im = frames @ C, frames @ S
+        X = jax.lax.complex(re, -im)
+    else:
+        X = jnp.fft.rfft(frames, axis=1)  # (N, F[, I])
+    return jnp.moveaxis(X, 0, 1)  # (F, N[, I])
+
+
+@functools.partial(jax.jit, static_argnames=("wlen", "hop", "nsamples"))
+def _istft_core(X, window, wlen: int, hop: int, nsamples: int):
+    pad_front, _, n_frames, padded_len = _frame_geometry(nsamples, wlen, hop)
+    Xn = jnp.moveaxis(X, 1, 0)  # (N, F[, I])
+    if Xn.shape[0] != n_frames:
+        raise ValueError(f"expected {n_frames} frames, got {Xn.shape[0]}")
+    frames = jnp.fft.irfft(Xn, n=wlen, axis=1)
+    frames = frames * (window[:, None] if X.ndim == 3 else window)[None]
+    idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
+    out_shape = (padded_len,) + X.shape[2:]
+    y = jnp.zeros(out_shape, frames.dtype).at[idx].add(frames)
+    wsum = _ola_norm(window.astype(frames.dtype), idx, padded_len)
+    y = y / (wsum[:, None] if X.ndim == 3 else wsum)
+    return jax.lax.dynamic_slice_in_dim(y, pad_front, nsamples, axis=0)
+
+
+def stft(x, wlen: int = 1024, hop: Optional[int] = None,
+         window: Optional[np.ndarray] = None, method: str = "fft"):
+    """Analysis: (nsamples[, I]) -> complex (F, N[, I]).
+
+    method='fft' uses XLA's batched rfft; method='matmul' maps the DFT onto
+    two real matmuls (MXU-native; preferable on TPU for small wlen).
+    """
+    hop = hop or wlen // 2
+    x = jnp.asarray(x)
+    win = jnp.asarray(window if window is not None else sine_window(wlen),
+                      dtype=x.dtype)
+    return _stft_core(x, win, wlen, hop, method)
+
+
+def istft(X, nsamples: int, wlen: int = 1024, hop: Optional[int] = None,
+          window: Optional[np.ndarray] = None):
+    """Synthesis: complex (F, N[, I]) -> (nsamples[, I]) via normalized WOLA."""
+    hop = hop or wlen // 2
+    X = jnp.asarray(X)
+    win = jnp.asarray(window if window is not None else sine_window(wlen),
+                      dtype=jnp.real(X).dtype)
+    return _istft_core(X, win, wlen, hop, nsamples)
+
+
+class STFT:
+    """Object front-end matching the reference TFTransform API.
+
+    ``computeTransform(data)`` / ``invertTransform(X)`` mirror
+    pyfasst/tftransforms/tft.py (UNVERIFIED names). Frequency axis first.
+    """
+
+    name = "stft"
+
+    def __init__(self, wlen: int = 1024, hop: Optional[int] = None,
+                 fs: int = 44100, method: str = "fft"):
+        self.wlen = int(wlen)
+        self.hop = int(hop or wlen // 2)
+        self.fs = int(fs)
+        self.method = method
+        self.window = sine_window(self.wlen)
+        self.F = self.wlen // 2 + 1
+        self._nsamples: Optional[int] = None
+
+    @property
+    def freqs(self) -> np.ndarray:
+        return np.arange(self.F) * self.fs / self.wlen
+
+    def n_frames(self, nsamples: int) -> int:
+        return _frame_geometry(nsamples, self.wlen, self.hop)[2]
+
+    def computeTransform(self, data):
+        self._nsamples = int(np.asarray(data).shape[0])
+        return stft(data, self.wlen, self.hop, self.window, self.method)
+
+    def invertTransform(self, X, nsamples: Optional[int] = None):
+        n = nsamples if nsamples is not None else self._nsamples
+        if n is None:
+            raise ValueError("call computeTransform first or pass nsamples")
+        return istft(X, n, self.wlen, self.hop, self.window)
+
+    # snake_case aliases (idiomatic surface; same functions)
+    forward = computeTransform
+    inverse = invertTransform

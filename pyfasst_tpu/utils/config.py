@@ -1,0 +1,50 @@
+"""Typed configuration for the GEM engine.
+
+The reference exposes these knobs as plain constructor kwargs on the FASST
+class (`nbComps`, `nbNMFComps`, `spatial_rank`, `niter`, annealing mode in
+{'ann','no_ann','ann_ns_inj'}; pyfasst/audioModel.py::FASST.__init__,
+UNVERIFIED). Here they are frozen dataclasses so they can be closed over by
+jitted functions as static configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class AnnealingMode(str, enum.Enum):
+    """Noise-PSD annealing schedule of the GEM loop.
+
+    Reference parity: the `ann` / `no_ann` / `ann_ns_inj` modes of
+    pyfasst/audioModel.py::FASST.estim_param_a_posteriori (UNVERIFIED).
+    The annealed noise PSD is load-bearing for conditioning of the per-bin
+    2x2 mixture covariance, not just for local-optima escape.
+    """
+
+    ANN = "ann"                 # anneal Sigma_b from sigma0 down to sigma1
+    NO_ANN = "no_ann"           # keep Sigma_b fixed at sigma1
+    ANN_NS_INJ = "ann_ns_inj"   # anneal + inject matching noise into Cx stats
+
+
+@dataclasses.dataclass(frozen=True)
+class GEMConfig:
+    """Static configuration of one GEM run (hashable -> usable as jit static)."""
+
+    niter: int = 200
+    annealing: AnnealingMode = AnnealingMode.ANN
+    # Noise PSD endpoints as fractions of the per-frequency mean mixture power.
+    sigma_start_frac: float = 1e-2
+    sigma_end_frac: float = 1e-8
+    # Numerical floors (load-bearing: IS divergence and 2x2 inverses blow up
+    # on zeros; keep these even in float64 oracle comparisons).
+    eps: float = 1e-30
+    det_floor: float = 1e-30
+    # Renormalize factor/mixing scales every iteration (prevents drift over
+    # hundreds of iterations).
+    renormalize: bool = True
+    # Compute log-likelihood every iteration (cheap; part of the same fused pass).
+    track_loglik: bool = True
+
+    def __post_init__(self):
+        if isinstance(self.annealing, str):
+            object.__setattr__(self, "annealing", AnnealingMode(self.annealing))
