@@ -1,0 +1,157 @@
+"""Model parameter pytrees: spatial and spectral components.
+
+Reference parity: pyfasst keeps these as mutable dict lists
+(`spat_comps[j]` with mix_type/frdm_prior/params, `spec_comps[k]` with a
+`factors` list of FB/FW/TW/TB matrices; pyfasst/audioModel.py, UNVERIFIED --
+mount empty, see SURVEY.md §2). Here they are frozen flax.struct dataclasses:
+array leaves flow through jit/grad/shard_map, while structure (mixing type,
+freedom flags, constraint kind, component wiring) is static metadata that
+specializes the compiled GEM step.
+
+Model recap (SURVEY.md §A): mixture x(f,n) in C^I, each spatial component j
+contributes y_j = A_j(f) s_j with A_j in C^{I x R_j}; sub-sources share the
+PSD v_j(f,n) = sum over attached spectral components k of
+[FB_k @ FW_k @ TW_k @ TB_k]_{f,n}.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+INST = "inst"
+CONV = "conv"
+
+NMF = "NMF"
+GMM = "GMM"
+HMM = "HMM"
+
+
+@flax.struct.dataclass
+class SpatialComp:
+    """One spatial component (source image).
+
+    A: mixing matrix. 'inst' -> real (I, R), frequency-independent;
+       'conv' (and full-rank, which is conv with R == I) -> complex (F, I, R).
+    """
+
+    A: jnp.ndarray
+    mix_type: str = flax.struct.field(pytree_node=False, default=INST)
+    free: bool = flax.struct.field(pytree_node=False, default=True)
+
+    @property
+    def rank(self) -> int:
+        return self.A.shape[-1]
+
+    def spatial_cov(self, F: int) -> jnp.ndarray:
+        """Packed Hermitian R_j(f) = A_j A_j^H, shape (F, 4)."""
+        from pyfasst_tpu.ops import herm
+        if self.mix_type == INST:
+            A = self.A.astype(jnp.complex64 if self.A.dtype == jnp.float32
+                              else jnp.complex128)
+            R = herm.herm_from_mixing(A)          # (4,)
+            return jnp.broadcast_to(R, (F, 4))
+        return herm.herm_from_mixing(self.A)      # (F, 4)
+
+
+@flax.struct.dataclass
+class SpectralComp:
+    """One spectral component: v_k = FB @ FW @ TW @ TB (all nonnegative).
+
+    Shapes: FB (F, L), FW (L, K), TW (K, M), TB (M, N). FW and TB may be None,
+    meaning identity (the common case; avoids materializing N x N identities).
+    `free` flags which factors the M-step updates. `constraint` selects the TW
+    E-step: NMF (multiplicative update), GMM or HMM (discrete states: TW holds
+    the per-state gains; `trans` is the (Q, Q) transition matrix for HMM or
+    the (Q,) prior for GMM).
+    """
+
+    FB: jnp.ndarray
+    TW: jnp.ndarray
+    FW: Optional[jnp.ndarray] = None
+    TB: Optional[jnp.ndarray] = None
+    trans: Optional[jnp.ndarray] = None
+    spat_ind: int = flax.struct.field(pytree_node=False, default=0)
+    free: Tuple[bool, bool, bool, bool] = flax.struct.field(
+        pytree_node=False, default=(True, False, True, False))
+    constraint: str = flax.struct.field(pytree_node=False, default=NMF)
+
+    def freq_pattern(self) -> jnp.ndarray:
+        """W_k = FB @ FW, shape (F, K)."""
+        return self.FB if self.FW is None else self.FB @ self.FW
+
+    def time_activation(self) -> jnp.ndarray:
+        """H_k = TW @ TB, shape (K, N)."""
+        return self.TW if self.TB is None else self.TW @ self.TB
+
+    def power(self) -> jnp.ndarray:
+        """v_k(f, n) = FB @ FW @ TW @ TB, shape (F, N)."""
+        return self.freq_pattern() @ self.time_activation()
+
+
+@flax.struct.dataclass
+class FasstParams:
+    """Full parameter pytree for one GEM run."""
+
+    spat: Tuple[SpatialComp, ...]
+    spec: Tuple[SpectralComp, ...]
+
+    @property
+    def n_spat(self) -> int:
+        return len(self.spat)
+
+    def source_power(self, j: int) -> jnp.ndarray:
+        """v_j = sum of attached spectral component powers, (F, N)."""
+        vs = [k.power() for k in self.spec if k.spat_ind == j]
+        if not vs:
+            raise ValueError(f"spatial component {j} has no spectral comps")
+        out = vs[0]
+        for v in vs[1:]:
+            out = out + v
+        return out
+
+    def all_source_powers(self) -> jnp.ndarray:
+        """(J, F, N) stacked source PSDs."""
+        return jnp.stack([self.source_power(j) for j in range(self.n_spat)])
+
+
+# -- initializers --------------------------------------------------------------
+
+def init_nmf_comp(key, F: int, N: int, n_nmf: int, spat_ind: int,
+                  dtype=jnp.float32, fixed_FB: Optional[np.ndarray] = None,
+                  scale: float = 1.0) -> SpectralComp:
+    """Random-init NMF spectral component.
+
+    Default structure mirrors the reference's MultiChanNMF models
+    (UNVERIFIED): FB free random (F, K), FW/TB fixed identity, TW free random
+    (K, N). With fixed_FB (e.g. an ERB/Mel spectral_basis), FB is fixed and
+    FW becomes the free pattern weights on the band grid.
+    """
+    import jax
+    k1, k2 = jax.random.split(key)
+    if fixed_FB is not None:
+        B = fixed_FB.shape[1]
+        FB = jnp.asarray(fixed_FB, dtype)
+        FW = 0.5 + jax.random.uniform(k1, (B, n_nmf), dtype)
+        free = (False, True, True, False)
+    else:
+        FB = (0.5 + jax.random.uniform(k1, (F, n_nmf), dtype)) * scale
+        FW = None
+        free = (True, False, True, False)
+    TW = 0.5 + jax.random.uniform(k2, (n_nmf, N), dtype)
+    return SpectralComp(FB=FB, FW=FW, TW=TW, TB=None, spat_ind=spat_ind,
+                        free=free)
+
+
+def init_inst_mixing(key, I: int, R: int, J: int, dtype=jnp.float32):
+    """Near-uniform instantaneous mixing directions on the unit circle
+    (stereo): source j at angle theta_j in (0, pi/2)."""
+    thetas = (np.arange(J) + 1.0) / (J + 1.0) * (np.pi / 2)
+    mats = []
+    for j in range(J):
+        base = np.array([[np.cos(thetas[j])], [np.sin(thetas[j])]])
+        A = np.tile(base, (1, R)) + 0.05 * np.random.default_rng(j).standard_normal((I, R))
+        mats.append(jnp.asarray(np.abs(A), dtype))
+    return mats

@@ -1,0 +1,183 @@
+"""The FASST host API class.
+
+Reference parity: pyfasst/audioModel.py::FASST (UNVERIFIED; mount empty, see
+SURVEY.md §3). Same user-facing flow as the reference:
+
+    model = MultiChanNMFInst_FASST("mix.wav", nbComps=2, nbNMFComps=4)
+    model.estim_param_a_posteriori()          # run the GEM loop
+    model.separate_spat_comps("out_dir/")     # per-source WAVs on disk
+
+The class is a thin host wrapper: audio I/O and WAV writing stay on the host;
+the transform, the whole GEM loop, and separation are jitted device programs
+(pyfasst_tpu.ops). Parameters live in an immutable FasstParams pytree
+(`self.params`), replaced wholesale after each estimation call.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfasst_tpu.audio import AudioObject
+from pyfasst_tpu.models.components import FasstParams
+from pyfasst_tpu.ops import wiener
+from pyfasst_tpu.ops.gem import (
+    annealing_endpoints, observed_covariance, run_gem,
+)
+from pyfasst_tpu.tf.stft import STFT
+from pyfasst_tpu.utils.config import GEMConfig
+
+
+class FASST:
+    """Base class: holds the mixture transform and the parameter pytree.
+
+    Subclasses (variants.py) construct `self.params`. kwargs mirror the
+    reference's constructor knobs: `wlen`, `hop`, `iter_num`, annealing mode,
+    `verbose`.
+    """
+
+    def __init__(self,
+                 audio: Union[str, AudioObject, np.ndarray],
+                 fs: int = 44100,
+                 wlen: int = 1024,
+                 hop: Optional[int] = None,
+                 iter_num: int = 200,
+                 annealing: str = "ann",
+                 sigma_start_frac: float = 1e-2,
+                 sigma_end_frac: float = 1e-8,
+                 verbose: int = 0,
+                 tf_method: str = "fft",
+                 seed: int = 0):
+        if isinstance(audio, AudioObject):
+            self.audio = audio
+        elif isinstance(audio, (str, os.PathLike)):
+            self.audio = AudioObject(audio)
+        else:
+            self.audio = AudioObject(data=np.asarray(audio), samplerate=fs)
+        self.fs = self.audio.samplerate
+        self.verbose = verbose
+        self.key = jax.random.PRNGKey(seed)
+
+        self.tft = STFT(wlen=wlen, hop=hop, fs=self.fs, method=tf_method)
+        self.Xs = None       # (F, N, I) complex device array
+        self.Cx = None       # (F, N, 4) packed empirical covariance
+        self.comp_transf_Cx()
+
+        self.cfg = GEMConfig(niter=iter_num, annealing=annealing,
+                             sigma_start_frac=sigma_start_frac,
+                             sigma_end_frac=sigma_end_frac)
+        self.params: Optional[FasstParams] = None
+        self.logliks: Optional[np.ndarray] = None
+
+    # -- transform ----------------------------------------------------------
+    @property
+    def F(self) -> int:
+        return int(self.Xs.shape[0])
+
+    @property
+    def N(self) -> int:
+        return int(self.Xs.shape[1])
+
+    @property
+    def nchannels(self) -> int:
+        return self.audio.channels
+
+    def comp_transf_Cx(self) -> None:
+        """Analysis transform + packed empirical mixture covariance.
+
+        Reference parity: FASST.comp_transf_Cx (UNVERIFIED). The spectra are
+        normalized to unit mean power (scale restored at separation time):
+        the GEM engine runs in float32 on TPU, and O(1)-centered statistics
+        keep every intermediate inside float32 range regardless of the input
+        recording level.
+        """
+        data = self.audio.data.astype(np.float32)
+        if data.shape[1] != 2:
+            raise ValueError(
+                f"the 2x2 engine expects stereo input, got {data.shape[1]} "
+                "channels")
+        X = self.tft.computeTransform(data)            # (F, N, 2) complex64
+        mean_pow = float(jnp.mean(jnp.abs(X) ** 2))
+        self._scale = np.sqrt(max(mean_pow, 1e-30))
+        self.Xs = X / self._scale
+        self.Cx = observed_covariance(self.Xs)
+
+    # -- estimation ----------------------------------------------------------
+    def estim_param_a_posteriori(self, niter: Optional[int] = None
+                                 ) -> np.ndarray:
+        """Run the GEM loop (THE entry point; one compiled fori_loop).
+
+        Returns the per-iteration log-likelihoods.
+        """
+        if self.params is None:
+            raise RuntimeError("model parameters not initialized "
+                               "(use a concrete FASST variant)")
+        cfg = self.cfg if niter is None else \
+            GEMConfig(**{**self.cfg.__dict__, "niter": int(niter)})
+        t0 = time.perf_counter()
+        params, logliks = run_gem(self.params, self.Xs, cfg)
+        logliks = jax.block_until_ready(logliks)
+        self._gem_seconds = time.perf_counter() - t0
+        self.params = params
+        self.logliks = np.asarray(logliks, dtype=np.float64)
+        if self.verbose:
+            print(f"GEM {cfg.niter} iters in {self._gem_seconds:.3f}s, "
+                  f"final loglik {self.logliks[-1]:.6g}")
+        return self.logliks
+
+    # -- separation ----------------------------------------------------------
+    def _final_sigma(self) -> jnp.ndarray:
+        _, sigma1 = annealing_endpoints(self.Xs, self.cfg)
+        return sigma1
+
+    def separated_images(self) -> np.ndarray:
+        """Posterior-mean source images, time domain: (J, nsamples, I)."""
+        Y = wiener.separate_sources(self.params, self.Xs, self._final_sigma())
+        n = self.audio.nsamples
+        ys = [np.asarray(self.tft.invertTransform(Y[j], nsamples=n))
+              for j in range(Y.shape[0])]
+        return np.stack(ys) * self._scale
+
+    def separate_spat_comps(self, dir_results: Optional[str] = None,
+                            suffix: str = "est") -> List[str]:
+        """Wiener-separate every spatial component and write WAVs.
+
+        Reference parity: FASST.separate_spat_comps (UNVERIFIED). Returns the
+        written file paths (or in-memory arrays via `separated_images`).
+        """
+        ys = self.separated_images()
+        return self._write_sources(ys, dir_results, suffix)
+
+    def separate_spatial_filter_comp(self, dir_results: Optional[str] = None,
+                                     suffix: str = "sf") -> List[str]:
+        """Spatial-filter (PSD-independent) separation variant."""
+        sigma = self._final_sigma()
+        Y = wiener.separate_spatial_filter(self.params, self.Xs, sigma)
+        n = self.audio.nsamples
+        ys = np.stack([np.asarray(self.tft.invertTransform(Y[j], nsamples=n))
+                       for j in range(Y.shape[0])]) * self._scale
+        return self._write_sources(ys, dir_results, suffix)
+
+    def retrieveSubsrcSignals(self) -> np.ndarray:
+        """Alias kept for reference API parity: the separated source images."""
+        return self.separated_images()
+
+    def _write_sources(self, ys: np.ndarray, dir_results: Optional[str],
+                       suffix: str) -> List[str]:
+        if dir_results is None:
+            return []
+        os.makedirs(dir_results, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(
+            self.audio.filename or "mixture"))[0]
+        paths = []
+        for j in range(ys.shape[0]):
+            path = os.path.join(dir_results, f"{stem}_{suffix}_{j}.wav")
+            peak = np.max(np.abs(ys[j]))
+            data = ys[j] / peak if peak > 1.0 else ys[j]
+            AudioObject(data=data, samplerate=self.fs)._write(path)
+            paths.append(path)
+        return paths

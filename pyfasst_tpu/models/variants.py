@@ -1,0 +1,200 @@
+"""Pre-wired FASST model variants.
+
+Reference parity (pyfasst/audioModel.py subclasses, UNVERIFIED; mount empty,
+see SURVEY.md §2):
+
+    MultiChanNMFInst_FASST  -- instantaneous mixing, NMF spectra
+    MultiChanNMFConv        -- convolutive (per-frequency complex) mixing
+    MultiChanHMM            -- GSMM/HMM spectral states
+    multiChanSourceF0Filter -- source/filter (SIMM) spectral model with a
+                               harmonic-comb F0 dictionary (WF0) and a smooth
+                               filter dictionary (WGAMMA)
+
+Constructor kwarg names (`nbComps`, `nbNMFComps`, `spatial_rank`) follow the
+reference for drop-in familiarity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfasst_tpu.models.components import (
+    CONV, GMM, HMM, INST, FasstParams, SpatialComp, SpectralComp,
+    init_inst_mixing, init_nmf_comp,
+)
+from pyfasst_tpu.models.fasst import FASST
+from pyfasst_tpu.tf.filterbank import spectral_basis
+
+
+def _split(key, n):
+    return list(jax.random.split(key, n))
+
+
+class MultiChanNMFInst_FASST(FASST):
+    """Instantaneous multichannel NMF (BASELINE.json configs[0])."""
+
+    def __init__(self, audio, nbComps: int = 2, nbNMFComps: int = 4,
+                 spatial_rank: int = 1, freq_basis: Optional[str] = None,
+                 n_bands: int = 40, **kw):
+        super().__init__(audio, **kw)
+        keys = _split(self.key, nbComps)
+        fixed_FB = None
+        if freq_basis in ("erb", "mel"):
+            fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
+                                      self.tft.wlen)
+        A_list = init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)
+        spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
+                     for A in A_list)
+        spec = tuple(
+            init_nmf_comp(keys[j], self.F, self.N, nbNMFComps, spat_ind=j,
+                          fixed_FB=fixed_FB)
+            for j in range(nbComps))
+        self.params = FasstParams(spat=spat, spec=spec)
+
+
+class MultiChanNMFConv(FASST):
+    """Convolutive multichannel NMF (anechoic/reverberant; configs[1]/[2]).
+
+    spatial_rank == nchannels gives the full-rank spatial covariance model.
+    Initial mixing defaults to broadside-ish complex directions; pass
+    `init_mixing` (J, F, I, R) to seed from DEMIX.
+    """
+
+    def __init__(self, audio, nbComps: int = 3, nbNMFComps: int = 4,
+                 spatial_rank: int = 1, init_mixing: Optional[np.ndarray] = None,
+                 freq_basis: Optional[str] = None, n_bands: int = 40, **kw):
+        super().__init__(audio, **kw)
+        keys = _split(self.key, nbComps)
+        fixed_FB = None
+        if freq_basis in ("erb", "mel"):
+            fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
+                                      self.tft.wlen)
+        if init_mixing is not None:
+            A0 = jnp.asarray(init_mixing, jnp.complex64)
+        else:
+            base = np.stack(
+                [np.tile(a[None], (self.F, 1, 1)) for a in
+                 init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
+            ).astype(np.complex64)
+            rng = np.random.default_rng(0)
+            base = base * np.exp(
+                1j * 0.05 * rng.standard_normal(base.shape)).astype(np.complex64)
+            A0 = jnp.asarray(base)
+        spat = tuple(SpatialComp(A=A0[j], mix_type=CONV, free=True)
+                     for j in range(nbComps))
+        spec = tuple(
+            init_nmf_comp(keys[j], self.F, self.N, nbNMFComps, spat_ind=j,
+                          fixed_FB=fixed_FB)
+            for j in range(nbComps))
+        self.params = FasstParams(spat=spat, spec=spec)
+
+
+class MultiChanHMM(FASST):
+    """GSMM/HMM spectral-state model (BASELINE.json configs[3]).
+
+    Each source has nbStates spectral templates (columns of FB); per frame one
+    state is active with a free gain. sparsity='GMM' uses i.i.d. state priors,
+    'HMM' a transition matrix (persistence prior).
+    """
+
+    def __init__(self, audio, nbComps: int = 2, nbStates: int = 8,
+                 spatial_rank: int = 1, sparsity: str = "HMM",
+                 self_trans: float = 0.9, mix_type: str = INST, **kw):
+        super().__init__(audio, **kw)
+        keys = _split(self.key, nbComps)
+        if mix_type == INST:
+            A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+                                      nbComps)
+            spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
+                         for A in A_list)
+        else:
+            base = np.stack(
+                [np.tile(a[None], (self.F, 1, 1)) for a in
+                 init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
+            ).astype(np.complex64)
+            spat = tuple(SpatialComp(A=jnp.asarray(base[j]), mix_type=CONV,
+                                     free=True) for j in range(nbComps))
+        Q = nbStates
+        trans = (self_trans * np.eye(Q)
+                 + (1.0 - self_trans) / max(Q - 1, 1) * (1 - np.eye(Q)))
+        spec = []
+        for j in range(nbComps):
+            FB = 0.5 + jax.random.uniform(keys[j], (self.F, Q))
+            TW = 0.5 + jax.random.uniform(
+                jax.random.fold_in(keys[j], 1), (Q, self.N))
+            spec.append(SpectralComp(
+                FB=FB.astype(jnp.float32), TW=TW.astype(jnp.float32),
+                trans=jnp.asarray(trans, jnp.float32), spat_ind=j,
+                free=(True, False, True, False),
+                constraint=(HMM if sparsity == "HMM" else GMM)))
+        self.params = FasstParams(spat=spat, spec=tuple(spec))
+
+
+def generate_WF0(F: int, fs: int, wlen: int, n_f0: int = 60,
+                 f0_min: float = 80.0, f0_max: float = 500.0,
+                 rolloff: float = 1.0) -> np.ndarray:
+    """Harmonic-comb source dictionary (F, n_f0) on a log-F0 grid.
+
+    Reference parity: SeparateLeadStereo's generate_WF0_chirped builds glottal
+    combs (UNVERIFIED); here each column is a Gaussian-blurred harmonic comb
+    with 1/h^rolloff amplitude decay -- the same role (pitched-source atoms).
+    """
+    freqs = np.arange(F) * fs / wlen
+    f0s = np.geomspace(f0_min, f0_max, n_f0)
+    W = np.zeros((F, n_f0))
+    bw = fs / wlen  # one-bin Gaussian width
+    for i, f0 in enumerate(f0s):
+        n_harm = int(np.floor((fs / 2) / f0))
+        for h in range(1, n_harm + 1):
+            W[:, i] += (h ** -rolloff) * np.exp(
+                -0.5 * ((freqs - h * f0) / bw) ** 2)
+    W /= np.maximum(W.sum(axis=0, keepdims=True), 1e-12)
+    return W
+
+
+class multiChanSourceF0Filter(FASST):
+    """Source/filter (SIMM) lead + NMF accompaniment model.
+
+    Source 0 (lead): v = (WF0 @ HF0) * smooth-filter envelope approximated by
+    the 4-factor chain FB=WF0 (fixed), FW free (F0 activation mixing),
+    TW free; source 1..: plain NMF comps. Reference parity:
+    pyfasst/audioModel.py::multiChanSourceF0Filter + SeparateLeadStereo
+    dictionaries (UNVERIFIED).
+    """
+
+    def __init__(self, audio, nbComps: int = 2, nbNMFComps: int = 4,
+                 n_f0: int = 60, n_filter_bands: int = 20,
+                 spatial_rank: int = 1, **kw):
+        super().__init__(audio, **kw)
+        keys = _split(self.key, nbComps + 1)
+        A_list = init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)
+        spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
+                     for A in A_list)
+        WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0)
+        # Lead source: harmonic comb dictionary (fixed FB), free activations.
+        lead = SpectralComp(
+            FB=jnp.asarray(WF0, jnp.float32),
+            FW=0.5 + jax.random.uniform(keys[0], (n_f0, n_f0),
+                                        jnp.float32) * 0.1
+            + jnp.eye(n_f0, dtype=jnp.float32),
+            TW=0.5 + jax.random.uniform(keys[1], (n_f0, self.N), jnp.float32),
+            spat_ind=0, free=(False, True, True, False))
+        # Lead filter: smooth envelope comp sharing spatial comp 0.
+        WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
+                                self.tft.wlen)
+        filt = SpectralComp(
+            FB=jnp.asarray(WGAMMA, jnp.float32),
+            FW=0.5 + jax.random.uniform(
+                keys[2], (n_filter_bands, nbNMFComps), jnp.float32),
+            TW=0.5 + jax.random.uniform(
+                jax.random.fold_in(keys[2], 7), (nbNMFComps, self.N),
+                jnp.float32),
+            spat_ind=0, free=(False, True, True, False))
+        spec = [lead, filt]
+        for j in range(1, nbComps):
+            spec.append(init_nmf_comp(keys[2 + j], self.F, self.N,
+                                      nbNMFComps, spat_ind=j))
+        self.params = FasstParams(spat=spat, spec=tuple(spec))

@@ -1,0 +1,111 @@
+"""The jitted GEM loop: estimate FASST parameters a posteriori.
+
+Reference parity: pyfasst/audioModel.py::estim_param_a_posteriori /
+GEM_iteration (UNVERIFIED; mount empty, see SURVEY.md §3.2). The reference
+runs 200-500 Python-level GEM iterations; here the whole loop is ONE compiled
+XLA program (lax.fori_loop whose body is E-step + spatial/spectral M-steps +
+renormalization), so per-iteration dispatch overhead is zero and XLA fuses the
+elementwise (f, n)-plane work across the step.
+
+Annealing (SURVEY.md §A): the additive noise PSD Sigma_b(f) is interpolated
+from sigma0(f) down to sigma1(f) over the run; it is load-bearing for the
+conditioning of the per-bin 2x2 inverses, not just local-optima escape.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pyfasst_tpu.models.components import FasstParams
+from pyfasst_tpu.ops import herm
+from pyfasst_tpu.ops.estep import compute_suff_stats
+from pyfasst_tpu.ops.mstep import renormalize, update_spatial, update_spectral
+from pyfasst_tpu.utils.config import AnnealingMode, GEMConfig
+
+
+def observed_covariance(X: jnp.ndarray) -> jnp.ndarray:
+    """Packed empirical covariance Rxx(f,n) = x x^H from the STFT (F, N, I=2).
+
+    Reference parity: FASST.comp_transf_Cx (UNVERIFIED). Kept for inspection/
+    compat; the E-step itself works directly on X (see estep.py numerics).
+    """
+    return herm.herm_from_outer(X[..., 0], X[..., 1])
+
+
+def annealing_endpoints(X: jnp.ndarray, cfg: GEMConfig):
+    """sigma0(f), sigma1(f) as fractions of the mean per-frequency power of
+    the mixture STFT X (F, N, 2).
+
+    Silent frequency bins are floored at power_floor_frac of the global mean
+    power so sigma stays inside float32 range (and the 1/sigma pooled-solve
+    weights stay bounded).
+    """
+    Pm = jnp.mean(jnp.abs(X) ** 2, axis=(1, 2))               # (F,)
+    floor = jnp.maximum(cfg.power_floor_frac * jnp.mean(Pm), cfg.eps)
+    Pm = jnp.maximum(Pm, floor)
+    return cfg.sigma_start_frac * Pm, cfg.sigma_end_frac * Pm
+
+
+def noise_psd(it, niter: int, sigma0, sigma1, mode: AnnealingMode):
+    if mode == AnnealingMode.NO_ANN:
+        return sigma1
+    w = 1.0 - it / jnp.maximum(niter - 1, 1)
+    return w * sigma0 + (1.0 - w) * sigma1
+
+
+def spatial_covs(params: FasstParams, F: int) -> jnp.ndarray:
+    """(J, F, 4) packed R_j for all spatial components."""
+    return jnp.stack([c.spatial_cov(F) for c in params.spat])
+
+
+def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
+             cfg: GEMConfig, spatial_enabled=None
+             ) -> Tuple[FasstParams, jnp.ndarray]:
+    """One GEM iteration; returns updated params and the step log-likelihood.
+
+    X is the complex mixture STFT (F, N, 2).
+    """
+    from pyfasst_tpu.ops.mstep import _as_conv_A
+
+    F = X.shape[0]
+    ranks = tuple(c.rank for c in params.spat)
+    v = params.all_source_powers()                    # (J, F, N)
+    Rj = spatial_covs(params, F)                      # (J, F, 4)
+    A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
+    stats = compute_suff_stats(
+        X, v, Rj, sigma, ranks, eps=cfg.eps, det_floor=cfg.det_floor,
+        noise_inject=(cfg.annealing == AnnealingMode.ANN_NS_INJ),
+        A_conv=A_conv)
+    params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
+    params = update_spectral(params, stats, eps=cfg.eps)
+    if cfg.renormalize:
+        params = renormalize(params)
+    return params, stats.loglik
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_gem(params: FasstParams, X: jnp.ndarray,
+            cfg: GEMConfig) -> Tuple[FasstParams, jnp.ndarray]:
+    """Run cfg.niter GEM iterations as one compiled fori_loop.
+
+    X is the complex mixture STFT (F, N, 2). Returns (params,
+    logliks[niter]). This is THE entry point the host API wraps
+    (reference: estim_param_a_posteriori).
+    """
+    sigma0, sigma1 = annealing_endpoints(X, cfg)
+    logliks = jnp.zeros((cfg.niter,), jnp.float32)
+
+    hold = int(cfg.spatial_hold_frac * cfg.niter)
+
+    def body(it, carry):
+        params, logliks = carry
+        sigma = noise_psd(it, cfg.niter, sigma0, sigma1, cfg.annealing)
+        params, ll = gem_step(params, X, sigma, cfg,
+                              spatial_enabled=(it >= hold))
+        logliks = logliks.at[it].set(ll.astype(jnp.float32))
+        return params, logliks
+
+    return jax.lax.fori_loop(0, cfg.niter, body, (params, logliks))

@@ -32,16 +32,28 @@ class GEMConfig:
 
     niter: int = 200
     annealing: AnnealingMode = AnnealingMode.ANN
-    # Noise PSD endpoints as fractions of the per-frequency mean mixture power.
+    # Noise PSD endpoints as fractions of the per-frequency mean mixture
+    # power. The final floor keeps cond(Sigma_x) within what float32 2x2
+    # determinants can resolve (~1e6); a -55 dB noise floor is inaudible and
+    # far inside the 0.1 dB SDR budget (BASELINE.json).
     sigma_start_frac: float = 1e-2
-    sigma_end_frac: float = 1e-8
+    sigma_end_frac: float = 3e-6
     # Numerical floors (load-bearing: IS divergence and 2x2 inverses blow up
     # on zeros; keep these even in float64 oracle comparisons).
     eps: float = 1e-30
     det_floor: float = 1e-30
+    # Per-frequency power floor relative to the global mean power: silent
+    # bins otherwise drive sigma_b below the float32 denormal range and the
+    # 1/sigma spatial-pooling weights overflow.
+    power_floor_frac: float = 1e-4
     # Renormalize factor/mixing scales every iteration (prevents drift over
     # hundreds of iterations).
     renormalize: bool = True
+    # Hold the spatial mixing fixed for the first frac of iterations: early
+    # spectral factors are random, and spatial updates driven by their
+    # statistics fling the mixing toward the dominant source (source-collapse
+    # local optimum). Letting the spectra adapt first is the standard remedy.
+    spatial_hold_frac: float = 0.1
     # Compute log-likelihood every iteration (cheap; part of the same fused pass).
     track_loglik: bool = True
 

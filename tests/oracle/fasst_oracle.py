@@ -1,0 +1,423 @@
+"""Float64 NumPy oracle for the FASST GEM engine (the parity target).
+
+Implements SURVEY.md §A directly with complex 2x2 matrices and explicit
+per-source loops -- no packed representations, no JAX. Intentionally the
+*dumbest correct* implementation: per-(f,n) math is written with full
+(F, N, 2, 2) complex arrays and np.linalg where convenient. Numerical knobs
+(eps, det floor, annealing schedule, update order, renormalization) mirror
+pyfasst_tpu exactly so that x64 runs agree to near machine precision.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+EPS = 1e-30
+DET_FLOOR = 1e-30
+SPATIAL_REG = 1e-12
+
+
+@dataclasses.dataclass
+class OracleSpatial:
+    A: np.ndarray            # inst: (I, R) real; conv: (F, I, R) complex
+    mix_type: str = "inst"
+    free: bool = True
+
+    @property
+    def rank(self):
+        return self.A.shape[-1]
+
+    def cov(self, F: int) -> np.ndarray:
+        """R_j(f) = A A^H, complex (F, 2, 2)."""
+        if self.mix_type == "inst":
+            A = self.A.astype(np.complex128)
+            R = A @ A.conj().T
+            return np.broadcast_to(R, (F, 2, 2)).copy()
+        return np.einsum("fir,fkr->fik", self.A, self.A.conj())
+
+
+@dataclasses.dataclass
+class OracleSpectral:
+    FB: np.ndarray
+    TW: np.ndarray
+    FW: Optional[np.ndarray] = None
+    TB: Optional[np.ndarray] = None
+    spat_ind: int = 0
+    free: Tuple[bool, bool, bool, bool] = (True, False, True, False)
+    constraint: str = "NMF"
+    trans: Optional[np.ndarray] = None
+
+    def W(self):
+        return self.FB if self.FW is None else self.FB @ self.FW
+
+    def H(self):
+        return self.TW if self.TB is None else self.TW @ self.TB
+
+    def power(self):
+        return self.W() @ self.H()
+
+
+@dataclasses.dataclass
+class OracleParams:
+    spat: List[OracleSpatial]
+    spec: List[OracleSpectral]
+
+    def source_power(self, j):
+        return sum(k.power() for k in self.spec if k.spat_ind == j)
+
+
+def params_from_pytree(params) -> OracleParams:
+    """Convert a pyfasst_tpu FasstParams pytree to float64 oracle params."""
+    spat = [OracleSpatial(A=np.asarray(c.A, dtype=(
+        np.complex128 if np.iscomplexobj(np.asarray(c.A)) else np.float64)),
+        mix_type=c.mix_type, free=c.free) for c in params.spat]
+    spec = []
+    for k in params.spec:
+        spec.append(OracleSpectral(
+            FB=np.asarray(k.FB, np.float64),
+            TW=np.asarray(k.TW, np.float64),
+            FW=None if k.FW is None else np.asarray(k.FW, np.float64),
+            TB=None if k.TB is None else np.asarray(k.TB, np.float64),
+            spat_ind=k.spat_ind, free=tuple(k.free), constraint=k.constraint,
+            trans=None if k.trans is None else np.asarray(k.trans, np.float64)))
+    return OracleParams(spat=spat, spec=spec)
+
+
+# -- observation ----------------------------------------------------------------
+
+def observed_covariance(X: np.ndarray) -> np.ndarray:
+    """Rxx(f,n) = x x^H, complex (F, N, 2, 2) from the STFT (F, N, 2)."""
+    return np.einsum("fni,fnk->fnik", X, X.conj())
+
+
+def annealing_endpoints(X, sigma_start_frac, sigma_end_frac,
+                        power_floor_frac=1e-4):
+    """X: complex mixture STFT (F, N, 2)."""
+    Pm = np.mean(np.abs(X) ** 2, axis=(1, 2))
+    floor = max(power_floor_frac * np.mean(Pm), EPS)
+    Pm = np.maximum(Pm, floor)
+    return sigma_start_frac * Pm, sigma_end_frac * Pm
+
+
+def noise_psd(it, niter, sigma0, sigma1, mode):
+    if mode == "no_ann":
+        return sigma1
+    w = 1.0 - it / max(niter - 1, 1)
+    return w * sigma0 + (1.0 - w) * sigma1
+
+
+# -- E-step ---------------------------------------------------------------------
+
+def _cross_terms(R, params, F):
+    """trR (J,F) and X (J,J,F) of the cancellation-free determinant
+    (mirrors pyfasst_tpu.ops.estep.cross_terms)."""
+    J = len(params.spat)
+    trR = np.stack([np.einsum("fii->f", R[j]).real for j in range(J)])
+    X = np.empty((J, J, F))
+    for j in range(J):
+        for k in range(J):
+            if j == k:
+                if params.spat[j].rank >= 2:
+                    A = params.spat[j].A
+                    if params.spat[j].mix_type == "inst":
+                        A = np.broadcast_to(
+                            A.astype(np.complex128)[None], (F,) + A.shape)
+                    detA = (A[:, 0, 0] * A[:, 1, 1]
+                            - A[:, 0, 1] * A[:, 1, 0])
+                    X[j, j] = 2.0 * np.abs(detA) ** 2
+                else:
+                    X[j, j] = 0.0
+            else:
+                X[j, k] = np.maximum(
+                    trR[j] * trR[k]
+                    - np.einsum("fab,fba->f", R[j], R[k]).real, 0.0)
+    return trR, X
+
+
+def _stable_det(v, trR, X, sigma):
+    """det Sigma_x as nonnegative monomials (mirrors ops/estep.py)."""
+    s = sigma[:, None]
+    lin = np.einsum("jfn,jf->fn", v, trR)
+    quad = 0.5 * np.einsum("jfn,kfn,jkf->fn", v, v, X)
+    return s * s + s * lin + quad
+
+
+def _stable_inv(S, det):
+    out = np.empty_like(S)
+    out[..., 0, 0] = S[..., 1, 1].real / det
+    out[..., 1, 1] = S[..., 0, 0].real / det
+    out[..., 0, 1] = -S[..., 0, 1] / det
+    out[..., 1, 0] = -S[..., 1, 0] / det
+    return out
+
+
+def estep(X, params: OracleParams, sigma, noise_inject=False):
+    """X: complex (F, N, 2) mixture STFT. Returns (xi, T1, T2, T3, T4, sv,
+    loglik); mirrors ops/estep.py's vector-form float32-safe statistics."""
+    F, N = X.shape[:2]
+    J = len(params.spat)
+    v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])
+    R = np.stack([params.spat[j].cov(F) for j in range(J)])   # (J,F,2,2)
+
+    Sx = np.einsum("jfn,jfik->fnik", v, R)
+    Sx = Sx + sigma[:, None, None, None] * np.eye(2)[None, None]
+    trR, Xc = _cross_terms(R, params, F)
+    det = _stable_det(v, trR, Xc, sigma)
+    Sxi = _stable_inv(Sx, det)
+    y = np.einsum("fnab,fnb->fna", Sxi, X)                    # Sigma_x^-1 x
+    C = np.einsum("fna,fnb->fnab", y, y.conj())               # y y^H
+    RxSi = np.einsum("fna,fnb->fnab", X, y.conj())            # x y^H
+    trSxiRxx = np.maximum(np.einsum("fna,fna->fn", X.conj(), y).real, 0.0)
+    if noise_inject:
+        s_ = sigma[:, None, None, None]
+        Sxi2 = np.einsum("fnab,fnbc->fnac", Sxi, Sxi)
+        C = C + s_ * Sxi2
+        RxSi = RxSi + s_ * Sxi
+        trSxiRxx = trSxiRxx + sigma[:, None] * np.einsum(
+            "fnaa->fn", Sxi).real
+
+    xi = np.empty((J, F, N))
+    T1 = np.empty((J, F, 2, 2), np.complex128)
+    T2 = np.empty((J, J, F, 2, 2), np.complex128)
+    T3 = np.empty((J, J, F, 2, 2), np.complex128)
+    sv = np.empty((J, F))
+    eye = np.eye(2)[None, None]
+    T4 = []
+    for j in range(J):
+        rank = params.spat[j].rank
+        Aj = params.spat[j].A
+        if params.spat[j].mix_type == "inst":
+            Aj = np.broadcast_to(Aj.astype(np.complex128)[None],
+                                 (F,) + Aj.shape)
+        trCR = np.einsum("fna,fab,fnb->fn", y.conj(), R[j], y).real
+        if noise_inject:
+            trCR = trCR + sigma[:, None] * np.einsum(
+                "fnab,fba->fn", Sxi2, R[j]).real
+        # Sherman-Morrison subtract-free posterior terms (mirrors
+        # pyfasst_tpu.ops.estep: S_j assembled as the sum over k != j).
+        if J == 1:
+            Sj = sigma[:, None, None, None] * eye * np.ones((F, N, 1, 1))
+        else:
+            Sj = sum(np.einsum("fn,fab->fnab", v[k], R[k])
+                     for k in range(J) if k != j)
+            Sj = Sj + sigma[:, None, None, None] * eye
+        vmask = v.copy(); vmask[j] = 0.0
+        Sji = _stable_inv(Sj, _stable_det(vmask, trR, Xc, sigma))
+        t = np.einsum("fnab,fba->fn", Sji, R[j]).real
+        vt = v[j] * t
+        if rank >= 2:
+            Ah = np.swapaxes(Aj.conj(), 1, 2)
+            M = np.einsum("fra,fnab,fbs->fnrs", Ah, Sji, Aj)
+            G = np.eye(rank)[None, None] + v[j][..., None, None] * M
+            dG = np.maximum((G[..., 0, 0] * G[..., 1, 1]
+                             - np.abs(G[..., 0, 1]) ** 2).real, 1.0)
+            Ginv = np.empty_like(G)
+            Ginv[..., 0, 0] = G[..., 1, 1] / dG
+            Ginv[..., 1, 1] = G[..., 0, 0] / dG
+            Ginv[..., 0, 1] = -G[..., 0, 1] / dG
+            Ginv[..., 1, 0] = -G[..., 1, 0] / dG
+            T4.append(np.einsum("fn,fnrs->frs", v[j], Ginv))
+            den = dG
+            coef = np.maximum((2.0 + vt) / den, 0.0)
+        else:
+            den = 1.0 + vt
+            coef = np.maximum((2.0 + vt) / den - 1.0, 0.0)
+            T4.append((v[j] / den).sum(axis=-1))
+        xi[j] = np.maximum((v[j] ** 2 * trCR + v[j] * coef) / rank, EPS)
+        T1[j] = np.einsum("fn,fnab->fab", v[j], RxSi)
+        sv[j] = v[j].sum(axis=-1)
+        for k in range(J):
+            vv = v[j] * v[k]
+            T2[j, k] = np.einsum("fn,fnab->fab", vv, C)
+            T3[j, k] = np.einsum("fn,fnab->fab", vv, Sxi)
+
+    loglik = -np.sum(np.log(det) + trSxiRxx)
+    return xi, T1, T2, T3, T4, sv, loglik
+
+
+# -- M-step ---------------------------------------------------------------------
+
+def update_spatial(params: OracleParams, T1, T2, T3, T4, sv, sigma):
+    """Gauss-Seidel sweep with cross-source blocks (mirrors ops/mstep.py)."""
+    F = T1.shape[1]
+    J = len(params.spat)
+
+    def as_conv(comp):
+        if comp.mix_type == "inst":
+            return np.broadcast_to(comp.A.astype(np.complex128)[None],
+                                   (F,) + comp.A.shape).copy()
+        return comp.A
+
+    A_all = [as_conv(c) for c in params.spat]
+    M = T2 - T3
+    w = 1.0 / np.maximum(sigma, 1e-30)
+    w = w / np.mean(w)
+    for j, comp in enumerate(params.spat):
+        if not comp.free:
+            continue
+        A = A_all[j]
+        R = A.shape[-1]
+        target = np.einsum("fab,fbr->far", T1[j], A)
+        for k in range(J):
+            if k == j:
+                continue
+            cross = np.einsum("fka,fab,fbr->fkr",
+                              np.swapaxes(A_all[k].conj(), 1, 2), M[k, j], A)
+            target = target - np.einsum("fik,fkr->fir", A_all[k], cross)
+        Ah = np.swapaxes(A.conj(), 1, 2)
+        post = (T4[j] if R >= 2
+                else T4[j][:, None, None].astype(np.complex128))
+        Rss = np.einsum("fra,fab,fbs->frs", Ah, T2[j, j], A) + post
+        if comp.mix_type == "inst":
+            wf = w[:, None, None]
+            target_p = np.real((wf * target).sum(axis=0))
+            Rss_p = np.real((wf * Rss).sum(axis=0))
+            Rss_p = Rss_p + SPATIAL_REG * np.trace(Rss_p) * np.eye(R)
+            comp.A = np.linalg.solve(Rss_p.T, target_p.T).T
+        else:
+            tr = np.einsum("frr->f", Rss).real
+            Rss = Rss + (SPATIAL_REG * tr)[:, None, None] * np.eye(R)
+            comp.A = np.swapaxes(
+                np.linalg.solve(np.swapaxes(Rss, 1, 2),
+                                np.swapaxes(target, 1, 2)), 1, 2)
+        A_all[j] = as_conv(comp)
+
+
+UPD_MIN, UPD_MAX = 1e-5, 1e5
+
+
+def _mul_upd(factor, num_term, den_term):
+    upd = np.clip(num_term / np.maximum(den_term, EPS), UPD_MIN, UPD_MAX)
+    return np.maximum(factor * upd, EPS)
+
+
+def _nmf_updates(comp: OracleSpectral, P, V):
+    vk = comp.power()
+    v_floor = 1e-12 * np.mean(P) + EPS
+    for idx in range(4):
+        if not comp.free[idx]:
+            continue
+        Vc = np.maximum(V, v_floor)
+        num = P / (Vc * Vc)
+        den = 1.0 / Vc
+        W, H = comp.W(), comp.H()
+        if idx == 0:
+            rest = H if comp.FW is None else comp.FW @ H
+            comp.FB = _mul_upd(comp.FB, num @ rest.T, den @ rest.T)
+        elif idx == 1:
+            comp.FW = _mul_upd(comp.FW, (comp.FB.T @ num) @ H.T,
+                               (comp.FB.T @ den) @ H.T)
+        elif idx == 2:
+            lhs_n, lhs_d = W.T @ num, W.T @ den
+            if comp.TB is not None:
+                lhs_n, lhs_d = lhs_n @ comp.TB.T, lhs_d @ comp.TB.T
+            comp.TW = _mul_upd(comp.TW, lhs_n, lhs_d)
+        else:
+            G = W @ comp.TW
+            comp.TB = _mul_upd(comp.TB, G.T @ num, G.T @ den)
+        vk_new = comp.power()
+        V = V - vk + vk_new
+        vk = vk_new
+    return V
+
+
+def update_spectral(params: OracleParams, xi):
+    for j in range(len(params.spat)):
+        comps = [k for k in params.spec if k.spat_ind == j]
+        if not comps:
+            continue
+        V = sum(k.power() for k in comps)
+        P = xi[j]
+        for comp in comps:
+            if comp.constraint != "NMF":
+                raise NotImplementedError(
+                    "oracle parity for GMM/HMM lives in test_hmm.py")
+            V = _nmf_updates(comp, P, V)
+
+
+def renormalize(params: OracleParams):
+    for j, comp in enumerate(params.spat):
+        if not comp.free:
+            continue
+        if comp.mix_type == "inst":
+            norm = np.sum(comp.A ** 2) / comp.A.shape[0]
+        else:
+            norm = np.mean(np.sum(np.abs(comp.A) ** 2, axis=(1, 2))
+                           ) / comp.A.shape[1]
+        norm = max(norm, 1e-30)
+        comp.A = comp.A / np.sqrt(norm)
+        for k in params.spec:
+            if k.spat_ind != j:
+                continue
+            for idx, name in enumerate(("FB", "FW", "TW", "TB")):
+                if k.free[idx] and getattr(k, name) is not None:
+                    setattr(k, name, getattr(k, name) * norm)
+                    break
+    for k in params.spec:
+        chain = [(i, n) for i, n in enumerate(("FB", "FW", "TW", "TB"))
+                 if getattr(k, n) is not None]
+        for (ia, na), (ib, nb) in zip(chain[:-1], chain[1:]):
+            if not (k.free[ia] and k.free[ib]):
+                continue
+            s = np.maximum(getattr(k, na).sum(axis=0), EPS)
+            setattr(k, na, getattr(k, na) / s[None, :])
+            setattr(k, nb, getattr(k, nb) * s[:, None])
+
+
+# -- driver ---------------------------------------------------------------------
+
+def oracle_gem_run(params: OracleParams, X, niter: int,
+                   annealing: str = "ann", sigma_start_frac: float = 1e-2,
+                   sigma_end_frac: float = 3e-6, do_renormalize: bool = True,
+                   spatial_hold_frac: float = 0.1):
+    sigma0, sigma1 = annealing_endpoints(X, sigma_start_frac, sigma_end_frac)
+    logliks = np.zeros(niter)
+    hold = int(spatial_hold_frac * niter)
+    for it in range(niter):
+        sigma = noise_psd(it, niter, sigma0, sigma1, annealing)
+        xi, T1, T2, T3, T4, sv, ll = estep(
+            X, params, sigma, noise_inject=(annealing == "ann_ns_inj"))
+        if it >= hold:
+            update_spatial(params, T1, T2, T3, T4, sv, sigma)
+        update_spectral(params, xi)
+        if do_renormalize:
+            renormalize(params)
+        logliks[it] = ll
+    return params, logliks
+
+
+def oracle_separate(params: OracleParams, X, sigma):
+    """Wiener posterior-mean images, (J, F, N, 2)."""
+    F, N = X.shape[:2]
+    J = len(params.spat)
+    v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])
+    R = np.stack([params.spat[j].cov(F) for j in range(J)])
+    Sx = np.einsum("jfn,jfik->fnik", v, R)
+    Sx = Sx + sigma[:, None, None, None] * np.eye(2)[None, None]
+    trR, Xc = _cross_terms(R, params, F)
+    det = _stable_det(v, trR, Xc, sigma)
+    Y = np.empty((J, F, N, 2), np.complex128)
+
+    def adj(P):
+        out = np.empty_like(P)
+        out[..., 0, 0] = P[..., 1, 1]
+        out[..., 1, 1] = P[..., 0, 0]
+        out[..., 0, 1] = -P[..., 0, 1]
+        out[..., 1, 0] = -P[..., 1, 0]
+        return out
+
+    eye2 = np.eye(2)[None, None]
+    for j in range(J):
+        # adjugate-linearity expansion (mirrors ops/wiener.py)
+        num = sigma[:, None, None, None] * R[j][:, None]
+        num = num + (v[j] * 0.5 * Xc[j, j][:, None])[..., None, None] * eye2
+        for k in range(J):
+            if k == j:
+                continue
+            Mjk = R[j] @ adj(R[k])
+            num = num + v[k][..., None, None] * Mjk[:, None]
+        y = np.einsum("fnab,fnb->fna", num, X)
+        Y[j] = y * (v[j] / det)[..., None]
+    return Y
