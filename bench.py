@@ -1,0 +1,114 @@
+"""Benchmark: xRT (audio-seconds processed per second per chip).
+
+BASELINE.json metric: separate a 10 s stereo mixture with 500 EM iterations;
+north-star >= 50x real-time per v5e chip. Prints ONE JSON line:
+    {"metric": "xRT", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+vs_baseline is xRT / 50 (the driver-set target; the reference publishes no
+numbers -- BASELINE.md).
+
+The timed region is the full device pipeline on real hardware: STFT ->
+500-iteration GEM fori_loop -> Wiener separation -> ISTFT. WAV I/O and
+compilation are excluded (compile is once-per-shape; the metric is steady-
+state throughput).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfasst_tpu.models.components import (
+    FasstParams, SpectralComp, SpatialComp, init_inst_mixing,
+)
+from pyfasst_tpu.ops.gem import annealing_endpoints, run_gem
+from pyfasst_tpu.ops.wiener import separate_sources
+from pyfasst_tpu.tf.stft import _stft_core, _istft_core, sine_window
+from pyfasst_tpu.utils.config import GEMConfig
+
+FS = 44100
+DUR = 10.0
+WLEN = 1024
+HOP = 512
+NITER = 500
+J, K = 2, 8
+TARGET_XRT = 50.0
+
+
+def make_mixture(fs=FS, dur=DUR, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    s1 = (0.4 * np.sin(2 * np.pi * (220 * t + 3 * np.sin(2 * np.pi * 0.5 * t)))
+          + 0.2 * np.sin(2 * np.pi * 440 * t)
+          + 0.1 * np.sin(2 * np.pi * 660 * t))
+    env = (np.sin(2 * np.pi * 1.5 * t) > 0).astype(np.float64)
+    s2 = 0.3 * rng.standard_normal(n) * env
+    a1, a2 = np.array([0.95, 0.31]), np.array([0.31, 0.95])
+    mix = s1[:, None] * a1 + s2[:, None] * a2
+    return (mix / np.max(np.abs(mix))).astype(np.float32)
+
+
+def build_params(F, N, seed=0):
+    rng = np.random.default_rng(seed)
+    spat = tuple(SpatialComp(A=a) for a in init_inst_mixing(None, 2, 1, J))
+    spec = tuple(SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, K)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((K, N)), jnp.float32),
+        spat_ind=j) for j in range(J))
+    return FasstParams(spat=spat, spec=spec)
+
+
+def pipeline(mix, params, cfg, window, nsamples):
+    """Full device pipeline; jitted as one program."""
+    X = _stft_core(mix, window, WLEN, HOP, "fft")        # (F, N, 2)
+    params, logliks = run_gem(params, X, cfg)
+    _, sigma1 = annealing_endpoints(X, cfg)
+    Y = separate_sources(params, X, sigma1)               # (J, F, N, 2)
+    ys = [_istft_core(Y[j], window, WLEN, HOP, nsamples) for j in range(J)]
+    return jnp.stack(ys), logliks
+
+
+def main():
+    mix = make_mixture()
+    nsamples = mix.shape[0]
+    window = jnp.asarray(sine_window(WLEN), jnp.float32)
+    mix_d = jax.device_put(jnp.asarray(mix))
+
+    # shape probe for param construction
+    X0 = _stft_core(mix_d, window, WLEN, HOP, "fft")
+    F, N = int(X0.shape[0]), int(X0.shape[1])
+    cfg = GEMConfig(niter=NITER)
+    params = build_params(F, N)
+
+    import functools
+    run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
+                                    nsamples=nsamples))
+    # warm-up / compile
+    ys, logliks = run(mix_d, params)
+    jax.block_until_ready(logliks)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ys, logliks = run(mix_d, params)
+        jax.block_until_ready(logliks)
+        jax.block_until_ready(ys)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    ll = np.asarray(logliks[-1], np.float64)
+    assert np.isfinite(ll), "benchmark run produced non-finite loglik"
+
+    xrt = DUR / elapsed
+    print(json.dumps({
+        "metric": "xRT",
+        "value": round(float(xrt), 3),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(float(xrt / TARGET_XRT), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

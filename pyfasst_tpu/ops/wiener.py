@@ -34,6 +34,7 @@ def _herm_adj(P):
 
 
 @functools.partial(jax.jit, static_argnames=("det_floor",))
+@jax.default_matmul_precision("highest")
 def separate_sources(params: FasstParams, X: jnp.ndarray,
                      sigma: jnp.ndarray, det_floor: float = 1e-30):
     """Wiener posterior-mean source images y^_j = v_j R_j Sigma_x^-1 x.

@@ -1,0 +1,100 @@
+"""Mesh construction and the sharded batch-separation path.
+
+BASELINE.json configs[4]: "Batch separation of a full SiSEC dev set, vmapped
+over clips/segments across a v5e-8 slice". Parallelism map (SURVEY.md §2):
+
+  - DP: clips/segments across the 'dp' mesh axis (vmap batch axis).
+  - TP-analog: the frequency axis F across the 'fp' mesh axis -- FASST's
+    per-bin 2x2 algebra is embarrassingly parallel in f; the only cross-shard
+    reductions are the pooled instantaneous spatial solve (sum over f) and
+    the spectral updates' F-contractions, which GSPMD lowers to psum over
+    'fp' automatically.
+  - PP: not applicable to a two-phase EM loop (documented, not faked).
+  - SP (frame axis): available by the same mechanism (shard N); off by
+    default since clips are short relative to F.
+
+Everything below is plain jit + NamedSharding constraints: no hand-written
+collectives, which is the idiomatic XLA SPMD design.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyfasst_tpu.models.components import FasstParams
+from pyfasst_tpu.ops.gem import run_gem
+from pyfasst_tpu.ops.wiener import separate_sources
+from pyfasst_tpu.utils.config import GEMConfig
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Tuple[str, str] = ("dp", "fp"),
+              dp: Optional[int] = None) -> Mesh:
+    """Mesh over the first n devices, factored into (dp, fp).
+
+    dp defaults to the largest power-of-two divisor <= sqrt(n) so both data
+    and frequency parallelism get lanes; pass dp explicitly to override.
+    """
+    devices = jax.devices()[: (n_devices or len(jax.devices()))]
+    n = len(devices)
+    if dp is None:
+        dp = 1
+        while (dp * 2) * (dp * 2) <= n and n % (dp * 2) == 0:
+            dp *= 2
+        while n % dp != 0:
+            dp //= 2
+    fp = n // dp
+    mesh_devices = mesh_utils.create_device_mesh((dp, fp), devices=devices)
+    return Mesh(mesh_devices, axes)
+
+
+def batch_params(params_list) -> FasstParams:
+    """Stack per-clip parameter pytrees along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def _param_sharding(params_b: FasstParams, mesh: Mesh):
+    """Batch axis -> 'dp'; everything else replicated within the dp group."""
+    return jax.tree.map(
+        lambda a: NamedSharding(mesh, P("dp")), params_b)
+
+
+def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
+                    mesh: Mesh):
+    """Run the GEM loop for a batch of equal-shape clips on a mesh.
+
+    params_b: pytree with leading batch axis B; X_b: (B, F, N, 2) complex.
+    B must be divisible by the 'dp' axis size; F need not divide 'fp' --
+    the frequency sharding is applied as an internal constraint, which GSPMD
+    pads. Returns (params_b, logliks (B, niter)).
+    """
+    x_in = NamedSharding(mesh, P("dp"))
+    x_shard = NamedSharding(mesh, P("dp", "fp"))
+    p_shard = _param_sharding(params_b, mesh)
+
+    def fn(params_b, X_b):
+        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+        return jax.vmap(functools.partial(run_gem, cfg=cfg))(params_b, X_b)
+
+    return jax.jit(fn, in_shardings=(p_shard, x_in))(params_b, X_b)
+
+
+def sharded_batch_separate(params_b: FasstParams, X_b: jnp.ndarray,
+                           sigma_b: jnp.ndarray, mesh: Mesh):
+    """Wiener-separate a batch of clips on the mesh: (B, J, F, N, 2)."""
+    x_in = NamedSharding(mesh, P("dp"))
+    x_shard = NamedSharding(mesh, P("dp", "fp"))
+    p_shard = _param_sharding(params_b, mesh)
+
+    def fn(params_b, X_b, sigma_b):
+        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+        return jax.vmap(separate_sources)(params_b, X_b, sigma_b)
+
+    return jax.jit(fn, in_shardings=(p_shard, x_in, x_in))(
+        params_b, X_b, sigma_b)

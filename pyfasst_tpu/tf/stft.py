@@ -60,6 +60,7 @@ def _dft_matrices(wlen: int, dtype) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.partial(jax.jit, static_argnames=("wlen", "hop", "method"))
+@jax.default_matmul_precision("highest")
 def _stft_core(x, window, wlen: int, hop: int, method: str):
     nsamples = x.shape[0]
     pad_front, pad_back, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
