@@ -2,29 +2,30 @@
 
 Reference parity: pyfasst/audioModel.py::comp_suff_stat (UNVERIFIED; mount
 empty, see SURVEY.md §3.2). The reference loops over frequency bins in Python;
-here the E-step is reformulated so that **no mixing matrix appears in the
-(f, n) plane at all** -- everything is expressed through the packed spatial
-covariances R_j(f) = A_j A_j^H and four reduced statistics:
+here the whole (f, n)-plane is elementwise VPU math plus batched matmul
+reductions over frames, and -- critically for float32 on TPU -- every
+statistic is accumulated in a *cancellation-free* form. With
 
-    Sigma_x(f,n)  = sum_j v_j R_j + sigma_b I
-    C(f,n)        = Sigma_x^-1 Rxx Sigma_x^-1                  (shared over j)
-    xi_j(f,n)     = [v^2 tr(C R_j) + v (rank_j - v tr(Sigma_x^-1 R_j))]/rank_j
-    T1_j(f)       = sum_n v_j Rxx Sigma_x^-1     (general 2x2; -> R^_xs,j = T1_j A_j)
-    T2_jk(f)      = sum_n v_j v_k C              (-> A_j^H T2 A_k term of R^_ss blocks)
-    T3_jk(f)      = sum_n v_j v_k Sigma_x^-1     (-> A_j^H T3 A_k term)
-    sv_j(f)       = sum_n v_j
+    y(f,n)   = Sigma_x^-1 x            (2-vector)
+    w_j(f,n) = A_j^H y                 (R_j-vector; the unit-PSD Wiener image
+                                        of source j's sub-sources: s^_j = v_j w_j)
 
-derived from the classical FASST E-step (SURVEY.md §A) by substituting the
-joint sub-source Wiener filter W_j = v_j A_j^H Sigma_x^-1 into
-R^_xs = <x s^H>, R^_ss = <s s^H> + posterior covariance, where s stacks ALL
-sources' sub-sources -- the M-step for the mixing matrices is a joint solve,
-so the cross-source (j, k) second-moment blocks are required:
+the sufficient statistics are outer products (errors enter squared):
 
-    R^_ss[j,k](f) = A_j^H (T2_jk - T3_jk) A_k + delta_jk sv_j I_Rj.
+    xi_j     = [v^2 ||w_j||^2 + v tr_R((I + v A^H S_j^-1 A)^-1)] / R_j
+    Txs_j(f) = sum_n v_j x w_j^H                      -> R^_xs,j
+    Tss_jk(f)= sum_n v_j v_k w_j w_k^H                -> Wiener part of R^_ss
+    T4_j(f)  = sum_n v_j (I + v_j A_j^H S_j^-1 A_j)^-1   (diag posterior cov,
+               Sherman-Morrison/Woodbury through the leave-one-out
+               S_j = sum_{k != j} v_k R_k + sigma I -- subtract-free)
+    T7_jk(f) = sum_n v_j v_k A_j^H Sigma_x^-1 A_k    (cross posterior cov,
+               j != k)
 
-The per-(f,n) work is pure VPU elementwise math; the n-reductions are batched
-matmuls (einsum over frames). Wall-clock therefore scales with HBM bandwidth,
-not per-bin Python overhead.
+so the M-step blocks are  R^_ss[j,j] = Tss_jj + T4_j  and
+R^_ss[j,k] = Tss_jk - T7_jk, with NO congruences of summed statistics at
+M-step time (a congruence after summation reintroduces first-order
+cancellation and was observed to blow up the mixing solves).
+det(Sigma_x) comes from the nonnegative-monomial expansion below.
 """
 from __future__ import annotations
 
@@ -38,18 +39,20 @@ from pyfasst_tpu.ops import herm
 
 @flax.struct.dataclass
 class SuffStats:
-    """Per-source reduced statistics of one E-step."""
+    """Per-source reduced statistics of one E-step (see module docstring).
 
-    xi: jnp.ndarray    # (J, F, N)     posterior sub-source PSDs
-    T1: jnp.ndarray    # (J, F, 8)     sum_n v_j * (Rxx Sigma_x^-1), packed general
-    T2: jnp.ndarray    # (J, J, F, 4)  sum_n v_j v_k * C, packed Hermitian
-    T3: jnp.ndarray    # (J, J, F, 4)  sum_n v_j v_k * Sigma_x^-1, packed Hermitian
-    T4: tuple          # per j: sum_n v_j (I_R + v_j A^H S_j^-1 A)^-1 -- the
-    #                    subtract-free posterior-covariance term of the R^_ss
-    #                    diagonal block. Shape (F,) for rank-1, packed (F, 4)
-    #                    Hermitian for rank-2 (full-rank).
-    sv: jnp.ndarray    # (J, F)        sum_n v_j
-    loglik: jnp.ndarray  # scalar: sum_{f,n} -(logdet Sigma_x + tr(Sigma_x^-1 Rxx))
+    Txs: tuple over j of complex (F, 2, R_j).
+    Tss: nested tuple (j, k) of complex (F, R_j, R_k).
+    T4:  tuple over j: (F,) for rank-1, packed Hermitian (F, 4) for rank-2.
+    T7:  nested tuple (j, k), complex (F, R_j, R_k); None on the diagonal.
+    """
+
+    xi: jnp.ndarray      # (J, F, N) posterior sub-source PSDs
+    Txs: tuple
+    Tss: tuple
+    T4: tuple
+    T7: tuple
+    loglik: jnp.ndarray  # scalar: sum_{f,n} -(logdet Sigma_x + x^H Sigma_x^-1 x)
 
 
 def mixture_cov(v: jnp.ndarray, Rj: jnp.ndarray, sigma: jnp.ndarray):
@@ -63,28 +66,33 @@ def cross_terms(Rj: jnp.ndarray, A_conv, ranks) -> Tuple[jnp.ndarray,
     """Per-frequency spatial invariants for the cancellation-free determinant.
 
     Returns trR (J, F) and X (J, J, F) with
-        X[j, k] = tr(R_j) tr(R_k) - tr(R_j R_k)   (>= 0 by Cauchy-Schwarz),
-        X[j, j] = 2 det(R_j)  (exactly 0 for rank-1; |det A_j|^2 for rank-2).
+        X[j, k] = tr(R_j) tr(R_k) - tr(R_j R_k)
+    computed WITHOUT the subtraction, via Lagrange's identity over the
+    mixing columns:
+        X[j, k] = sum_{r, s} |A_j[0, r] A_k[1, s] - A_j[1, r] A_k[0, s]|^2,
+    which also covers the diagonal (X[j, j] = 2 det R_j, exactly 0 for
+    rank-1). The subtracted form cancels catastrophically in float32 when
+    two sources' directions are near-parallel (e.g. the low frequencies of
+    anechoic/convolutive models), poisoning det(Sigma_x).
     """
     trR = herm.trace(Rj)                                  # (J, F)
-    X = trR[:, None] * trR[None] - herm.trace_prod(Rj[:, None], Rj[None])
-    X = jnp.maximum(X, 0.0)                               # (J, J, F)
     J = Rj.shape[0]
-    diag = []
+    rows = []
     for j in range(J):
-        if ranks[j] >= 2:
-            A = A_conv[j]
-            detA = (A[..., 0, 0] * A[..., 1, 1]
-                    - A[..., 0, 1] * A[..., 1, 0])        # (F,)
-            diag.append(2.0 * (jnp.real(detA) ** 2 + jnp.imag(detA) ** 2))
-        else:
-            diag.append(jnp.zeros(Rj.shape[1], Rj.dtype))
-    eye = jnp.eye(J, dtype=Rj.dtype)[:, :, None]
-    return trR, X * (1.0 - eye) + eye * jnp.stack(diag)[:, None, :]
+        a = A_conv[j]                                     # (F, 2, Rj)
+        row = []
+        for k in range(J):
+            b = A_conv[k]                                 # (F, 2, Rk)
+            c = (a[:, 0, :, None] * b[:, 1, None, :]
+                 - a[:, 1, :, None] * b[:, 0, None, :])   # (F, Rj, Rk)
+            row.append(jnp.sum(jnp.real(c) ** 2 + jnp.imag(c) ** 2,
+                               axis=(1, 2)))
+        rows.append(jnp.stack(row))
+    return trR, jnp.stack(rows)                           # (J, J, F)
 
 
 def stable_mixture_det(v, trR, X, sigma):
-    """det Sigma_x(f,n) as a sum of NONNEGATIVE monomials (see module doc):
+    """det Sigma_x(f,n) as a sum of NONNEGATIVE monomials:
 
         det = sigma^2 + sigma sum_j v_j tr(R_j) + 1/2 sum_{j,k} v_j v_k X_jk.
 
@@ -106,6 +114,12 @@ def stable_inv(S, det):
                       -S[..., 2] * r, -S[..., 3] * r], axis=-1)
 
 
+def _apply_AH(A, y0, y1):
+    """w = A^H y for A (F, 2, R) complex, y components (F, N) -> (F, N, R)."""
+    return (jnp.conj(A[:, None, 0, :]) * y0[..., None]
+            + jnp.conj(A[:, None, 1, :]) * y1[..., None])
+
+
 def compute_suff_stats(
     X: jnp.ndarray,            # (F, N, 2) complex mixture STFT
     v: jnp.ndarray,            # (J, F, N) source PSDs
@@ -115,23 +129,15 @@ def compute_suff_stats(
     eps: float = 1e-30,
     det_floor: float = 1e-30,
     noise_inject: bool = False,
-    A_conv: Tuple = (),        # per j: complex (F, I, R) mixing (needed for
-    #                            the rank-2 T4 sandwich; ignored for rank-1)
+    A_conv: Tuple = (),        # per j: complex (F, I, R) mixing
 ) -> SuffStats:
     """One E-step over the full (f, n) plane. All shapes static.
 
-    Float32 numerics (each cure was found by bisecting a collapsing 200-iter
-    run against the float64 oracle; all are mirrored there):
-      - det(Sigma_x) via the nonnegative-monomial expansion (stable_mixture_det);
-      - the empirical covariance Rxx = x x^H is NEVER materialized: with
-        y = Sigma_x^-1 x, every statistic is an outer product --
-        C = y y^H, Rxx Sigma_x^-1 = x y^H, tr(C R_j) = y^H R_j y >= 0 --
-        so quadratic forms are exactly nonnegative and rounding errors enter
-        *linearly* through y instead of through catastrophic cancellation in
-        Sigma_x^-1 Rxx Sigma_x^-1;
-      - the posterior-variance terms go through the leave-one-out
-        S_j = sum_{k != j} v_k R_k + sigma I (Sherman-Morrison form), never
-        through the subtraction rank - v tr(Sigma_x^-1 R_j).
+    Float32 safety rules (each found by bisecting a collapsing run against
+    the float64 oracle; all mirrored there):
+      - dets via nonnegative monomials (stable_mixture_det / cross_terms);
+      - statistics as outer products of x, y, w (never congruences of sums);
+      - posterior variances via leave-one-out Woodbury (never rank - v*tr).
     """
     trR, Xc = cross_terms(Rj, A_conv, ranks)
     Sx = mixture_cov(v, Rj, sigma)                      # (F, N, 4)
@@ -140,26 +146,33 @@ def compute_suff_stats(
 
     x0, x1 = X[..., 0], X[..., 1]
     y0, y1 = herm.herm_apply(Sxi, x0, x1)                # y = Sigma_x^-1 x
-    C = herm.herm_from_outer(y0, y1)                     # (F, N, 4) = y y^H
-    RxSi = herm.gen_outer(x0, x1, y0, y1)                # (F, N, 8) = x y^H
     trSxiRxx = jnp.maximum(
         jnp.real(jnp.conj(x0) * y0 + jnp.conj(x1) * y1), 0.0)
-    if noise_inject:
-        # 'ann_ns_inj': observed covariance becomes x x^H + sigma I.
-        s = sigma[:, None, None]
-        C = C + s * herm.herm_sq(Sxi)
-        RxSi = RxSi + s * herm.herm_as_gen(Sxi)
-        trSxiRxx = trSxiRxx + sigma[:, None] * herm.trace(Sxi)
 
     J = v.shape[0]
-    xi_list = []
-    T4_list = []
+    # w_j = A_j^H y and, for noise injection, z_j = Sigma_x^-1 A_j columns.
+    w = [_apply_AH(A_conv[j], y0, y1) for j in range(J)]  # (F, N, Rj)
+    if noise_inject:
+        # 'ann_ns_inj': observed covariance becomes x x^H + sigma I; the
+        # additive corrections flow through z_j = Sigma_x^-1 A_j, (2, F, N, R).
+        z = []
+        for j in range(J):
+            cols = []
+            for r in range(ranks[j]):
+                u0, u1 = herm.herm_apply(Sxi, A_conv[j][:, None, 0, r],
+                                         A_conv[j][:, None, 1, r])
+                cols.append(jnp.stack([u0, u1], axis=0))   # (2, F, N)
+            z.append(jnp.stack(cols, axis=-1))             # (2, F, N, Rj)
+        trSxiRxx = trSxiRxx + sigma[:, None] * herm.trace(Sxi)
+
+    xi_list, T4_list, Txs_list = [], [], []
     for j in range(J):
-        # Wiener part of the posterior PSD: y^H R_j y -- exactly nonnegative.
-        trCR_j = herm.quadform(Rj[j][:, None], y0, y1)
+        wj = w[j]
+        trCR_j = jnp.sum(jnp.real(wj) ** 2 + jnp.imag(wj) ** 2, axis=-1)
         if noise_inject:
-            trCR_j = trCR_j + sigma[:, None] * herm.trace_prod(
-                herm.herm_sq(Sxi), Rj[j][:, None])
+            zj = z[j]                                     # (2, F, N, Rj)
+            trCR_j = trCR_j + sigma[:, None] * jnp.sum(
+                jnp.abs(zj) ** 2, axis=(0, -1))
         if J == 1:
             Sj = jnp.zeros_like(Sx)
         else:
@@ -185,15 +198,50 @@ def compute_suff_stats(
             coef = jnp.maximum((2.0 + vt) / den - 1.0, 0.0)
             T4_list.append(jnp.sum(v[j] / den, axis=-1))  # (F,)
         xi_list.append((v[j] * v[j] * trCR_j + v[j] * coef) / ranks[j])
+
+        # R^_xs statistic: sum_n v_j x w_j^H  (F, 2, Rj)
+        Txs = jnp.stack([
+            jnp.einsum("fn,fnr->fr", v[j], x0[..., None] * jnp.conj(wj)),
+            jnp.einsum("fn,fnr->fr", v[j], x1[..., None] * jnp.conj(wj)),
+        ], axis=1)
+        if noise_inject:
+            Txs = Txs + sigma[:, None, None] * jnp.einsum(
+                "fn,ifnr->fir", v[j], z[j])
+        Txs_list.append(Txs)
     xi = jnp.maximum(jnp.stack(xi_list), eps)
 
-    # Reduced per-frequency statistics (contract the frame axis).
-    T1 = jnp.einsum("jfn,fnk->jfk", v, RxSi)
-    vv = v[:, None] * v[None]                            # (J, J, F, N)
-    T2 = jnp.einsum("jkfn,fnc->jkfc", vv, C)
-    T3 = jnp.einsum("jkfn,fnc->jkfc", vv, Sxi)
-    sv = jnp.sum(v, axis=-1)
+    # Cross statistics: Tss_jk = sum_n v_j v_k w_j w_k^H (F, Rj, Rk) and the
+    # cross posterior covariance T7_jk = sum_n v_j v_k A_j^H Sigma_x^-1 A_k.
+    Tss, T7 = [], []
+    for j in range(J):
+        row_ss, row_7 = [], []
+        for k in range(J):
+            vv = v[j] * v[k]
+            row_ss.append(jnp.einsum("fn,fnr,fns->frs", vv, w[j],
+                                     jnp.conj(w[k])))
+            if k == j:
+                row_7.append(None)
+            else:
+                # M_jk(f,n) = A_j^H Sigma_x^-1 A_k: columns through herm_apply
+                cols = []
+                for r in range(ranks[k]):
+                    u0, u1 = herm.herm_apply(Sxi, A_conv[k][:, None, 0, r],
+                                             A_conv[k][:, None, 1, r])
+                    cols.append(_apply_AH(A_conv[j], u0, u1))  # (F, N, Rj)
+                Mjk = jnp.stack(cols, axis=-1)            # (F, N, Rj, Rk)
+                row_7.append(jnp.einsum("fn,fnrs->frs", vv, Mjk))
+        Tss.append(tuple(row_ss))
+        T7.append(tuple(row_7))
+    if noise_inject:
+        Tss = [list(r) for r in Tss]
+        for j in range(J):
+            for k in range(J):
+                vv = v[j] * v[k]
+                corr = jnp.einsum("fn,ifnr,ifns->frs", vv * sigma[:, None],
+                                  jnp.conj(z[j]), z[k])
+                Tss[j][k] = Tss[j][k] + corr
+        Tss = [tuple(r) for r in Tss]
 
     loglik = -jnp.sum(jnp.log(detSx) + trSxiRxx)
-    return SuffStats(xi=xi, T1=T1, T2=T2, T3=T3, T4=tuple(T4_list), sv=sv,
-                     loglik=loglik)
+    return SuffStats(xi=xi, Txs=tuple(Txs_list), Tss=tuple(Tss),
+                     T4=tuple(T4_list), T7=tuple(T7), loglik=loglik)

@@ -55,16 +55,24 @@ def update_spatial(params: FasstParams, stats: SuffStats,
                    enabled=None) -> FasstParams:
     """One spatial M-step: Gauss-Seidel sweep over free spatial components.
 
+    The posterior moments are FIXED E-step statistics already expressed in
+    sub-source coordinates (estep.py):
+
+        R^_ss[j,j] = Tss_jj + T4_j,   R^_ss[k,j] = Tss_kj - T7_kj,
+        A_j <- (Txs_j - sum_{k != j} A_k R^_ss[k,j]) @ R^_ss[j,j]^-1
+
+    with only the left-multiplying A_k at current Gauss-Seidel iterates --
+    exact block-coordinate ascent on the Q-function.
+
     sigma is the current annealed noise PSD (F,), used as the exact 1/sigma
     frequency weighting for pooled 'inst' solves (weights normalized to unit
     mean -- the solution is weight-scale invariant and raw 1/sigma overflows
     float32). `enabled` (traced bool or None) gates the update: when False
     the old mixing is kept (used for the spatial hold-off phase).
     """
-    F = stats.T1.shape[1]
+    F = stats.Txs[0].shape[0]
     J = len(params.spat)
     A_all = [_as_conv_A(c, F) for c in params.spat]   # complex (F, I, Rj)
-    Mc = herm.herm_to_complex(stats.T2 - stats.T3)    # (J, J, F, 2, 2)
     new_spat: List[SpatialComp] = list(params.spat)
     w = 1.0 / jnp.maximum(sigma, 1e-30)
     w = w / jnp.mean(w)
@@ -72,27 +80,18 @@ def update_spatial(params: FasstParams, stats: SuffStats,
     for j, comp in enumerate(params.spat):
         if not comp.free:
             continue
-        A = A_all[j]
-        R = A.shape[-1]
-        T1c = herm.gen_to_complex(stats.T1[j])        # (F, 2, 2)
-        target = jnp.einsum("fab,fbr->far", T1c, A)   # R^_xs,j  (F, I, R)
+        R = comp.rank
+        target = stats.Txs[j]                          # (F, 2, R)
         for k in range(J):
             if k == j:
                 continue
-            # cross block R^_ss[k, j] = A_k^H (T2_kj - T3_kj) A_j
-            cross = jnp.einsum("fka,fab,fbr->fkr",
-                               jnp.conj(jnp.swapaxes(A_all[k], 1, 2)),
-                               Mc[k, j], A)
-            target = target - jnp.einsum("fik,fkr->fir", A_all[k], cross)
-        # Diagonal block: Wiener part via T2 plus the subtract-free
-        # posterior-covariance stat T4 (see estep.py docstring).
-        T2c = herm.herm_to_complex(stats.T2[j, j])
+            block = stats.Tss[k][j] - stats.T7[k][j]   # R^_ss[k, j] (F,Rk,R)
+            target = target - jnp.einsum("fik,fkr->fir", A_all[k], block)
         if R >= 2:
-            post = herm.herm_to_complex(stats.T4[j])          # (F, 2, 2)
+            post = herm.herm_to_complex(stats.T4[j])           # (F, 2, 2)
         else:
-            post = stats.T4[j][:, None, None].astype(A.dtype)  # (F, 1, 1)
-        Rss = jnp.einsum("fra,fab,fbs->frs",
-                         jnp.conj(jnp.swapaxes(A, 1, 2)), T2c, A) + post
+            post = stats.T4[j][:, None, None].astype(target.dtype)
+        Rss = stats.Tss[j][j] + post                    # (F, R, R)
         if comp.mix_type == INST:
             wf = w[:, None, None]
             target_p = jnp.real(jnp.sum(wf * target, axis=0))
@@ -100,8 +99,17 @@ def update_spatial(params: FasstParams, stats: SuffStats,
             Rss_p = Rss_p + eps * jnp.trace(Rss_p) * jnp.eye(R, dtype=Rss_p.dtype)
             A_new = jnp.linalg.solve(Rss_p.T, target_p.T).T
         else:  # conv / full-rank: per-frequency solve
+            # Proximal ridge toward the current mixing: frequencies where
+            # this source has (near-)zero posterior energy otherwise get
+            # A = tiny/tiny garbage that compounds into unbounded growth
+            # (the global renormalization cannot fix per-frequency scale
+            # runaway). MAP-regularizing toward A_old leaves data-rich bins
+            # untouched (ridge << Rss there) and freezes starved bins.
+            A = A_all[j]
             tr = jnp.einsum("frr->f", Rss).real
-            Rss = Rss + (eps * tr)[:, None, None] * jnp.eye(R, dtype=A.dtype)
+            ridge = (eps * tr + 1e-4 * jnp.mean(tr) + 1e-30).astype(tr.dtype)
+            target = target + ridge[:, None, None] * A
+            Rss = Rss + ridge[:, None, None] * jnp.eye(R, dtype=A.dtype)
             A_new = jnp.linalg.solve(jnp.swapaxes(Rss, 1, 2),
                                      jnp.swapaxes(target, 1, 2))
             A_new = jnp.swapaxes(A_new, 1, 2)

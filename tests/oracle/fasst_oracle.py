@@ -111,28 +111,26 @@ def noise_psd(it, niter, sigma0, sigma1, mode):
 # -- E-step ---------------------------------------------------------------------
 
 def _cross_terms(R, params, F):
-    """trR (J,F) and X (J,J,F) of the cancellation-free determinant
+    """trR (J,F) and X (J,J,F) via Lagrange's identity over mixing columns
     (mirrors pyfasst_tpu.ops.estep.cross_terms)."""
     J = len(params.spat)
     trR = np.stack([np.einsum("fii->f", R[j]).real for j in range(J)])
+
+    def as_conv(comp):
+        A = comp.A
+        if comp.mix_type == "inst":
+            A = np.broadcast_to(A.astype(np.complex128)[None], (F,) + A.shape)
+        return A
+
+    A_all = [as_conv(c) for c in params.spat]
     X = np.empty((J, J, F))
     for j in range(J):
+        a = A_all[j]
         for k in range(J):
-            if j == k:
-                if params.spat[j].rank >= 2:
-                    A = params.spat[j].A
-                    if params.spat[j].mix_type == "inst":
-                        A = np.broadcast_to(
-                            A.astype(np.complex128)[None], (F,) + A.shape)
-                    detA = (A[:, 0, 0] * A[:, 1, 1]
-                            - A[:, 0, 1] * A[:, 1, 0])
-                    X[j, j] = 2.0 * np.abs(detA) ** 2
-                else:
-                    X[j, j] = 0.0
-            else:
-                X[j, k] = np.maximum(
-                    trR[j] * trR[k]
-                    - np.einsum("fab,fba->f", R[j], R[k]).real, 0.0)
+            b = A_all[k]
+            c = (a[:, 0, :, None] * b[:, 1, None, :]
+                 - a[:, 1, :, None] * b[:, 0, None, :])
+            X[j, k] = np.sum(np.abs(c) ** 2, axis=(1, 2))
     return trR, X
 
 
@@ -154,8 +152,8 @@ def _stable_inv(S, det):
 
 
 def estep(X, params: OracleParams, sigma, noise_inject=False):
-    """X: complex (F, N, 2) mixture STFT. Returns (xi, T1, T2, T3, T4, sv,
-    loglik); mirrors ops/estep.py's vector-form float32-safe statistics."""
+    """X: complex (F, N, 2) mixture STFT. Returns (xi, Txs, Tss, T4, T7,
+    loglik); mirrors ops/estep.py's sub-source-coordinate statistics."""
     F, N = X.shape[:2]
     J = len(params.spat)
     v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])
@@ -167,34 +165,33 @@ def estep(X, params: OracleParams, sigma, noise_inject=False):
     det = _stable_det(v, trR, Xc, sigma)
     Sxi = _stable_inv(Sx, det)
     y = np.einsum("fnab,fnb->fna", Sxi, X)                    # Sigma_x^-1 x
-    C = np.einsum("fna,fnb->fnab", y, y.conj())               # y y^H
-    RxSi = np.einsum("fna,fnb->fnab", X, y.conj())            # x y^H
     trSxiRxx = np.maximum(np.einsum("fna,fna->fn", X.conj(), y).real, 0.0)
     if noise_inject:
-        s_ = sigma[:, None, None, None]
-        Sxi2 = np.einsum("fnab,fnbc->fnac", Sxi, Sxi)
-        C = C + s_ * Sxi2
-        RxSi = RxSi + s_ * Sxi
         trSxiRxx = trSxiRxx + sigma[:, None] * np.einsum(
             "fnaa->fn", Sxi).real
 
     xi = np.empty((J, F, N))
-    T1 = np.empty((J, F, 2, 2), np.complex128)
-    T2 = np.empty((J, J, F, 2, 2), np.complex128)
-    T3 = np.empty((J, J, F, 2, 2), np.complex128)
-    sv = np.empty((J, F))
     eye = np.eye(2)[None, None]
-    T4 = []
+    A_all, wvecs = [], []
     for j in range(J):
-        rank = params.spat[j].rank
         Aj = params.spat[j].A
         if params.spat[j].mix_type == "inst":
             Aj = np.broadcast_to(Aj.astype(np.complex128)[None],
                                  (F,) + Aj.shape)
-        trCR = np.einsum("fna,fab,fnb->fn", y.conj(), R[j], y).real
+        A_all.append(Aj)
+        wvecs.append(np.einsum("fir,fni->fnr", Aj.conj(), y))  # w_j = A^H y
+    if noise_inject:
+        zvecs = [np.einsum("fnab,fbr->fnar", Sxi, A_all[j])    # (F,N,2,Rj)
+                 for j in range(J)]
+
+    T4, Txs = [], []
+    for j in range(J):
+        rank = params.spat[j].rank
+        wj = wvecs[j]
+        trCR = np.sum(np.abs(wj) ** 2, axis=-1)
         if noise_inject:
-            trCR = trCR + sigma[:, None] * np.einsum(
-                "fnab,fba->fn", Sxi2, R[j]).real
+            trCR = trCR + sigma[:, None] * np.sum(np.abs(zvecs[j]) ** 2,
+                                                  axis=(2, 3))
         # Sherman-Morrison subtract-free posterior terms (mirrors
         # pyfasst_tpu.ops.estep: S_j assembled as the sum over k != j).
         if J == 1:
@@ -208,6 +205,7 @@ def estep(X, params: OracleParams, sigma, noise_inject=False):
         t = np.einsum("fnab,fba->fn", Sji, R[j]).real
         vt = v[j] * t
         if rank >= 2:
+            Aj = A_all[j]
             Ah = np.swapaxes(Aj.conj(), 1, 2)
             M = np.einsum("fra,fnab,fbs->fnrs", Ah, Sji, Aj)
             G = np.eye(rank)[None, None] + v[j][..., None, None] * M
@@ -219,29 +217,44 @@ def estep(X, params: OracleParams, sigma, noise_inject=False):
             Ginv[..., 0, 1] = -G[..., 0, 1] / dG
             Ginv[..., 1, 0] = -G[..., 1, 0] / dG
             T4.append(np.einsum("fn,fnrs->frs", v[j], Ginv))
-            den = dG
-            coef = np.maximum((2.0 + vt) / den, 0.0)
+            coef = np.maximum((2.0 + vt) / dG, 0.0)
         else:
             den = 1.0 + vt
             coef = np.maximum((2.0 + vt) / den - 1.0, 0.0)
             T4.append((v[j] / den).sum(axis=-1))
         xi[j] = np.maximum((v[j] ** 2 * trCR + v[j] * coef) / rank, EPS)
-        T1[j] = np.einsum("fn,fnab->fab", v[j], RxSi)
-        sv[j] = v[j].sum(axis=-1)
+        txs = np.einsum("fn,fni,fnr->fir", v[j], X, wj.conj())
+        if noise_inject:
+            txs = txs + sigma[:, None, None] * np.einsum(
+                "fn,fnir->fir", v[j], zvecs[j])
+        Txs.append(txs)
+
+    Tss = [[None] * J for _ in range(J)]
+    T7 = [[None] * J for _ in range(J)]
+    for j in range(J):
         for k in range(J):
             vv = v[j] * v[k]
-            T2[j, k] = np.einsum("fn,fnab->fab", vv, C)
-            T3[j, k] = np.einsum("fn,fnab->fab", vv, Sxi)
+            Tss[j][k] = np.einsum("fn,fnr,fns->frs", vv, wvecs[j],
+                                  wvecs[k].conj())
+            if noise_inject:
+                Tss[j][k] = Tss[j][k] + np.einsum(
+                    "f,fn,fnir,fnis->frs", sigma, vv,
+                    zvecs[j].conj(), zvecs[k])
+            if k != j:
+                Mjk = np.einsum("fir,fnis->fnrs", A_all[j].conj(),
+                                np.einsum("fnab,fbs->fnas", Sxi, A_all[k]))
+                T7[j][k] = np.einsum("fn,fnrs->frs", vv, Mjk)
 
     loglik = -np.sum(np.log(det) + trSxiRxx)
-    return xi, T1, T2, T3, T4, sv, loglik
+    return xi, Txs, Tss, T4, T7, loglik
 
 
 # -- M-step ---------------------------------------------------------------------
 
-def update_spatial(params: OracleParams, T1, T2, T3, T4, sv, sigma):
-    """Gauss-Seidel sweep with cross-source blocks (mirrors ops/mstep.py)."""
-    F = T1.shape[1]
+def update_spatial(params: OracleParams, Txs, Tss, T4, T7, sigma):
+    """Gauss-Seidel sweep on fixed sub-source-coordinate moments
+    (mirrors ops/mstep.py)."""
+    F = Txs[0].shape[0]
     J = len(params.spat)
 
     def as_conv(comp):
@@ -251,7 +264,6 @@ def update_spatial(params: OracleParams, T1, T2, T3, T4, sv, sigma):
         return comp.A
 
     A_all = [as_conv(c) for c in params.spat]
-    M = T2 - T3
     w = 1.0 / np.maximum(sigma, 1e-30)
     w = w / np.mean(w)
     for j, comp in enumerate(params.spat):
@@ -259,17 +271,15 @@ def update_spatial(params: OracleParams, T1, T2, T3, T4, sv, sigma):
             continue
         A = A_all[j]
         R = A.shape[-1]
-        target = np.einsum("fab,fbr->far", T1[j], A)
+        target = Txs[j].copy()
         for k in range(J):
             if k == j:
                 continue
-            cross = np.einsum("fka,fab,fbr->fkr",
-                              np.swapaxes(A_all[k].conj(), 1, 2), M[k, j], A)
-            target = target - np.einsum("fik,fkr->fir", A_all[k], cross)
-        Ah = np.swapaxes(A.conj(), 1, 2)
+            block = Tss[k][j] - T7[k][j]
+            target = target - np.einsum("fik,fkr->fir", A_all[k], block)
         post = (T4[j] if R >= 2
                 else T4[j][:, None, None].astype(np.complex128))
-        Rss = np.einsum("fra,fab,fbs->frs", Ah, T2[j, j], A) + post
+        Rss = Tss[j][j] + post
         if comp.mix_type == "inst":
             wf = w[:, None, None]
             target_p = np.real((wf * target).sum(axis=0))
@@ -278,7 +288,9 @@ def update_spatial(params: OracleParams, T1, T2, T3, T4, sv, sigma):
             comp.A = np.linalg.solve(Rss_p.T, target_p.T).T
         else:
             tr = np.einsum("frr->f", Rss).real
-            Rss = Rss + (SPATIAL_REG * tr)[:, None, None] * np.eye(R)
+            ridge = SPATIAL_REG * tr + 1e-4 * np.mean(tr) + 1e-30
+            target = target + ridge[:, None, None] * A
+            Rss = Rss + ridge[:, None, None] * np.eye(R)
             comp.A = np.swapaxes(
                 np.linalg.solve(np.swapaxes(Rss, 1, 2),
                                 np.swapaxes(target, 1, 2)), 1, 2)
@@ -377,10 +389,10 @@ def oracle_gem_run(params: OracleParams, X, niter: int,
     hold = int(spatial_hold_frac * niter)
     for it in range(niter):
         sigma = noise_psd(it, niter, sigma0, sigma1, annealing)
-        xi, T1, T2, T3, T4, sv, ll = estep(
+        xi, Txs, Tss, T4, T7, ll = estep(
             X, params, sigma, noise_inject=(annealing == "ann_ns_inj"))
         if it >= hold:
-            update_spatial(params, T1, T2, T3, T4, sv, sigma)
+            update_spatial(params, Txs, Tss, T4, T7, sigma)
         update_spectral(params, xi)
         if do_renormalize:
             renormalize(params)

@@ -1,0 +1,48 @@
+"""DEMIX blind mixing-estimation tests (reference parity: pyfasst/demixTF.py)."""
+import numpy as np
+
+from pyfasst_tpu.models.demix import DEMIX, local_directions
+
+
+def _anechoic(F, g, d):
+    f = np.arange(F)
+    return np.stack([np.ones(F), g * np.exp(-1j * np.pi * f * d / (F - 1))],
+                    axis=1)
+
+
+def _mixture(rng, F=65, N=96, gains=(0.4, 1.0, 2.0), delays=(-3.0, 0.5, 2.5),
+             bands=((2, 14), (20, 34), (42, 60))):
+    X = 0
+    for g, d, (lo, hi) in zip(gains, delays, bands):
+        s = np.zeros((F, N), complex)
+        s[lo:hi] = (rng.standard_normal((hi - lo, N))
+                    + 1j * rng.standard_normal((hi - lo, N)))
+        X = X + _anechoic(F, g, d)[:, None, :] * s[..., None]
+    return X
+
+
+def test_local_directions_single_source(rng):
+    F, N = 33, 64
+    g, d = 0.7, 1.5
+    s = rng.standard_normal((F, N)) + 1j * rng.standard_normal((F, N))
+    X = _anechoic(F, g, d)[:, None, :] * s[..., None]
+    u, conf, lam1 = local_directions(X)
+    g_est = np.abs(u[5:-5, :, 1]) / np.abs(u[5:-5, :, 0])
+    assert abs(np.median(g_est) - g) < 0.05
+    assert np.median(conf[5:-5]) > 50
+
+
+def test_demix_recovers_gains_and_delays(rng):
+    gains, delays = (0.4, 1.0, 2.0), (-3.0, 0.5, 2.5)
+    X = _mixture(rng, gains=gains, delays=delays)
+    dm = DEMIX(X=X)
+    g, d = dm.comp_parameters(3)
+    order = np.argsort(g)
+    np.testing.assert_allclose(np.sort(g), sorted(gains), rtol=0.12)
+    true_d = [delays[i] for i in np.argsort(gains)]
+    assert np.max(np.abs(d[order] - true_d)) < 0.8
+
+    A = dm.mixing(65)
+    assert A.shape == (3, 65, 2, 1)
+    # unit reference channel
+    np.testing.assert_allclose(np.abs(A[:, :, 0, 0]), 1.0, atol=1e-6)
