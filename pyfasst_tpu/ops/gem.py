@@ -86,15 +86,17 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     return params, stats.loglik
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "start_iter"))
 @jax.default_matmul_precision("highest")
-def run_gem(params: FasstParams, X: jnp.ndarray,
-            cfg: GEMConfig) -> Tuple[FasstParams, jnp.ndarray]:
-    """Run cfg.niter GEM iterations as one compiled fori_loop.
+def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
+            start_iter: int = 0) -> Tuple[FasstParams, jnp.ndarray]:
+    """Run GEM iterations [start_iter, cfg.niter) as one compiled fori_loop.
 
     X is the complex mixture STFT (F, N, 2). Returns (params,
     logliks[niter]). This is THE entry point the host API wraps
-    (reference: estim_param_a_posteriori).
+    (reference: estim_param_a_posteriori). start_iter > 0 resumes from a
+    checkpoint: the annealing schedule is a pure function of the iteration
+    index, so resume is exact.
 
     Matmul precision is pinned to full float32 ("highest"): TPU's default
     bf16 passes destroy the E-step reductions and the IS-NMF update ratios
@@ -113,4 +115,4 @@ def run_gem(params: FasstParams, X: jnp.ndarray,
         logliks = logliks.at[it].set(ll.astype(jnp.float32))
         return params, logliks
 
-    return jax.lax.fori_loop(0, cfg.niter, body, (params, logliks))
+    return jax.lax.fori_loop(start_iter, cfg.niter, body, (params, logliks))

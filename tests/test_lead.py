@@ -1,0 +1,78 @@
+"""SeparateLeadStereo (SIMM) pipeline tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from pyfasst_tpu.models.lead import (
+    SeparateLeadStereoTF, simm_updates, viterbi_melody,
+)
+
+
+def test_viterbi_tracks_smooth_ridge(rng):
+    U, N = 40, 60
+    true_path = (20 + 8 * np.sin(np.linspace(0, 3, N))).astype(int)
+    sal = np.full((U, N), 0.01)
+    sal[true_path, np.arange(N)] = 1.0
+    path = np.asarray(viterbi_melody(jnp.asarray(sal)))
+    assert np.mean(np.abs(path - true_path) <= 1) > 0.9
+
+
+def test_simm_updates_reduce_is_divergence(rng):
+    F, N, U, G, M = 64, 48, 20, 8, 4
+    WF0 = jnp.asarray(0.1 + rng.random((F, U)), jnp.float32)
+    WG = jnp.asarray(0.1 + rng.random((F, G)), jnp.float32)
+    HF0 = jnp.asarray(0.5 + rng.random((U, N)), jnp.float32)
+    HG = jnp.asarray(0.5 + rng.random((G, N)), jnp.float32)
+    WM = jnp.asarray(0.5 + rng.random((F, M)), jnp.float32)
+    HM = jnp.asarray(0.5 + rng.random((M, N)), jnp.float32)
+    P = jnp.asarray(0.5 + rng.random((F, N)), jnp.float32)
+
+    def is_div(HF0, HG, WM, HM):
+        V = np.maximum(np.asarray((WF0 @ HF0) * (WG @ HG) + WM @ HM), 1e-12)
+        Pn = np.asarray(P)
+        return float(np.sum(Pn / V - np.log(Pn / V) - 1.0))
+
+    d0 = is_div(HF0, HG, WM, HM)
+    out = simm_updates(P, WF0, WG, HF0, HG, WM, HM, 30)
+    d1 = is_div(*out)
+    assert d1 < 0.5 * d0, (d0, d1)
+
+
+def _vibrato_mixture(rng, fs=16000, dur=3.0):
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    f0 = 220 * 2 ** (0.25 * np.sin(2 * np.pi * 0.7 * t))  # vibrato melody
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    lead = sum((0.5 / h) * np.sin(h * phase) for h in range(1, 6))
+    from scipy.signal import lfilter
+    acc = lfilter([1], [1, -0.95], 0.05 * rng.standard_normal(n))
+    acc += 0.15 * np.sin(2 * np.pi * 110 * t)              # drone
+    mix = np.stack([0.8 * lead + 0.7 * acc, 0.6 * lead + 0.8 * acc], axis=1)
+    return mix.astype(np.float32), lead, acc, fs
+
+
+def test_lead_separation_end_to_end(rng, tmp_path):
+    mix, lead_true, acc_true, fs = _vibrato_mixture(rng)
+    sep = SeparateLeadStereoTF(audio=mix, fs=fs, wlen=1024, niter=40,
+                               n_f0=80, f0_min=100, f0_max=500)
+    melody = sep.runDecomposition()
+    assert melody.shape[0] == sep.N
+    lead_est, acc_est = sep.separated_signals()
+    assert lead_est.shape == mix.shape
+
+    # lead estimate should correlate far better with the true lead than
+    # with the accompaniment (mono energy comparison)
+    le = lead_est.mean(axis=1)
+
+    def corr(a, b):
+        a = a - a.mean(); b = b - b.mean()
+        return abs(float(a @ b)) / (np.linalg.norm(a) * np.linalg.norm(b)
+                                    + 1e-12)
+
+    c_lead = corr(le, lead_true)
+    c_acc = corr(le, acc_true)
+    assert c_lead > 0.8, c_lead
+    assert c_lead > 2 * c_acc, (c_lead, c_acc)
+
+    p1, p2 = sep.writeSeparatedSignals(str(tmp_path))
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)

@@ -1,0 +1,93 @@
+"""Checkpoint/resume and metrics tests (SURVEY.md §5 subsystems)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyfasst_tpu.models.components import (
+    FasstParams, SpatialComp, SpectralComp, CONV, HMM,
+)
+from pyfasst_tpu.ops.gem import run_gem
+from pyfasst_tpu.utils.checkpoint import load_params, save_params
+from pyfasst_tpu.utils.config import GEMConfig
+from pyfasst_tpu.utils.metrics import bss_eval_sources, si_sdr, xrt
+
+
+def _problem(rng, F=33, N=40):
+    X = (rng.standard_normal((F, N, 2)) + 1j * rng.standard_normal((F, N, 2))
+         ).astype(np.complex64)
+    spat = (SpatialComp(A=jnp.asarray([[0.9], [0.4]], jnp.float32)),
+            SpatialComp(A=jnp.asarray(
+                (rng.standard_normal((F, 2, 1))
+                 + 1j * rng.standard_normal((F, 2, 1))).astype(np.complex64)),
+                mix_type=CONV))
+    spec = (SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, 3)), jnp.float32),
+                         TW=jnp.asarray(0.5 + rng.random((3, N)), jnp.float32),
+                         spat_ind=0),
+            SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, 4)), jnp.float32),
+                         FW=jnp.asarray(0.5 + rng.random((4, 4)), jnp.float32),
+                         TW=jnp.asarray(0.5 + rng.random((4, N)), jnp.float32),
+                         spat_ind=1, free=(True, True, True, False)))
+    return X, FasstParams(spat=spat, spec=spec)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    _, params = _problem(rng)
+    path = str(tmp_path / "ckpt.npz")
+    save_params(path, params, iteration=17, extra={"note": "hi"})
+    loaded, it, extra = load_params(path)
+    assert it == 17 and extra == {"note": "hi"}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert loaded.spat[1].mix_type == CONV
+    assert loaded.spec[1].free == (True, True, True, False)
+
+
+def test_resume_matches_straight_run(rng):
+    """save at iter k, resume -> identical result to an uninterrupted run."""
+    X, params = _problem(rng)
+    Xj = jnp.asarray(X)
+    cfg = GEMConfig(niter=12)
+    straight, ll_s = jax.block_until_ready(run_gem(params, Xj, cfg))
+
+    # NOTE: a checkpointed run must use the SAME cfg (niter governs the
+    # annealing schedule); run [0, 6) manually then resume [6, 12).
+    from pyfasst_tpu.ops.gem import annealing_endpoints, noise_psd, gem_step
+    s0, s1 = annealing_endpoints(Xj, cfg)
+    hold = int(cfg.spatial_hold_frac * cfg.niter)
+    p = params
+    for it in range(6):
+        sig = noise_psd(jnp.asarray(it, jnp.float32), cfg.niter, s0, s1,
+                        cfg.annealing)
+        p, _ = gem_step(p, Xj, sig, cfg, spatial_enabled=(it >= hold))
+    resumed, _ = jax.block_until_ready(run_gem(p, Xj, cfg, start_iter=6))
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bss_eval_identity(rng):
+    """Perfect estimates: SDR very high; swapped estimates: perm recovered."""
+    T = 2000
+    s = rng.standard_normal((2, T))
+    out = bss_eval_sources(s, s, filt_len=8)
+    assert np.all(out["sdr"] > 60)
+    out2 = bss_eval_sources(s[::-1], s, filt_len=8)
+    assert list(out2["perm"]) == [1, 0]
+    assert np.all(out2["sdr"] > 60)
+
+
+def test_bss_eval_interference(rng):
+    T = 4000
+    s = rng.standard_normal((2, T))
+    est = np.stack([s[0] + 0.1 * s[1], s[1]])
+    out = bss_eval_sources(est, s, filt_len=8)
+    # ~20 dB SIR on source 0 from the -20 dB leak
+    assert 15 < out["sir"][0] < 25
+    assert out["sdr"][0] < out["sdr"][1]
+
+
+def test_si_sdr_and_xrt():
+    t = np.linspace(0, 1, 1000)
+    s = np.sin(2 * np.pi * 5 * t)
+    assert si_sdr(2.0 * s, s) > 100          # scale-invariant
+    assert abs(xrt(10.0, 0.2) - 50.0) < 1e-9
