@@ -44,10 +44,34 @@ def _frame_indices(n_frames: int, wlen: int, hop: int) -> np.ndarray:
             + np.arange(wlen)[None, :]).astype(np.int32)
 
 
-def _ola_norm(window, idx, padded_len: int):
-    """Per-sample window-energy sum  sum_k w^2[t - k*hop]  (scatter-add)."""
-    w2 = jnp.broadcast_to(window[None, :] ** 2, idx.shape)
-    wsum = jnp.zeros(padded_len, window.dtype).at[idx].add(w2)
+def _ola_by_reshape(frames, n_frames: int, wlen: int, hop: int,
+                    padded_len: int):
+    """Overlap-add as k = wlen//hop shifted dense adds (no scatter).
+
+    TPU scatter-adds serialize; chunk i of every frame lands at offset
+    (n + i) * hop, so OLA is the sum of k zero-padded reshapes.
+    """
+    k = wlen // hop
+    tail = frames.shape[2:]
+    out = None
+    for i in range(k):
+        chunk = frames[:, i * hop:(i + 1) * hop].reshape(
+            (n_frames * hop,) + tail)
+        padded = jnp.pad(chunk, ((i * hop, (k - 1 - i) * hop),)
+                         + ((0, 0),) * len(tail))
+        out = padded if out is None else out + padded
+    return out
+
+
+def _ola_norm(window, n_frames: int, wlen: int, hop: int, padded_len: int,
+              idx=None):
+    """Per-sample window-energy sum  sum_k w^2[t - k*hop]."""
+    if wlen % hop == 0:
+        w2 = jnp.broadcast_to(window[None, :] ** 2, (n_frames, wlen))
+        wsum = _ola_by_reshape(w2, n_frames, wlen, hop, padded_len)
+    else:
+        w2 = jnp.broadcast_to(window[None, :] ** 2, idx.shape)
+        wsum = jnp.zeros(padded_len, window.dtype).at[idx].add(w2)
     return jnp.maximum(wsum, 1e-12)
 
 
@@ -59,14 +83,34 @@ def _dft_matrices(wlen: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
+def _frame_by_reshape(xp, n_frames: int, wlen: int, hop: int):
+    """Framing as k = wlen//hop static shifted reshapes (no gather).
+
+    TPU gathers serialize; for integer overlap factors the frame matrix is
+    k interleaved dense reshapes of the padded signal:
+    frames[:, i*hop:(i+1)*hop] = xp[i*hop:][: n_frames*hop].reshape(-1, hop).
+    """
+    k = wlen // hop
+    parts = []
+    for i in range(k):
+        seg = jax.lax.dynamic_slice_in_dim(xp, i * hop, n_frames * hop,
+                                           axis=0)
+        parts.append(seg.reshape((n_frames, hop) + xp.shape[1:]))
+    return jnp.concatenate(parts, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("wlen", "hop", "method"))
 @jax.default_matmul_precision("highest")
 def _stft_core(x, window, wlen: int, hop: int, method: str):
     nsamples = x.shape[0]
     pad_front, pad_back, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
     xp = jnp.pad(x, ((pad_front, pad_back),) + ((0, 0),) * (x.ndim - 1))
-    idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
-    frames = xp[idx] * (window[:, None] if x.ndim == 2 else window)[None]
+    if wlen % hop == 0:
+        frames = _frame_by_reshape(xp, n_frames, wlen, hop)
+    else:
+        idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
+        frames = xp[idx]
+    frames = frames * (window[:, None] if x.ndim == 2 else window)[None]
     if method == "matmul":
         C, S = _dft_matrices(wlen, window.dtype)
         C, S = jnp.asarray(C), jnp.asarray(S)
@@ -89,10 +133,16 @@ def _istft_core(X, window, wlen: int, hop: int, nsamples: int):
         raise ValueError(f"expected {n_frames} frames, got {Xn.shape[0]}")
     frames = jnp.fft.irfft(Xn, n=wlen, axis=1)
     frames = frames * (window[:, None] if X.ndim == 3 else window)[None]
-    idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
-    out_shape = (padded_len,) + X.shape[2:]
-    y = jnp.zeros(out_shape, frames.dtype).at[idx].add(frames)
-    wsum = _ola_norm(window.astype(frames.dtype), idx, padded_len)
+    if wlen % hop == 0:
+        y = _ola_by_reshape(frames, n_frames, wlen, hop, padded_len)
+        wsum = _ola_norm(window.astype(frames.dtype), n_frames, wlen, hop,
+                         padded_len)
+    else:
+        idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
+        out_shape = (padded_len,) + X.shape[2:]
+        y = jnp.zeros(out_shape, frames.dtype).at[idx].add(frames)
+        wsum = _ola_norm(window.astype(frames.dtype), n_frames, wlen, hop,
+                         padded_len, idx=idx)
     y = y / (wsum[:, None] if X.ndim == 3 else wsum)
     return jax.lax.dynamic_slice_in_dim(y, pad_front, nsamples, axis=0)
 
