@@ -69,16 +69,22 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     X is the complex mixture STFT (F, N, 2).
     """
     from pyfasst_tpu.ops.mstep import _as_conv_A
+    from pyfasst_tpu.ops.pallas_estep import pallas_available, pallas_suff_stats
 
     F = X.shape[0]
     ranks = tuple(c.rank for c in params.spat)
     v = params.all_source_powers()                    # (J, F, N)
     Rj = spatial_covs(params, F)                      # (J, F, 4)
     A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
-    stats = compute_suff_stats(
-        X, v, Rj, sigma, ranks, eps=cfg.eps, det_floor=cfg.det_floor,
-        noise_inject=(cfg.annealing == AnnealingMode.ANN_NS_INJ),
-        A_conv=A_conv)
+    noise_inject = cfg.annealing == AnnealingMode.ANN_NS_INJ
+    if (cfg.use_pallas and not noise_inject
+            and all(r == 1 for r in ranks) and pallas_available()):
+        stats = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
+                                  eps=cfg.eps)
+    else:
+        stats = compute_suff_stats(
+            X, v, Rj, sigma, ranks, eps=cfg.eps, det_floor=cfg.det_floor,
+            noise_inject=noise_inject, A_conv=A_conv)
     params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
     params = update_spectral(params, stats, eps=cfg.eps)
     if cfg.renormalize:

@@ -49,6 +49,9 @@ class GEMConfig:
     # Renormalize factor/mixing scales every iteration (prevents drift over
     # hundreds of iterations).
     renormalize: bool = True
+    # Use the fused Pallas E-step kernel when eligible (all sources rank-1,
+    # no noise injection, TPU backend). Numerics identical to the XLA path.
+    use_pallas: bool = True
     # Hold the spatial mixing fixed for the first frac of iterations: early
     # spectral factors are random, and spatial updates driven by their
     # statistics fling the mixing toward the dominant source (source-collapse

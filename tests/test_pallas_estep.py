@@ -1,0 +1,65 @@
+"""Fused Pallas E-step kernel vs the XLA path (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyfasst_tpu.models.components import FasstParams, SpatialComp, SpectralComp
+from pyfasst_tpu.ops.estep import compute_suff_stats
+from pyfasst_tpu.ops.gem import spatial_covs
+from pyfasst_tpu.ops.mstep import _as_conv_A
+from pyfasst_tpu.ops.pallas_estep import pallas_suff_stats
+
+
+def _problem(rng, F=33, N=70, J=2, K=3):
+    X = jnp.asarray(rng.standard_normal((F, N, 2))
+                    + 1j * rng.standard_normal((F, N, 2)), jnp.complex64)
+    spat = tuple(SpatialComp(A=jnp.asarray(
+        np.abs(rng.standard_normal((2, 1))) + 0.3, jnp.float32))
+        for _ in range(J))
+    spec = tuple(SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, K)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((K, N)), jnp.float32),
+        spat_ind=j) for j in range(J))
+    params = FasstParams(spat=spat, spec=spec)
+    v = params.all_source_powers()
+    Rj = spatial_covs(params, F)
+    A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
+    sigma = jnp.asarray(0.01 + 0.005 * rng.random(F), jnp.float32)
+    return X, v, Rj, A_conv, sigma, (1,) * J
+
+
+def test_pallas_estep_matches_xla(rng):
+    X, v, Rj, A_conv, sigma, ranks = _problem(rng)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    J = v.shape[0]
+    for j in range(J):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.T4[j]),
+                                   np.asarray(want.T4[j]),
+                                   rtol=2e-4, atol=1e-5)
+        for k in range(J):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=2e-4, atol=1e-4)
+            if j != k:
+                np.testing.assert_allclose(np.asarray(got.T7[j][k]),
+                                           np.asarray(want.T7[j][k]),
+                                           rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_estep_three_sources(rng):
+    X, v, Rj, A_conv, sigma, ranks = _problem(rng, F=17, N=40, J=3)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=3e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
