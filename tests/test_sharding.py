@@ -80,3 +80,35 @@ def test_graft_entry_contract():
     ll, new_params = jax.jit(fn)(*args)
     assert bool(jnp.isfinite(ll))
     mod.dryrun_multichip(8)
+
+
+def test_batch_separate_variable_lengths(rng):
+    """Bucketed batch separation over clips of different lengths."""
+    from pyfasst_tpu.parallel.batch import batch_separate, frame_buckets
+    from pyfasst_tpu.utils.config import GEMConfig
+
+    assert frame_buckets([10, 100, 129, 200], granularity=128) == {
+        128: [0, 1], 256: [2, 3]}
+
+    F = 33
+    lengths = [40, 44, 150]
+    Xs = [rng.standard_normal((F, n, 2)) + 1j * rng.standard_normal((F, n, 2))
+          for n in lengths]
+
+    def make_params(F, Npad, i):
+        r = np.random.default_rng(i)
+        spat = tuple(SpatialComp(A=jnp.asarray(
+            np.abs(r.standard_normal((2, 1))) + 0.4, jnp.float32))
+            for _ in range(2))
+        spec = tuple(SpectralComp(
+            FB=jnp.asarray(0.5 + r.random((F, 3)), jnp.float32),
+            TW=jnp.asarray(0.5 + r.random((3, Npad)), jnp.float32),
+            spat_ind=j) for j in range(2))
+        return FasstParams(spat=spat, spec=spec)
+
+    imgs, lls = batch_separate(Xs, make_params, GEMConfig(niter=4),
+                               mesh=make_mesh(8), granularity=64)
+    for i, n in enumerate(lengths):
+        assert imgs[i].shape == (2, F, n, 2)
+        assert np.all(np.isfinite(imgs[i]))
+        assert lls[i].shape == (4,)
