@@ -73,9 +73,15 @@ class SpectralComp:
     FW: Optional[jnp.ndarray] = None
     TB: Optional[jnp.ndarray] = None
     trans: Optional[jnp.ndarray] = None
+    # optional MULTIPLICATIVE second chain (source-filter / SIMM models,
+    # reference: multiChanSourceF0Filter): v_k = (chain1) * (FB2 @ TW2)
+    FB2: Optional[jnp.ndarray] = None
+    TW2: Optional[jnp.ndarray] = None
     spat_ind: int = flax.struct.field(pytree_node=False, default=0)
     free: Tuple[bool, bool, bool, bool] = flax.struct.field(
         pytree_node=False, default=(True, False, True, False))
+    free2: Tuple[bool, bool] = flax.struct.field(
+        pytree_node=False, default=(False, True))
     constraint: str = flax.struct.field(pytree_node=False, default=NMF)
 
     def freq_pattern(self) -> jnp.ndarray:
@@ -87,8 +93,11 @@ class SpectralComp:
         return self.TW if self.TB is None else self.TW @ self.TB
 
     def power(self) -> jnp.ndarray:
-        """v_k(f, n) = FB @ FW @ TW @ TB, shape (F, N)."""
-        return self.freq_pattern() @ self.time_activation()
+        """v_k(f, n): FB @ FW @ TW @ TB, optionally * (FB2 @ TW2)."""
+        p = self.freq_pattern() @ self.time_activation()
+        if self.FB2 is not None:
+            p = p * (self.FB2 @ self.TW2)
+        return p
 
 
 @flax.struct.dataclass

@@ -158,42 +158,37 @@ def generate_WF0(F: int, fs: int, wlen: int, n_f0: int = 60,
 class multiChanSourceF0Filter(FASST):
     """Source/filter (SIMM) lead + NMF accompaniment model.
 
-    Source 0 (lead): v = (WF0 @ HF0) * smooth-filter envelope approximated by
-    the 4-factor chain FB=WF0 (fixed), FW free (F0 activation mixing),
-    TW free; source 1..: plain NMF comps. Reference parity:
+    Source 0 (lead) has the true MULTIPLICATIVE source-filter PSD
+        v_0 = (WF0 @ HF0) * (WGAMMA @ HGAMMA)
+    (WF0 harmonic-comb dictionary fixed, HF0 free F0 activations; WGAMMA
+    smooth filter dictionary fixed, HGAMMA free envelope activations);
+    sources 1.. are plain NMF components. Reference parity:
     pyfasst/audioModel.py::multiChanSourceF0Filter + SeparateLeadStereo
     dictionaries (UNVERIFIED).
     """
 
     def __init__(self, audio, nbComps: int = 2, nbNMFComps: int = 4,
                  n_f0: int = 60, n_filter_bands: int = 20,
-                 spatial_rank: int = 1, **kw):
+                 spatial_rank: int = 1, f0_min: float = 80.0,
+                 f0_max: float = 500.0, **kw):
         super().__init__(audio, **kw)
-        keys = _split(self.key, nbComps + 1)
+        keys = _split(self.key, nbComps + 2)
         A_list = init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
-        WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0)
-        # Lead source: harmonic comb dictionary (fixed FB), free activations.
-        lead = SpectralComp(
-            FB=jnp.asarray(WF0, jnp.float32),
-            FW=0.5 + jax.random.uniform(keys[0], (n_f0, n_f0),
-                                        jnp.float32) * 0.1
-            + jnp.eye(n_f0, dtype=jnp.float32),
-            TW=0.5 + jax.random.uniform(keys[1], (n_f0, self.N), jnp.float32),
-            spat_ind=0, free=(False, True, True, False))
-        # Lead filter: smooth envelope comp sharing spatial comp 0.
+        WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0,
+                           f0_min=f0_min, f0_max=f0_max)
         WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
                                 self.tft.wlen)
-        filt = SpectralComp(
-            FB=jnp.asarray(WGAMMA, jnp.float32),
-            FW=0.5 + jax.random.uniform(
-                keys[2], (n_filter_bands, nbNMFComps), jnp.float32),
-            TW=0.5 + jax.random.uniform(
-                jax.random.fold_in(keys[2], 7), (nbNMFComps, self.N),
-                jnp.float32),
-            spat_ind=0, free=(False, True, True, False))
-        spec = [lead, filt]
+        lead = SpectralComp(
+            FB=jnp.asarray(WF0, jnp.float32),
+            TW=0.5 + jax.random.uniform(keys[0], (n_f0, self.N), jnp.float32),
+            FB2=jnp.asarray(WGAMMA, jnp.float32),
+            TW2=0.5 + jax.random.uniform(
+                keys[1], (n_filter_bands, self.N), jnp.float32),
+            spat_ind=0, free=(False, False, True, False),
+            free2=(False, True))
+        spec = [lead]
         for j in range(1, nbComps):
             spec.append(init_nmf_comp(keys[2 + j], self.F, self.N,
                                       nbNMFComps, spat_ind=j))

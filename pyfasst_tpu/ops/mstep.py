@@ -180,6 +180,71 @@ def _nmf_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
     return comp, V
 
 
+def _simm_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
+                         eps: float) -> Tuple[SpectralComp, jnp.ndarray]:
+    """Multiplicative source-filter component: v = chain1 * (FB2 @ TW2).
+
+    IS-NMF multiplicative updates where each chain's gradient is weighted by
+    the OTHER chain's envelope (cf. Durrieu's SIMM; models/lead.py uses the
+    same rules standalone).
+    """
+    UPD_MIN, UPD_MAX = 1e-5, 1e5
+
+    def mul_upd(factor, num_term, den_term):
+        upd = jnp.clip(num_term / jnp.maximum(den_term, eps),
+                       UPD_MIN, UPD_MAX)
+        return jnp.maximum(factor * upd, eps)
+
+    vk = comp.power()
+    v_floor = 1e-12 * jnp.mean(P) + eps
+    # chain1 factors (standard rules on the envelope-weighted residual)
+    for idx in range(4):
+        if not comp.free[idx]:
+            continue
+        Vc = jnp.maximum(V, v_floor)
+        E2 = comp.FB2 @ comp.TW2
+        num = (P / (Vc * Vc)) * E2
+        den = (1.0 / Vc) * E2
+        W = comp.freq_pattern()
+        H = comp.time_activation()
+        if idx == 0:
+            rest = H if comp.FW is None else comp.FW @ H
+            comp = comp.replace(FB=mul_upd(comp.FB, num @ rest.T,
+                                           den @ rest.T))
+        elif idx == 1:
+            comp = comp.replace(FW=mul_upd(comp.FW, (comp.FB.T @ num) @ H.T,
+                                           (comp.FB.T @ den) @ H.T))
+        elif idx == 2:
+            lhs_n, lhs_d = W.T @ num, W.T @ den
+            if comp.TB is not None:
+                lhs_n, lhs_d = lhs_n @ comp.TB.T, lhs_d @ comp.TB.T
+            comp = comp.replace(TW=mul_upd(comp.TW, lhs_n, lhs_d))
+        else:
+            G = W @ comp.TW
+            comp = comp.replace(TB=mul_upd(comp.TB, G.T @ num, G.T @ den))
+        vk_new = comp.power()
+        V = V - vk + vk_new
+        vk = vk_new
+    # chain2 factors (weighted by chain1's product)
+    for idx2 in range(2):
+        if not comp.free2[idx2]:
+            continue
+        Vc = jnp.maximum(V, v_floor)
+        C1 = comp.freq_pattern() @ comp.time_activation()
+        num = (P / (Vc * Vc)) * C1
+        den = (1.0 / Vc) * C1
+        if idx2 == 0:
+            comp = comp.replace(FB2=mul_upd(comp.FB2, num @ comp.TW2.T,
+                                            den @ comp.TW2.T))
+        else:
+            comp = comp.replace(TW2=mul_upd(comp.TW2, comp.FB2.T @ num,
+                                            comp.FB2.T @ den))
+        vk_new = comp.power()
+        V = V - vk + vk_new
+        vk = vk_new
+    return comp, V
+
+
 def update_spectral(params: FasstParams, stats: SuffStats,
                     eps: float = 1e-30) -> FasstParams:
     """One spectral M-step: every free factor of every component."""
@@ -196,7 +261,9 @@ def update_spectral(params: FasstParams, stats: SuffStats,
             V = V + spec[i].power()
         for i in idxs:
             comp = spec[i]
-            if comp.constraint == NMF:
+            if comp.FB2 is not None:   # multiplicative source-filter (SIMM)
+                comp, V = _simm_factor_updates(comp, P, V, eps)
+            elif comp.constraint == NMF:
                 comp, V = _nmf_factor_updates(comp, P, V, eps)
             else:  # GMM / HMM: discrete-state E-step replaces the TW update
                 comp, V = hmm_ops.state_factor_update(comp, P, V, eps)
@@ -243,6 +310,10 @@ def _scale_first_free(comp: SpectralComp, s) -> SpectralComp:
     for idx, name in enumerate(names):
         if comp.free[idx] and getattr(comp, name) is not None:
             return comp.replace(**{name: getattr(comp, name) * s})
+    if comp.FB2 is not None:           # SIMM: fall back to the second chain
+        for idx2, name in enumerate(("FB2", "TW2")):
+            if comp.free2[idx2]:
+                return comp.replace(**{name: getattr(comp, name) * s})
     return comp
 
 
