@@ -71,7 +71,32 @@ def pipeline(mix, params, cfg, window, nsamples):
     return jnp.stack(ys), logliks
 
 
+def _run_config(mix_d, params, cfg, window, nsamples):
+    import functools
+    import sys
+    run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
+                                    nsamples=nsamples))
+    # warm-up / compile; host fetches force real completion (the axon
+    # tunnel's block_until_ready does not synchronize)
+    ys, logliks = run(mix_d, params)
+    _ = np.asarray(logliks[-1]), np.asarray(ys[0, :1, 0])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ys, logliks = run(mix_d, params)
+        _ = np.asarray(logliks[-1])
+        _ = np.asarray(ys[0, :1, 0])
+        times.append(time.perf_counter() - t0)
+    ll = float(np.asarray(logliks[-1], np.float64))
+    if not np.isfinite(ll):
+        raise FloatingPointError("non-finite loglik")
+    return min(times)
+
+
 def main():
+    import dataclasses
+    import sys
     mix = make_mixture()
     nsamples = mix.shape[0]
     window = jnp.asarray(sine_window(WLEN), jnp.float32)
@@ -83,25 +108,18 @@ def main():
     cfg = GEMConfig(niter=NITER)
     params = build_params(F, N)
 
-    import functools
-    run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
-                                    nsamples=nsamples))
-    # warm-up / compile
-    ys, logliks = run(mix_d, params)
-    jax.block_until_ready(logliks)
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ys, logliks = run(mix_d, params)
-        jax.block_until_ready(logliks)
-        jax.block_until_ready(ys)
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    ll = np.asarray(logliks[-1], np.float64)
-    assert np.isfinite(ll), "benchmark run produced non-finite loglik"
+    try:
+        elapsed = _run_config(mix_d, params, cfg, window, nsamples)
+        path = "pallas" if cfg.use_pallas else "xla"
+    except Exception as e:  # Pallas lowering may be unavailable on some
+        print(f"bench: pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to XLA", file=sys.stderr)
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+        elapsed = _run_config(mix_d, params, cfg, window, nsamples)
+        path = "xla-fallback"
 
     xrt = DUR / elapsed
+    print(f"bench: path={path} elapsed={elapsed:.3f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "xRT",
         "value": round(float(xrt), 3),
