@@ -118,8 +118,11 @@ class MultiChanHMM(FASST):
             spat = tuple(SpatialComp(A=jnp.asarray(base[j]), mix_type=CONV,
                                      free=True) for j in range(nbComps))
         Q = nbStates
-        trans = (self_trans * np.eye(Q)
-                 + (1.0 - self_trans) / max(Q - 1, 1) * (1 - np.eye(Q)))
+        if sparsity == "HMM":
+            trans = (self_trans * np.eye(Q)
+                     + (1.0 - self_trans) / max(Q - 1, 1) * (1 - np.eye(Q)))
+        else:                      # GMM/GSMM: i.i.d. state prior
+            trans = np.full(Q, 1.0 / Q)
         spec = []
         for j in range(nbComps):
             FB = 0.5 + jax.random.uniform(keys[j], (self.F, Q))

@@ -1,0 +1,96 @@
+"""Class-level API contract: every reference model variant constructs, runs
+a short GEM, and separates, straight from audio (the user surface)."""
+import numpy as np
+import pytest
+
+import pyfasst_tpu
+from pyfasst_tpu.models import (
+    MultiChanHMM, MultiChanNMFConv, MultiChanNMFInst_FASST,
+    multiChanSourceF0Filter,
+)
+
+
+@pytest.fixture
+def stereo_audio(rng):
+    fs, n = 8000, 8000
+    t = np.arange(n) / fs
+    s1 = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 440 * t)
+    s2 = 0.2 * rng.standard_normal(n)
+    mix = np.stack([0.9 * s1 + 0.3 * s2, 0.3 * s1 + 0.9 * s2], axis=1)
+    return mix.astype(np.float32), fs
+
+
+def _run_and_check(model, tmp_path, expect_sources):
+    ll = model.estim_param_a_posteriori()
+    assert np.all(np.isfinite(ll))
+    # The model must improve the fit at some point of the run. (The FINAL
+    # loglik legitimately dives for constrained models -- a fixed smooth
+    # ERB/filter basis cannot fit narrow harmonics exactly, and the
+    # residual misfit costs ~P_resid/sigma as sigma anneals to its floor.)
+    assert np.max(ll) > ll[0]
+    paths = model.separate_spat_comps(str(tmp_path))
+    assert len(paths) == expect_sources
+    import os
+    assert all(os.path.exists(p) for p in paths)
+    ys = model.retrieveSubsrcSignals()
+    assert ys.shape[0] == expect_sources
+    assert np.all(np.isfinite(ys))
+    return ll
+
+
+def test_inst_nmf_class(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, iter_num=50,
+                               nbComps=2, nbNMFComps=4)
+    _run_and_check(m, tmp_path, 2)
+
+
+def test_inst_nmf_erb_basis(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, iter_num=50,
+                               nbComps=2, nbNMFComps=4, freq_basis="erb",
+                               n_bands=24)
+    assert m.params.spec[0].free[0] is False      # ERB FB fixed
+    _run_and_check(m, tmp_path, 2)
+
+
+def test_conv_class(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = MultiChanNMFConv(mix, fs=fs, wlen=512, iter_num=50, nbComps=2,
+                         nbNMFComps=3)
+    assert m.params.spat[0].mix_type == "conv"
+    _run_and_check(m, tmp_path, 2)
+
+
+def test_conv_full_rank_class(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = MultiChanNMFConv(mix, fs=fs, wlen=512, iter_num=50, nbComps=2,
+                         nbNMFComps=3, spatial_rank=2)
+    assert m.params.spat[0].rank == 2
+    _run_and_check(m, tmp_path, 2)
+
+
+@pytest.mark.parametrize("sparsity", ["HMM", "GMM"])
+def test_hmm_class(stereo_audio, tmp_path, sparsity):
+    mix, fs = stereo_audio
+    m = MultiChanHMM(mix, fs=fs, wlen=512, iter_num=50, nbComps=2,
+                     nbStates=4, sparsity=sparsity)
+    assert m.params.spec[0].constraint == sparsity
+    _run_and_check(m, tmp_path, 2)
+
+
+def test_source_filter_class(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = multiChanSourceF0Filter(mix, fs=fs, wlen=512, iter_num=50,
+                                nbComps=2, n_f0=30, f0_min=150, f0_max=500)
+    assert m.params.spec[0].FB2 is not None       # true SIMM lead
+    _run_and_check(m, tmp_path, 2)
+
+
+def test_spatial_filter_separation(stereo_audio, tmp_path):
+    mix, fs = stereo_audio
+    m = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, iter_num=50)
+    m.estim_param_a_posteriori()
+    paths = m.separate_spatial_filter_comp(str(tmp_path))
+    import os
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
