@@ -192,7 +192,11 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
     form (see ops.gem wrapper for the complex views).
     """
     J, F, N = v.shape
-    TF, TN = 8, 128
+    # Large tiles: VMEM comfortably holds (TF, TN) f32 working sets for the
+    # ~12 live arrays, and a single frame-tile avoids the accumulation
+    # revisits entirely for typical clip lengths.
+    TF = 32
+    TN = min(_cdiv(N, 128) * 128, 2048)
     Fp, Np = _cdiv(F, TF) * TF, _cdiv(N, TN) * TN
     x4 = jnp.stack([jnp.real(X[..., 0]), jnp.imag(X[..., 0]),
                     jnp.real(X[..., 1]), jnp.imag(X[..., 1])])
