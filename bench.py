@@ -37,7 +37,7 @@ J, K = 2, 8
 TARGET_XRT = 50.0
 
 
-def make_mixture(fs=FS, dur=DUR, seed=0):
+def make_mixture(fs=FS, dur=DUR, seed=0, return_sources=False):
     rng = np.random.default_rng(seed)
     n = int(fs * dur)
     t = np.arange(n) / fs
@@ -47,8 +47,15 @@ def make_mixture(fs=FS, dur=DUR, seed=0):
     env = (np.sin(2 * np.pi * 1.5 * t) > 0).astype(np.float64)
     s2 = 0.3 * rng.standard_normal(n) * env
     a1, a2 = np.array([0.95, 0.31]), np.array([0.31, 0.95])
-    mix = s1[:, None] * a1 + s2[:, None] * a2
-    return (mix / np.max(np.abs(mix))).astype(np.float32)
+    y1 = s1[:, None] * a1
+    y2 = s2[:, None] * a2
+    mix = y1 + y2
+    scale = np.max(np.abs(mix))
+    if return_sources:
+        return ((mix / scale).astype(np.float32),
+                (y1 / scale).astype(np.float32),
+                (y2 / scale).astype(np.float32))
+    return (mix / scale).astype(np.float32)
 
 
 def build_params(F, N, seed=0):
@@ -117,6 +124,25 @@ def main():
         cfg = dataclasses.replace(cfg, use_pallas=False)
         elapsed = _run_config(mix_d, params, cfg, window, nsamples)
         path = "xla-fallback"
+
+    # quality gate: the separated images must actually separate the two
+    # ground-truth sources (permutation-best SDR, printed to stderr; the
+    # metric line on stdout stays throughput-only per the driver contract)
+    import functools
+    run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
+                                    nsamples=nsamples))
+    ys, _ = run(mix_d, params)
+    ys = np.asarray(ys)
+    _, y1, y2 = make_mixture(return_sources=True)
+
+    def sdr(e, r):
+        return 10 * np.log10(np.sum(r ** 2)
+                             / max(np.sum((e - r) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[p[0]], y1), sdr(ys[p[1]], y2))
+               for p in [(0, 1), (1, 0)])
+    print(f"bench: separation SDR {best:.2f} dB", file=sys.stderr)
+    assert best > 10.0, f"benchmark separation quality collapsed: {best:.2f} dB"
 
     xrt = DUR / elapsed
     print(f"bench: path={path} elapsed={elapsed:.3f}s", file=sys.stderr)
