@@ -103,7 +103,8 @@ class DEMIX:
             obj = audio if isinstance(audio, AudioObject) else \
                 AudioObject(audio)
             tft = STFT(wlen=wlen, fs=obj.samplerate)
-            X = np.asarray(tft.computeTransform(obj.data.astype(np.float32)))
+            from pyfasst_tpu.utils.misc import to_host_complex
+            X = to_host_complex(tft.computeTransform(obj.data.astype(np.float32)))
         self.X = np.asarray(X)
         self.F = self.X.shape[0]
         self.conf_quantile = conf_quantile
@@ -143,7 +144,7 @@ class DEMIX:
         # selection toward small-delay sources; past ~confident it carries
         # no extra information.
         z, w = z[loud], np.minimum(w[loud], 100.0)
-        keep = w >= np.quantile(w, min(self.conf_quantile, 0.5))
+        keep = w >= np.quantile(w, self.conf_quantile)
         z, w = z[keep], w[keep]
         # scale features comparably (log-gain vs delay-in-samples)
         scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)

@@ -48,7 +48,7 @@ class FASST:
                  iter_num: int = 200,
                  annealing: str = "ann",
                  sigma_start_frac: float = 1e-2,
-                 sigma_end_frac: float = 1e-8,
+                 sigma_end_frac: float = 3e-6,
                  verbose: int = 0,
                  tf_method: str = "fft",
                  seed: int = 0):

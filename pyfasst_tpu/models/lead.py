@@ -126,7 +126,8 @@ class SeparateLeadStereoTF:
         data = self.audio.data.astype(np.float32)
         if data.shape[1] == 1:
             data = np.repeat(data, 2, axis=1)
-        self.X = np.asarray(self.tft.computeTransform(data))   # (F, N, 2)
+        from pyfasst_tpu.utils.misc import to_host_complex
+        self.X = to_host_complex(self.tft.computeTransform(data))  # (F, N, 2)
         F, N = self.X.shape[:2]
         self.F, self.N = F, N
         self.WF0 = jnp.asarray(

@@ -61,8 +61,8 @@ def mixture_cov(v: jnp.ndarray, Rj: jnp.ndarray, sigma: jnp.ndarray):
     return herm.add_noise_diag(Sx, sigma[:, None])
 
 
-def cross_terms(Rj: jnp.ndarray, A_conv, ranks) -> Tuple[jnp.ndarray,
-                                                         jnp.ndarray]:
+def cross_terms(Rj: jnp.ndarray, A_conv) -> Tuple[jnp.ndarray,
+                                                  jnp.ndarray]:
     """Per-frequency spatial invariants for the cancellation-free determinant.
 
     Returns trR (J, F) and X (J, J, F) with
@@ -127,7 +127,6 @@ def compute_suff_stats(
     sigma: jnp.ndarray,        # (F,) annealed noise PSD
     ranks: Tuple[int, ...],    # static spatial ranks R_j
     eps: float = 1e-30,
-    det_floor: float = 1e-30,
     noise_inject: bool = False,
     A_conv: Tuple = (),        # per j: complex (F, I, R) mixing
 ) -> SuffStats:
@@ -139,7 +138,7 @@ def compute_suff_stats(
       - statistics as outer products of x, y, w (never congruences of sums);
       - posterior variances via leave-one-out Woodbury (never rank - v*tr).
     """
-    trR, Xc = cross_terms(Rj, A_conv, ranks)
+    trR, Xc = cross_terms(Rj, A_conv)
     Sx = mixture_cov(v, Rj, sigma)                      # (F, N, 4)
     detSx = stable_mixture_det(v, trR, Xc, sigma)       # (F, N) > 0
     Sxi = stable_inv(Sx, detSx)                          # (F, N, 4)

@@ -83,7 +83,7 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
                                   eps=cfg.eps)
     else:
         stats = compute_suff_stats(
-            X, v, Rj, sigma, ranks, eps=cfg.eps, det_floor=cfg.det_floor,
+            X, v, Rj, sigma, ranks, eps=cfg.eps,
             noise_inject=noise_inject, A_conv=A_conv)
     params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
     params = update_spectral(params, stats, eps=cfg.eps)

@@ -68,9 +68,9 @@ def state_factor_update(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
 
     The component's states are the columns of W = FB @ FW (F, Q); TW (Q, N)
     becomes gamma(q,n) * g(q,n) -- posterior-weighted per-frame gains (the
-    soft-EM form of the reference's discrete-state constraint). FB/FW stay
-    updatable by their NMF rules via the returned component (handled by the
-    caller on subsequent iterations); TB must be None for state models.
+    soft-EM form of the reference's discrete-state constraint). Free FB/FW
+    factors are updated by their NMF rules in mstep.update_spectral BEFORE
+    this call; TB must be None for state models.
     """
     if comp.TB is not None:
         raise ValueError("GMM/HMM spectral components must have TB=None")

@@ -265,7 +265,15 @@ def update_spectral(params: FasstParams, stats: SuffStats,
                 comp, V = _simm_factor_updates(comp, P, V, eps)
             elif comp.constraint == NMF:
                 comp, V = _nmf_factor_updates(comp, P, V, eps)
-            else:  # GMM / HMM: discrete-state E-step replaces the TW update
+            else:
+                # GMM / HMM: the discrete-state E-step replaces the TW
+                # update, but free FB/FW (the state spectral templates)
+                # still learn by their NMF rules.
+                if comp.free[0] or comp.free[1]:
+                    nmf_free = (comp.free[0], comp.free[1], False, False)
+                    comp, V = _nmf_factor_updates(
+                        comp.replace(free=nmf_free), P, V, eps)
+                    comp = comp.replace(free=spec[i].free)
                 comp, V = hmm_ops.state_factor_update(comp, P, V, eps)
             spec[i] = comp
     return params.replace(spec=tuple(spec))

@@ -131,7 +131,9 @@ def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
         A = jnp.stack(A_new)
 
         # online FB update: EW-accumulated IS-NMF numerator/denominator
-        Vc = jnp.maximum(v, eps)
+        # (V floored RELATIVE to the observed scale -- an absolute eps floor
+        # overflows float32 under V**-2 for dead components, see mstep.py)
+        Vc = jnp.maximum(v, 1e-12 * jnp.mean(stats.xi) + eps)
         num = stats.xi / (Vc * Vc)
         den = 1.0 / Vc
         fb_num = lam * state.fb_num + jnp.einsum("jfn,jkn->jfk", num, TWb)

@@ -36,7 +36,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _make_kernel(J: int, TF: int, TN: int, N_valid: int, nN: int):
+def _make_kernel(J: int, TF: int, TN: int, N_valid: int):
     def kernel(x4_ref, v_ref, R_ref, A_ref, sig_ref, trR_ref, Xc_ref,
                xi_ref, txs_ref, tss_ref, t4_ref, t7_ref, ll_ref):
         jn = pl.program_id(1)
@@ -246,7 +246,7 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         jax.ShapeDtypeStruct((J, J, Fp, 2), jnp.float32),
         jax.ShapeDtypeStruct((Fp, 1), jnp.float32),
     ]
-    kernel = _make_kernel(J, TF, TN, N, nN)
+    kernel = _make_kernel(J, TF, TN, N)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -262,8 +262,9 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
 
 
 def pallas_available() -> bool:
-    """The compiled kernel needs a TPU lowering (axon lowers via tpu)."""
-    return jax.default_backend() not in ("cpu",)
+    """The compiled kernel needs a TPU lowering (axon lowers via tpu);
+    other accelerators (GPU) must take the XLA path."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
@@ -274,7 +275,7 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
 
     assert all(r == 1 for r in ranks)
     J = v.shape[0]
-    trR, Xc = cross_terms(Rj, A_conv, ranks)
+    trR, Xc = cross_terms(Rj, A_conv)
     A4 = jnp.stack([
         jnp.stack([jnp.real(A_conv[j][:, 0, 0]), jnp.imag(A_conv[j][:, 0, 0]),
                    jnp.real(A_conv[j][:, 1, 0]), jnp.imag(A_conv[j][:, 1, 0])],

@@ -33,10 +33,10 @@ def _herm_adj(P):
     return jnp.stack([P[..., 1], P[..., 0], -P[..., 2], -P[..., 3]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("det_floor",))
+@jax.jit
 @jax.default_matmul_precision("highest")
 def separate_sources(params: FasstParams, X: jnp.ndarray,
-                     sigma: jnp.ndarray, det_floor: float = 1e-30):
+                     sigma: jnp.ndarray):
     """Wiener posterior-mean source images y^_j = v_j R_j Sigma_x^-1 x.
 
     X: (F, N, I=2) complex mixture STFT. Returns (J, F, N, 2) complex.
@@ -59,9 +59,8 @@ def separate_sources(params: FasstParams, X: jnp.ndarray,
     J = params.n_spat
     v = params.all_source_powers()                 # (J, F, N)
     Rj = spatial_covs(params, F)                   # (J, F, 4)
-    ranks = tuple(c.rank for c in params.spat)
     A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
-    trR, Xc = cross_terms(Rj, A_conv, ranks)
+    trR, Xc = cross_terms(Rj, A_conv)
     det = stable_mixture_det(v, trR, Xc, sigma)    # (F, N)
     detR = jnp.stack([0.5 * Xc[j, j] for j in range(J)])  # (J, F)
     adjR = _herm_adj(Rj)                           # (J, F, 4)

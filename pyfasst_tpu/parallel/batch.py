@@ -78,7 +78,8 @@ def batch_separate(
         params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh)
         sigma_b = jax.vmap(lambda X: annealing_endpoints(X, cfg)[1])(X_b)
         Y_b = sharded_batch_separate(params_b, X_b, sigma_b, mesh)
-        Y_b = np.asarray(Y_b)
+        from pyfasst_tpu.utils.misc import to_host_complex
+        Y_b = to_host_complex(Y_b)
         lls = np.asarray(lls)
         for slot, i in enumerate(batch_idx[:len(idxs)]):
             out_imgs[i] = Y_b[slot][:, :, :n_frames[i], :]

@@ -128,7 +128,8 @@ class ERBTransform:
         self.F = self.n_bands
 
     def computeTransform(self, data):
-        X = np.asarray(self.stft.computeTransform(data))  # (F, N[, I])
+        from pyfasst_tpu.utils.misc import to_host_complex
+        X = to_host_complex(self.stft.computeTransform(data))  # (F, N[, I])
         return np.tensordot(self.bank, X, axes=(1, 0))    # (B, N[, I])
 
     def invertTransform(self, Xb, nsamples: Optional[int] = None):

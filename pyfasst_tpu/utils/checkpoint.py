@@ -23,7 +23,7 @@ from pyfasst_tpu.models.components import (
     FasstParams, SpatialComp, SpectralComp,
 )
 
-_FACTORS = ("FB", "FW", "TW", "TB", "trans")
+_FACTORS = ("FB", "FW", "TW", "TB", "trans", "FB2", "TW2")
 
 
 def save_params(path: str, params: FasstParams,
@@ -45,6 +45,7 @@ def save_params(path: str, params: FasstParams,
                 present.append(name)
         meta["spec"].append({
             "spat_ind": c.spat_ind, "free": list(c.free),
+            "free2": list(c.free2),
             "constraint": c.constraint, "present": present,
         })
     arrays["__meta__"] = np.frombuffer(
@@ -72,6 +73,8 @@ def load_params(path: str) -> Tuple[FasstParams, int, dict]:
                   for name in _FACTORS}
             spec.append(SpectralComp(spat_ind=m["spat_ind"],
                                      free=tuple(m["free"]),
+                                     free2=tuple(m.get("free2",
+                                                       (False, True))),
                                      constraint=m["constraint"], **kw))
     return (FasstParams(spat=tuple(spat), spec=tuple(spec)),
             meta["iteration"], meta.get("extra", {}))

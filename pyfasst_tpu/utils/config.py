@@ -49,6 +49,8 @@ class GEMConfig:
     # Renormalize factor/mixing scales every iteration (prevents drift over
     # hundreds of iterations).
     renormalize: bool = True
+    # (loglik is always computed -- it rides along in the fused E-step pass
+    # at negligible cost, so there is no knob for it)
     # Use the fused Pallas E-step kernel when eligible (all sources rank-1,
     # no noise injection, TPU backend). Numerics identical to the XLA path.
     use_pallas: bool = True
@@ -57,9 +59,26 @@ class GEMConfig:
     # statistics fling the mixing toward the dominant source (source-collapse
     # local optimum). Letting the spectra adapt first is the standard remedy.
     spatial_hold_frac: float = 0.1
-    # Compute log-likelihood every iteration (cheap; part of the same fused pass).
-    track_loglik: bool = True
 
     def __post_init__(self):
         if isinstance(self.annealing, str):
             object.__setattr__(self, "annealing", AnnealingMode(self.annealing))
+
+
+def load_config(source) -> GEMConfig:
+    """Thin loader (SURVEY.md §5 config row): dict, JSON file path, or
+    GEMConfig passthrough. Unknown keys raise (typos should not silently
+    fall back to defaults)."""
+    if isinstance(source, GEMConfig):
+        return source
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        import json
+        with open(source) as fh:
+            source = json.load(fh)
+    if not isinstance(source, dict):
+        raise TypeError(f"cannot load GEMConfig from {type(source)}")
+    valid = {f.name for f in dataclasses.fields(GEMConfig)}
+    unknown = set(source) - valid
+    if unknown:
+        raise ValueError(f"unknown GEMConfig keys: {sorted(unknown)}")
+    return GEMConfig(**source)

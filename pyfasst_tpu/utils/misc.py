@@ -24,3 +24,17 @@ def db(x, floor: float = 1e-30):
 def ident(n: int, dtype=np.float64):
     """Identity matrix helper (kept for API parity with the reference tools)."""
     return np.eye(n, dtype=dtype)
+
+
+def to_host_complex(x) -> np.ndarray:
+    """Fetch a complex device array to host via two real transfers.
+
+    Complex device->host transfers are Unimplemented on the axon TPU
+    backend (see CLAUDE.md); always use this instead of np.asarray on
+    complex jax arrays that may live on an accelerator.
+    """
+    import jax.numpy as jnp
+    if not np.iscomplexobj(x):
+        return np.asarray(x)
+    return (np.asarray(jnp.real(x)).astype(np.complex128)
+            + 1j * np.asarray(jnp.imag(x)))

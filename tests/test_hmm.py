@@ -125,3 +125,16 @@ def test_gmm_separation_end_to_end(rng):
     Y = np.asarray(separate_sources(params, Xj, sigma1))
     best = _best_sdr(Y, Y_true)
     assert best > 6.0, f"GMM separation SDR too low: {best:.2f} dB"
+
+
+def test_hmm_spectral_templates_learn(rng):
+    """Regression: free FB of a state model must be updated by its NMF rule
+    (it was previously frozen at random init forever)."""
+    X, Y_true, params = _hmm_problem(rng, HMM, F=32, N=40)
+    Xj = jnp.asarray(X, jnp.complex64)
+    FB0 = np.asarray(params.spec[0].FB).copy()
+    params2, _ = jax.block_until_ready(run_gem(params, Xj,
+                                               GEMConfig(niter=10)))
+    FB1 = np.asarray(params2.spec[0].FB)
+    rel_change = np.linalg.norm(FB1 - FB0) / np.linalg.norm(FB0)
+    assert rel_change > 0.05, rel_change

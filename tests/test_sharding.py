@@ -112,3 +112,31 @@ def test_batch_separate_variable_lengths(rng):
         assert imgs[i].shape == (2, F, n, 2)
         assert np.all(np.isfinite(imgs[i]))
         assert lls[i].shape == (4,)
+
+
+def test_frame_axis_sharding_sp(rng):
+    """SURVEY.md §2 SP row: shard the frame axis N instead of frequencies;
+    the suff-stat reductions over n become psums inserted by GSPMD."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import functools
+    from pyfasst_tpu.ops.gem import run_gem
+    from pyfasst_tpu.utils.config import GEMConfig
+
+    B, F, N = 2, 17, 64
+    params_b, X_b = _batch(B, F, N)
+    mesh = make_mesh(8)
+    x_sp = NamedSharding(mesh, P("dp", None, "fp"))   # N over 'fp'
+    p_dp = jax.tree.map(lambda a: NamedSharding(mesh, P("dp")), params_b)
+    cfg = GEMConfig(niter=3)
+
+    def fn(params_b, X_b):
+        X_b = jax.lax.with_sharding_constraint(X_b, x_sp)
+        return jax.vmap(functools.partial(run_gem, cfg=cfg))(params_b, X_b)
+
+    out, ll = jax.jit(fn, in_shardings=(p_dp, NamedSharding(mesh, P("dp"))))(
+        params_b, X_b)
+    ll = np.asarray(jax.block_until_ready(ll))
+    assert ll.shape == (B, 3) and np.all(np.isfinite(ll))
+    # matches the unsharded result
+    _, ll_ref = run_gem(jax.tree.map(lambda a: a[0], params_b), X_b[0], cfg)
+    np.testing.assert_allclose(ll[0], np.asarray(ll_ref), rtol=2e-4)

@@ -91,3 +91,56 @@ def test_si_sdr_and_xrt():
     s = np.sin(2 * np.pi * 5 * t)
     assert si_sdr(2.0 * s, s) > 100          # scale-invariant
     assert abs(xrt(10.0, 0.2) - 50.0) < 1e-9
+
+
+def test_checkpoint_roundtrip_simm(tmp_path, rng):
+    """Regression: SIMM second-chain factors must survive save/load."""
+    F, N = 20, 15
+    comp = SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, 4)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((4, N)), jnp.float32),
+        FB2=jnp.asarray(0.5 + rng.random((F, 3)), jnp.float32),
+        TW2=jnp.asarray(0.5 + rng.random((3, N)), jnp.float32),
+        free=(False, False, True, False), free2=(True, True))
+    params = FasstParams(
+        spat=(SpatialComp(A=jnp.asarray([[0.9], [0.4]], jnp.float32)),),
+        spec=(comp,))
+    path = str(tmp_path / "simm.npz")
+    save_params(path, params)
+    loaded, _, _ = load_params(path)
+    assert loaded.spec[0].FB2 is not None
+    np.testing.assert_array_equal(np.asarray(loaded.spec[0].FB2),
+                                  np.asarray(comp.FB2))
+    np.testing.assert_array_equal(np.asarray(loaded.spec[0].TW2),
+                                  np.asarray(comp.TW2))
+    assert loaded.spec[0].free2 == (True, True)
+
+
+def test_config_loader(tmp_path):
+    from pyfasst_tpu.utils.config import GEMConfig, load_config
+    import json
+    cfg = load_config({"niter": 33, "annealing": "no_ann"})
+    assert cfg.niter == 33 and cfg.annealing.value == "no_ann"
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"niter": 7, "sigma_end_frac": 1e-5}))
+    cfg2 = load_config(str(p))
+    assert cfg2.niter == 7 and cfg2.sigma_end_frac == 1e-5
+    try:
+        load_config({"nitre": 1})
+        assert False, "typo should raise"
+    except ValueError as e:
+        assert "nitre" in str(e)
+
+
+def test_gem_under_debug_nans(rng):
+    """SURVEY.md §5 sanitizer row: a small config runs clean under
+    jax_debug_nans (no masked NaNs anywhere in the jitted loop)."""
+    import jax
+    X, params = _problem(rng, F=17, N=20)
+    try:
+        jax.config.update("jax_debug_nans", True)
+        _, ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), GEMConfig(niter=6)))
+        assert np.all(np.isfinite(np.asarray(ll)))
+    finally:
+        jax.config.update("jax_debug_nans", False)
