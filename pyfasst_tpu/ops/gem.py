@@ -86,7 +86,7 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
             X, v, Rj, sigma, ranks, eps=cfg.eps,
             noise_inject=noise_inject, A_conv=A_conv)
     params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
-    params = update_spectral(params, stats, eps=cfg.eps)
+    params = update_spectral(params, stats, eps=cfg.eps, v=v)
     if cfg.renormalize:
         params = renormalize(params)
     return params, stats.loglik

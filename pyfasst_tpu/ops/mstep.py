@@ -246,8 +246,13 @@ def _simm_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
 
 
 def update_spectral(params: FasstParams, stats: SuffStats,
-                    eps: float = 1e-30) -> FasstParams:
-    """One spectral M-step: every free factor of every component."""
+                    eps: float = 1e-30, v=None) -> FasstParams:
+    """One spectral M-step: every free factor of every component.
+
+    v (J, F, N), if given, is the source-power stack already computed by the
+    E-step -- reused as the initial model PSD per source instead of
+    recomputing the factor products (saves J matmuls + (F, N) arrays/iter).
+    """
     from pyfasst_tpu.ops import hmm as hmm_ops
 
     spec = list(params.spec)
@@ -256,9 +261,12 @@ def update_spectral(params: FasstParams, stats: SuffStats,
         if not idxs:
             continue
         P = stats.xi[j]
-        V = spec[idxs[0]].power()
-        for i in idxs[1:]:
-            V = V + spec[i].power()
+        if v is not None:
+            V = v[j]
+        else:
+            V = spec[idxs[0]].power()
+            for i in idxs[1:]:
+                V = V + spec[i].power()
         for i in idxs:
             comp = spec[i]
             if comp.FB2 is not None:   # multiplicative source-filter (SIMM)
