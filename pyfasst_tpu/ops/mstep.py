@@ -252,6 +252,12 @@ def update_spectral(params: FasstParams, stats: SuffStats,
     v (J, F, N), if given, is the source-power stack already computed by the
     E-step -- reused as the initial model PSD per source instead of
     recomputing the factor products (saves J matmuls + (F, N) arrays/iter).
+
+    NOTE: a fused Pallas spectral kernel was prototyped and benchmarked
+    SLOWER than this XLA path (the small NMF rank K ~ 8 pads to the 128-lane
+    VMEM tile, multiplying factor traffic 16x, and the pallas_call boundary
+    blocks fusion with the surrounding elementwise math). The XLA fusions
+    here are already near memory-bound for this shape.
     """
     from pyfasst_tpu.ops import hmm as hmm_ops
 
