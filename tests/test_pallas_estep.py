@@ -63,3 +63,24 @@ def test_pallas_estep_three_sources(rng):
                                rtol=3e-4, atol=1e-6)
     np.testing.assert_allclose(float(got.loglik), float(want.loglik),
                                rtol=1e-4)
+
+
+def test_pallas_estep_multitile_accumulation(rng):
+    """N > the frame-tile size exercises the cross-tile accumulation of the
+    reduced statistics (revisited output blocks)."""
+    X, v, Rj, A_conv, sigma, ranks = _problem(rng, F=9, N=2500, J=2)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=2e-4)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=5e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.T4[j]),
+                                   np.asarray(want.T4[j]),
+                                   rtol=5e-4, atol=1e-4)
+        for k in range(2):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=5e-4, atol=1e-3)
