@@ -98,7 +98,7 @@ def _run_config(mix_d, params, cfg, window, nsamples):
     ll = float(np.asarray(logliks[-1], np.float64))
     if not np.isfinite(ll):
         raise FloatingPointError("non-finite loglik")
-    return min(times)
+    return min(times), ys
 
 
 def main():
@@ -116,22 +116,18 @@ def main():
     params = build_params(F, N)
 
     try:
-        elapsed = _run_config(mix_d, params, cfg, window, nsamples)
+        elapsed, ys = _run_config(mix_d, params, cfg, window, nsamples)
         path = "pallas" if cfg.use_pallas else "xla"
     except Exception as e:  # Pallas lowering may be unavailable on some
         print(f"bench: pallas path failed ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)
         cfg = dataclasses.replace(cfg, use_pallas=False)
-        elapsed = _run_config(mix_d, params, cfg, window, nsamples)
+        elapsed, ys = _run_config(mix_d, params, cfg, window, nsamples)
         path = "xla-fallback"
 
     # quality gate: the separated images must actually separate the two
     # ground-truth sources (permutation-best SDR, printed to stderr; the
     # metric line on stdout stays throughput-only per the driver contract)
-    import functools
-    run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
-                                    nsamples=nsamples))
-    ys, _ = run(mix_d, params)
     ys = np.asarray(ys)
     _, y1, y2 = make_mixture(return_sources=True)
 

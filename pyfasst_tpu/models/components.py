@@ -45,13 +45,24 @@ class SpatialComp:
     def rank(self) -> int:
         return self.A.shape[-1]
 
+    def _complex_dtype(self):
+        return (jnp.complex128 if self.A.dtype in (jnp.float64,
+                                                   jnp.complex128)
+                else jnp.complex64)
+
+    def conv_mixing(self, F: int) -> jnp.ndarray:
+        """A as complex (F, I, R) regardless of mixing type."""
+        A = self.A
+        if self.mix_type == INST:
+            A = jnp.broadcast_to(A[None].astype(self._complex_dtype()),
+                                 (F,) + A.shape)
+        return A
+
     def spatial_cov(self, F: int) -> jnp.ndarray:
         """Packed Hermitian R_j(f) = A_j A_j^H, shape (F, 4)."""
         from pyfasst_tpu.ops import herm
         if self.mix_type == INST:
-            A = self.A.astype(jnp.complex64 if self.A.dtype == jnp.float32
-                              else jnp.complex128)
-            R = herm.herm_from_mixing(A)          # (4,)
+            R = herm.herm_from_mixing(self.A.astype(self._complex_dtype()))
             return jnp.broadcast_to(R, (F, 4))
         return herm.herm_from_mixing(self.A)      # (F, 4)
 

@@ -158,15 +158,6 @@ def gen_apply(M, x0, x1):
     return m00 * x0 + m01 * x1, m10 * x0 + m11 * x1
 
 
-def scale(P, s):
-    """Scalar (broadcast) times packed matrix."""
-    return P * s[..., None]
-
-
-def add(P, Q):
-    return P + Q
-
-
 def add_noise_diag(P, sigma):
     """P + sigma * I for packed Hermitian, sigma real broadcastable."""
     zeros = jnp.zeros_like(P[..., 2])

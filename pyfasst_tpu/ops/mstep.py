@@ -22,10 +22,9 @@ update_spec_comps (UNVERIFIED; mount empty, see SURVEY.md §3.2 and §A):
     sequentially with V_j refreshed after each update (monotone in the IS
     divergence for fixed xi).
 
-Block assembly from the E-step's reduced statistics:
-    R^_xs,j(f)    = T1_j(f) A_j
-    R^_ss[j,k](f) = A_j^H (T2_jk - T3_jk) A_k + delta_jk sv_j I_Rj.
-The per-f solves touch only (F, R, R) arrays -- negligible next to the E-step.
+The blocks come pre-assembled in sub-source coordinates from the E-step
+(estep.SuffStats: Txs, Tss, T4, T7); the per-f solves touch only (F, R, R)
+arrays -- negligible next to the E-step.
 """
 from __future__ import annotations
 
@@ -43,11 +42,9 @@ from pyfasst_tpu.ops.estep import SuffStats
 # -- spatial ------------------------------------------------------------------
 
 def _as_conv_A(comp: SpatialComp, F: int) -> jnp.ndarray:
-    """A as complex (F, I, R) regardless of mixing type."""
-    A = comp.A
-    if comp.mix_type == INST:
-        A = jnp.broadcast_to(A[None].astype(jnp.complex64), (F,) + A.shape)
-    return A
+    """A as complex (F, I, R) regardless of mixing type (see
+    SpatialComp.conv_mixing; kept as a function for the ops-layer callers)."""
+    return comp.conv_mixing(F)
 
 
 def update_spatial(params: FasstParams, stats: SuffStats,
@@ -123,6 +120,16 @@ def update_spatial(params: FasstParams, stats: SuffStats,
 
 # -- spectral -----------------------------------------------------------------
 
+# Float32 guards shared by every multiplicative update (mirrored in the
+# oracle): ratio clamp against dead-component 0/0 swings, eps factor floor.
+UPD_MIN, UPD_MAX = 1e-5, 1e5
+
+
+def _mul_upd(factor, num_term, den_term, eps):
+    upd = jnp.clip(num_term / jnp.maximum(den_term, eps), UPD_MIN, UPD_MAX)
+    return jnp.maximum(factor * upd, eps)
+
+
 def _nmf_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
                         eps: float) -> Tuple[SpectralComp, jnp.ndarray]:
     """Sequential multiplicative updates of this component's free factors.
@@ -139,12 +146,8 @@ def _nmf_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
         otherwise produce 0/0 ratios that swing the model PSD by 1e10 per
         step and collapse the run.
     """
-    UPD_MIN, UPD_MAX = 1e-5, 1e5
-
     def mul_upd(factor, num_term, den_term):
-        upd = jnp.clip(num_term / jnp.maximum(den_term, eps),
-                       UPD_MIN, UPD_MAX)
-        return jnp.maximum(factor * upd, eps)
+        return _mul_upd(factor, num_term, den_term, eps)
 
     vk = comp.power()
     v_floor = 1e-12 * jnp.mean(P) + eps
@@ -188,12 +191,8 @@ def _simm_factor_updates(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
     the OTHER chain's envelope (cf. Durrieu's SIMM; models/lead.py uses the
     same rules standalone).
     """
-    UPD_MIN, UPD_MAX = 1e-5, 1e5
-
     def mul_upd(factor, num_term, den_term):
-        upd = jnp.clip(num_term / jnp.maximum(den_term, eps),
-                       UPD_MIN, UPD_MAX)
-        return jnp.maximum(factor * upd, eps)
+        return _mul_upd(factor, num_term, den_term, eps)
 
     vk = comp.power()
     v_floor = 1e-12 * jnp.mean(P) + eps
