@@ -119,8 +119,47 @@ class DEMIX:
                                                         self.wn)
         return self.u, self.conf
 
-    def comp_parameters(self, K: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Cluster confident bins -> (gains[K], delays[K] in samples)."""
+    def estimate_count(self, K_max: int = 6, drop: float = 0.5) -> int:
+        """Estimate the source count K^ (reference DEMIX estimates it too).
+
+        Elbow rule on the weighted k-means inertia: grow K while adding a
+        cluster still cuts the inertia by more than `drop`; the first K
+        whose improvement falls below it is returned.
+        """
+        z, w = self._features()
+        scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)
+                          * max(np.std(z[:, 0]), 1e-6)])
+        z = z * scale
+        prev = None
+        for K in range(1, K_max + 1):
+            centers, _ = _weighted_kmeans(z, w, K)
+            inertia = float(np.sum(w * np.min(
+                np.stack([np.sum((z - c) ** 2, axis=1) for c in centers]),
+                axis=0)))
+            if prev is not None and inertia > drop * prev:
+                return K - 1
+            prev = inertia
+        return K_max
+
+    def comp_parameters(self, K: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cluster confident bins -> (gains[K], delays[K] in samples).
+
+        K=None estimates the source count first (estimate_count)."""
+        if K is None:
+            K = self.estimate_count()
+        z, w = self._features()
+        scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)
+                          * max(np.std(z[:, 0]), 1e-6)])
+        centers, _ = _weighted_kmeans(z * scale, w, K)
+        centers = centers / scale
+        self.gains = np.exp(centers[:, 0])
+        self.delays = -centers[:, 1]
+        return self.gains, self.delays
+
+    def _features(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(features z (M, 2), weights w (M,)) of confident loud bins;
+        z columns are (log gain, delay in samples), pre-scaling."""
         self.comp_pcafeatures()
         u, conf, lam1 = self.u, self.conf, self.lam1
         # feature 1: log gain ratio |u1/u0|
@@ -145,15 +184,7 @@ class DEMIX:
         # no extra information.
         z, w = z[loud], np.minimum(w[loud], 100.0)
         keep = w >= np.quantile(w, self.conf_quantile)
-        z, w = z[keep], w[keep]
-        # scale features comparably (log-gain vs delay-in-samples)
-        scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)
-                          * max(np.std(z[:, 0]), 1e-6)])
-        centers, _ = _weighted_kmeans(z * scale, w, K)
-        centers = centers / scale
-        self.gains = np.exp(centers[:, 0])
-        self.delays = -centers[:, 1]
-        return self.gains, self.delays
+        return z[keep], w[keep]
 
     def mixing(self, F: Optional[int] = None) -> np.ndarray:
         """(K, F, 2, 1) complex anechoic mixing matrices for model init."""

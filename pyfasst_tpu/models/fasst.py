@@ -51,6 +51,7 @@ class FASST:
                  sigma_end_frac: float = 3e-6,
                  verbose: int = 0,
                  tf_method: str = "fft",
+                 dtype: str = "float32",
                  seed: int = 0):
         if isinstance(audio, AudioObject):
             self.audio = audio
@@ -61,6 +62,16 @@ class FASST:
         self.fs = self.audio.samplerate
         self.verbose = verbose
         self.key = jax.random.PRNGKey(seed)
+        # dtype='float64' is the CPU bit-parity mode (SURVEY.md §7 hard
+        # parts); it requires jax_enable_x64 (else jax silently downcasts).
+        if dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be float32/float64, got {dtype!r}")
+        if dtype == "float64" and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "dtype='float64' requires jax_enable_x64 (the CPU parity "
+                "mode); enable it via jax.config or the enable_x64 context")
+        self.dtype = jnp.float64 if dtype == "float64" else jnp.float32
+        self.np_dtype = np.float64 if dtype == "float64" else np.float32
 
         self.tft = STFT(wlen=wlen, hop=hop, fs=self.fs, method=tf_method)
         self.Xs = None       # (F, N, I) complex device array
@@ -95,7 +106,7 @@ class FASST:
         keep every intermediate inside float32 range regardless of the input
         recording level.
         """
-        data = self.audio.data.astype(np.float32)
+        data = self.audio.data.astype(self.np_dtype)
         if data.shape[1] != 2:
             raise ValueError(
                 f"the 2x2 engine expects stereo input, got {data.shape[1]} "

@@ -45,12 +45,13 @@ class MultiChanNMFInst_FASST(FASST):
         if freq_basis in ("erb", "mel"):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
                                       self.tft.wlen)
-        A_list = init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)
+        A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+                                  nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
         spec = tuple(
             init_nmf_comp(keys[j], self.F, self.N, nbNMFComps, spat_ind=j,
-                          fixed_FB=fixed_FB)
+                          fixed_FB=fixed_FB, dtype=self.dtype)
             for j in range(nbComps))
         self.params = FasstParams(spat=spat, spec=spec)
 
@@ -73,21 +74,24 @@ class MultiChanNMFConv(FASST):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
                                       self.tft.wlen)
         if init_mixing is not None:
-            A0 = jnp.asarray(init_mixing, jnp.complex64)
+            A0 = jnp.asarray(init_mixing,
+                             jnp.complex128 if self.dtype == jnp.float64
+                             else jnp.complex64)
         else:
+            cdt = np.complex128 if self.dtype == jnp.float64 else np.complex64
             base = np.stack(
                 [np.tile(a[None], (self.F, 1, 1)) for a in
                  init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
-            ).astype(np.complex64)
+            ).astype(cdt)
             rng = np.random.default_rng(0)
             base = base * np.exp(
-                1j * 0.05 * rng.standard_normal(base.shape)).astype(np.complex64)
+                1j * 0.05 * rng.standard_normal(base.shape)).astype(cdt)
             A0 = jnp.asarray(base)
         spat = tuple(SpatialComp(A=A0[j], mix_type=CONV, free=True)
                      for j in range(nbComps))
         spec = tuple(
             init_nmf_comp(keys[j], self.F, self.N, nbNMFComps, spat_ind=j,
-                          fixed_FB=fixed_FB)
+                          fixed_FB=fixed_FB, dtype=self.dtype)
             for j in range(nbComps))
         self.params = FasstParams(spat=spat, spec=spec)
 
@@ -107,14 +111,15 @@ class MultiChanHMM(FASST):
         keys = _split(self.key, nbComps)
         if mix_type == INST:
             A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
-                                      nbComps)
+                                      nbComps, dtype=self.dtype)
             spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                          for A in A_list)
         else:
+            cdt = np.complex128 if self.dtype == jnp.float64 else np.complex64
             base = np.stack(
                 [np.tile(a[None], (self.F, 1, 1)) for a in
                  init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
-            ).astype(np.complex64)
+            ).astype(cdt)
             spat = tuple(SpatialComp(A=jnp.asarray(base[j]), mix_type=CONV,
                                      free=True) for j in range(nbComps))
         Q = nbStates
@@ -129,8 +134,8 @@ class MultiChanHMM(FASST):
             TW = 0.5 + jax.random.uniform(
                 jax.random.fold_in(keys[j], 1), (Q, self.N))
             spec.append(SpectralComp(
-                FB=FB.astype(jnp.float32), TW=TW.astype(jnp.float32),
-                trans=jnp.asarray(trans, jnp.float32), spat_ind=j,
+                FB=FB.astype(self.dtype), TW=TW.astype(self.dtype),
+                trans=jnp.asarray(trans, self.dtype), spat_ind=j,
                 free=(True, False, True, False),
                 constraint=(HMM if sparsity == "HMM" else GMM)))
         self.params = FasstParams(spat=spat, spec=tuple(spec))
@@ -176,7 +181,8 @@ class multiChanSourceF0Filter(FASST):
                  f0_max: float = 500.0, **kw):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps + 2)
-        A_list = init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)
+        A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+                                  nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
         WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0,
@@ -184,11 +190,11 @@ class multiChanSourceF0Filter(FASST):
         WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
                                 self.tft.wlen)
         lead = SpectralComp(
-            FB=jnp.asarray(WF0, jnp.float32),
-            TW=0.5 + jax.random.uniform(keys[0], (n_f0, self.N), jnp.float32),
-            FB2=jnp.asarray(WGAMMA, jnp.float32),
+            FB=jnp.asarray(WF0, self.dtype),
+            TW=0.5 + jax.random.uniform(keys[0], (n_f0, self.N), self.dtype),
+            FB2=jnp.asarray(WGAMMA, self.dtype),
             TW2=0.5 + jax.random.uniform(
-                keys[1], (n_filter_bands, self.N), jnp.float32),
+                keys[1], (n_filter_bands, self.N), self.dtype),
             spat_ind=0, free=(False, False, True, False),
             free2=(False, True))
         spec = [lead]

@@ -46,3 +46,13 @@ def test_demix_recovers_gains_and_delays(rng):
     assert A.shape == (3, 65, 2, 1)
     # unit reference channel
     np.testing.assert_allclose(np.abs(A[:, :, 0, 0]), 1.0, atol=1e-6)
+
+
+def test_demix_estimates_source_count(rng):
+    X3 = _mixture(rng)                      # 3 well-separated sources
+    assert DEMIX(X=X3).estimate_count() == 3
+    X2 = _mixture(rng, gains=(0.4, 2.0), delays=(-3.0, 2.5),
+                  bands=((2, 20), (36, 60)))
+    assert DEMIX(X=X2).estimate_count() == 2
+    g, d = DEMIX(X=X2).comp_parameters()    # K=None -> auto
+    assert len(g) == 2

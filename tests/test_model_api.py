@@ -94,3 +94,23 @@ def test_spatial_filter_separation(stereo_audio, tmp_path):
     paths = m.separate_spatial_filter_comp(str(tmp_path))
     import os
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_float64_cpu_parity_mode(stereo_audio, tmp_path):
+    """SURVEY §7 hard parts: the x64 CPU bit-parity mode through the class."""
+    from jax import enable_x64
+    mix, fs = stereo_audio
+    with enable_x64():
+        m = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, iter_num=20,
+                                   dtype="float64")
+        assert m.Xs.dtype == np.complex128
+        assert m.params.spec[0].FB.dtype == np.float64
+        ll = m.estim_param_a_posteriori()
+        assert np.all(np.isfinite(ll))
+        ys = m.separated_images()
+        assert ys.dtype == np.float64
+
+    # requesting float64 without x64 enabled must error clearly
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="x64"):
+        MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, dtype="float64")
