@@ -335,6 +335,58 @@ def _nmf_updates(comp: OracleSpectral, P, V):
     return V
 
 
+def _state_factor_update(comp: OracleSpectral, P, V):
+    """GMM/HMM TW replacement (mirrors ops/hmm.py::state_factor_update)."""
+    vk = comp.power()
+    W = comp.W()
+    F = P.shape[0]
+    Winv = 1.0 / np.maximum(W, EPS)
+    g = np.maximum((Winv.T @ P) / F, EPS)                  # (Q, N)
+    logw = np.sum(np.log(np.maximum(W, EPS)), axis=0)
+    L = -(F * np.log(g) + logw[:, None] + F)               # (Q, N)
+    Q = W.shape[1]
+    if comp.constraint == "GMM":
+        prior = comp.trans if comp.trans is not None else np.full(Q, 1.0 / Q)
+        logp = L + np.log(np.maximum(prior, EPS))[:, None]
+        logp -= logp.max(axis=0, keepdims=True)
+        gamma = np.exp(logp)
+        gamma /= gamma.sum(axis=0, keepdims=True)
+    else:                                                  # HMM
+        trans = comp.trans if comp.trans is not None else np.full((Q, Q),
+                                                                  1.0 / Q)
+        logT = np.log(np.maximum(trans, EPS))
+        N = L.shape[1]
+        log_pi = np.full(Q, -np.log(Q))
+
+        def lse(x, axis):
+            m = x.max(axis=axis, keepdims=True)
+            return (m + np.log(np.exp(x - m).sum(axis=axis,
+                                                 keepdims=True))).squeeze(axis)
+
+        alphas = np.empty((N, Q))
+        alphas[0] = log_pi + L[:, 0]
+        for n in range(1, N):
+            alphas[n] = lse(alphas[n - 1][:, None] + logT, 0) + L[:, n]
+        betas = np.zeros((N, Q))
+        for n in range(N - 2, -1, -1):
+            betas[n] = lse(logT + (L[:, n + 1] + betas[n + 1])[None, :], 1)
+        post = alphas + betas
+        post -= lse(post, 1)[:, None]
+        gamma = np.exp(post).T
+    comp.TW = np.maximum(gamma * g, EPS)
+    return V - vk + comp.power()
+
+
+def _nmf_fb_fw_only(comp: OracleSpectral, P, V):
+    """NMF updates restricted to FB/FW (mirrors update_spectral's
+    pre-state-update template learning)."""
+    saved = comp.free
+    comp.free = (saved[0], saved[1], False, False)
+    V = _nmf_updates(comp, P, V)
+    comp.free = saved
+    return V
+
+
 def update_spectral(params: OracleParams, xi):
     for j in range(len(params.spat)):
         comps = [k for k in params.spec if k.spat_ind == j]
@@ -343,10 +395,12 @@ def update_spectral(params: OracleParams, xi):
         V = sum(k.power() for k in comps)
         P = xi[j]
         for comp in comps:
-            if comp.constraint != "NMF":
-                raise NotImplementedError(
-                    "oracle parity for GMM/HMM lives in test_hmm.py")
-            V = _nmf_updates(comp, P, V)
+            if comp.constraint == "NMF":
+                V = _nmf_updates(comp, P, V)
+            else:
+                if comp.free[0] or comp.free[1]:
+                    V = _nmf_fb_fw_only(comp, P, V)
+                V = _state_factor_update(comp, P, V)
 
 
 def renormalize(params: OracleParams):

@@ -112,3 +112,35 @@ def test_f32_tracks_oracle_loosely(rng):
     _, got_ll = jax.block_until_ready(run_gem(params, Xj, cfg))
     _, want_ll = oracle_gem_run(params_from_pytree(params), X, 10)
     np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-2)
+
+
+@pytest.mark.parametrize("constraint", ["GMM", "HMM"])
+def test_gem_parity_state_models_x64(rng, constraint):
+    """x64 engine vs oracle for the GSMM/HMM spectral E-step (configs[3])."""
+    with enable_x64():
+        F, N, Q = 21, 18, 3
+        X = (rng.standard_normal((F, N, 2))
+             + 1j * rng.standard_normal((F, N, 2)))
+        trans = (np.full(Q, 1.0 / Q) if constraint == "GMM"
+                 else 0.8 * np.eye(Q) + 0.1 * (1 - np.eye(Q)))
+        spat = (SpatialComp(A=jnp.asarray([[0.9], [0.4]])),
+                SpatialComp(A=jnp.asarray([[0.4], [0.9]])))
+        spec = (SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, Q))),
+                             TW=jnp.asarray(0.5 + rng.random((Q, N))),
+                             trans=jnp.asarray(trans), spat_ind=0,
+                             free=(True, False, True, False),
+                             constraint=constraint),
+                SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, 2))),
+                             TW=jnp.asarray(0.5 + rng.random((2, N))),
+                             spat_ind=1))
+        params = FasstParams(spat=spat, spec=spec)
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_params.spec[0].TW),
+                                   oparams.spec[0].TW, rtol=1e-4, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(got_params.spec[0].FB),
+                                   oparams.spec[0].FB, rtol=1e-4, atol=1e-10)
