@@ -73,10 +73,11 @@ class MultiChanNMFConv(FASST):
         if freq_basis in ("erb", "mel"):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
                                       self.tft.wlen)
+        from pyfasst_tpu.utils.misc import to_device_complex
         if init_mixing is not None:
-            A0 = jnp.asarray(init_mixing,
-                             jnp.complex128 if self.dtype == jnp.float64
-                             else jnp.complex64)
+            A0 = to_device_complex(
+                init_mixing, jnp.complex128 if self.dtype == jnp.float64
+                else jnp.complex64)
         else:
             cdt = np.complex128 if self.dtype == jnp.float64 else np.complex64
             base = np.stack(
@@ -86,7 +87,9 @@ class MultiChanNMFConv(FASST):
             rng = np.random.default_rng(0)
             base = base * np.exp(
                 1j * 0.05 * rng.standard_normal(base.shape)).astype(cdt)
-            A0 = jnp.asarray(base)
+            A0 = to_device_complex(
+                base, jnp.complex128 if self.dtype == jnp.float64
+                else jnp.complex64)
         spat = tuple(SpatialComp(A=A0[j], mix_type=CONV, free=True)
                      for j in range(nbComps))
         spec = tuple(
@@ -120,8 +123,10 @@ class MultiChanHMM(FASST):
                 [np.tile(a[None], (self.F, 1, 1)) for a in
                  init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
             ).astype(cdt)
-            spat = tuple(SpatialComp(A=jnp.asarray(base[j]), mix_type=CONV,
-                                     free=True) for j in range(nbComps))
+            from pyfasst_tpu.utils.misc import to_device_complex
+            spat = tuple(SpatialComp(A=to_device_complex(base[j]),
+                                     mix_type=CONV, free=True)
+                         for j in range(nbComps))
         Q = nbStates
         if sparsity == "HMM":
             trans = (self_trans * np.eye(Q)

@@ -1,4 +1,4 @@
-"""Fused Pallas E-step kernel (rank-1 sources, I = 2 channels).
+"""Fused Pallas E-step kernel (rank-1 and rank-2 sources, I = 2 channels).
 
 BASELINE.json:north_star calls for the hot loops to become fused TPU
 kernels. This kernel performs the ENTIRE E-step of estep.compute_suff_stats
@@ -9,10 +9,13 @@ w_j = A_j^H y, posterior PSDs xi_j, and ALL frame-reduced statistics
 is read from HBM exactly once and only xi is written back at (f, n) size.
 The XLA version materializes ~10 intermediate (F, N) arrays between fusions.
 
-Numerics are IDENTICAL to estep.py (same subtract-free determinant and
-sub-source-coordinate statistics); parity is tested element-wise on CPU via
-interpret mode. Rank-2 components and the 'ann_ns_inj' mode fall back to the
-XLA path (gem.py dispatches).
+The kernel is GENERATED per static rank tuple: complex scalars are (re, im)
+pairs of (TF, TN) tiles and the per-source loops unroll over sub-source
+columns, so rank-1 (instantaneous/anechoic) and rank-2 (full-rank spatial
+covariance) sources share one code path. Numerics are IDENTICAL to estep.py
+(same subtract-free determinant and sub-source-coordinate statistics);
+parity is tested element-wise on CPU via interpret mode. The 'ann_ns_inj'
+mode falls back to the XLA path (gem.py dispatches).
 
 Grid: (F/TF, N/TN) with the frame axis fastest; the reduced outputs map to
 frequency-only blocks that are revisited across the frame grid dimension
@@ -36,15 +39,57 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _make_kernel(J: int, TF: int, TN: int, N_valid: int):
+# -- tiny complex algebra on (re, im) tile pairs --------------------------------
+
+def _cmul(x, y):
+    return (x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0])
+
+
+def _cconj(x):
+    return (x[0], -x[1])
+
+
+def _cadd(x, y):
+    return (x[0] + y[0], x[1] + y[1])
+
+
+def _csub(x, y):
+    return (x[0] - y[0], x[1] - y[1])
+
+
+def _cscale(s, x):
+    return (s * x[0], s * x[1])
+
+
+def _cabs2(x):
+    return x[0] * x[0] + x[1] * x[1]
+
+
+def _cdot_conj(x, y):
+    """conj(x) * y."""
+    return (x[0] * y[0] + x[1] * y[1], x[0] * y[1] - x[1] * y[0])
+
+
+def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
+    J = len(ranks)
+    Rmax = max(ranks)
+
     def kernel(x4_ref, v_ref, R_ref, A_ref, sig_ref, trR_ref, Xc_ref,
                xi_ref, txs_ref, tss_ref, t4_ref, t7_ref, ll_ref):
         jn = pl.program_id(1)
+        first = jn == 0
 
-        x0r = x4_ref[0]
-        x0i = x4_ref[1]
-        x1r = x4_ref[2]
-        x1i = x4_ref[3]
+        def accum(ref, idx, tile):
+            @pl.when(first)
+            def _():
+                ref[idx] = tile
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[idx] += tile
+
+        x0 = (x4_ref[0], x4_ref[1])
+        x1 = (x4_ref[2], x4_ref[3])
         sig = sig_ref[:]                     # (TF, 1)
         v = [v_ref[j] for j in range(J)]     # (TF, TN) each
 
@@ -57,141 +102,170 @@ def _make_kernel(J: int, TF: int, TN: int, N_valid: int):
 
         a = sig + sum(v[j] * Ra[j] for j in range(J))
         d = sig + sum(v[j] * Rd[j] for j in range(J))
-        br = sum(v[j] * Rbr[j] for j in range(J))
-        bi = sum(v[j] * Rbi[j] for j in range(J))
+        b = (sum(v[j] * Rbr[j] for j in range(J)),
+             sum(v[j] * Rbi[j] for j in range(J)))
         lin = sum(v[j] * trR[j] for j in range(J))
         quad = 0.5 * sum(v[j] * v[k] * Xc_ref[j, k]
                          for j in range(J) for k in range(J))
         det = sig * sig + sig * lin + quad
         rinv = 1.0 / det
 
-        # y = Sigma_x^-1 x  via the adjugate [d, -b; -conj(b), a] / det
-        y0r = (d * x0r - br * x1r + bi * x1i) * rinv
-        y0i = (d * x0i - br * x1i - bi * x1r) * rinv
-        y1r = (a * x1r - br * x0r - bi * x0i) * rinv
-        y1i = (a * x1i - br * x0i + bi * x0r) * rinv
+        def sxi_apply(u0, u1):
+            """Sigma_x^-1 @ (u0, u1) via the adjugate [d, -b; -conj(b), a]."""
+            y0 = _cscale(rinv, _csub(_cscale(d, u0), _cmul(b, u1)))
+            y1 = _cscale(rinv, _csub(_cscale(a, u1), _cmul(_cconj(b), u0)))
+            return y0, y1
+
+        y0, y1 = sxi_apply(x0, x1)
 
         tr_sxi_rxx = jnp.maximum(
-            x0r * y0r + x0i * y0i + x1r * y1r + x1i * y1i, 0.0)
+            _cdot_conj(x0, y0)[0] + _cdot_conj(x1, y1)[0], 0.0)
 
-        # loglik contribution (mask padded frames)
         col = jax.lax.broadcasted_iota(jnp.int32, (TF, TN), 1) + jn * TN
-        valid = (col < N_valid).astype(x0r.dtype)
-        ll_tile = jnp.sum((jnp.log(det) + tr_sxi_rxx) * valid, axis=1,
-                          keepdims=True)
+        valid = (col < N_valid).astype(det.dtype)
+        accum(ll_ref, slice(None),
+              jnp.sum((jnp.log(det) + tr_sxi_rxx) * valid, axis=1,
+                      keepdims=True))
 
-        # per-source w_j = A_j^H y, leave-one-out dets, xi and accumulators
-        A0r = [A_ref[j, :, 0:1] for j in range(J)]
-        A0i = [A_ref[j, :, 1:2] for j in range(J)]
-        A1r = [A_ref[j, :, 2:3] for j in range(J)]
-        A1i = [A_ref[j, :, 3:4] for j in range(J)]
-
-        wr, wi = [], []
+        # per-source mixing columns (per-f rows broadcast over frames):
+        # A_ref[j] layout (TF, 4*Rmax): columns r -> [a0r, a0i, a1r, a1i].
+        Acol = []
         for j in range(J):
-            wr.append(A0r[j] * y0r + A0i[j] * y0i
-                      + A1r[j] * y1r + A1i[j] * y1i)
-            wi.append(A0r[j] * y0i - A0i[j] * y0r
-                      + A1r[j] * y1i - A1i[j] * y1r)
+            cols = []
+            for r in range(ranks[j]):
+                o = 4 * r
+                cols.append(((A_ref[j, :, o:o + 1], A_ref[j, :, o + 1:o + 2]),
+                             (A_ref[j, :, o + 2:o + 3],
+                              A_ref[j, :, o + 3:o + 4])))
+            Acol.append(cols)
 
-        first = jn == 0
+        # w_j,r = A_j[:, r]^H y  and  u_j,r = Sigma_x^-1 A_j[:, r]
+        w = [[_cadd(_cmul(_cconj(Acol[j][r][0]), y0),
+                    _cmul(_cconj(Acol[j][r][1]), y1))
+              for r in range(ranks[j])] for j in range(J)]
+        sxiA = [[sxi_apply(Acol[j][r][0], Acol[j][r][1])
+                 for r in range(ranks[j])] for j in range(J)]
+
         for j in range(J):
-            trCR = wr[j] * wr[j] + wi[j] * wi[j]
-            # leave-one-out S_j (direct sums over k != j)
+            trCR = sum(_cabs2(w[j][r]) for r in range(ranks[j]))
+
+            # leave-one-out S_j entries + cancellation-free determinant
             aS = sig + sum(v[k] * Ra[k] for k in range(J) if k != j)
             dS = sig + sum(v[k] * Rd[k] for k in range(J) if k != j)
-            brS = sum(v[k] * Rbr[k] for k in range(J) if k != j)
-            biS = sum(v[k] * Rbi[k] for k in range(J) if k != j)
+            bS = (sum(v[k] * Rbr[k] for k in range(J) if k != j),
+                  sum(v[k] * Rbi[k] for k in range(J) if k != j))
             linS = sum(v[k] * trR[k] for k in range(J) if k != j)
             quadS = 0.5 * sum(v[k] * v[l] * Xc_ref[k, l]
                               for k in range(J) for l in range(J)
                               if k != j and l != j)
             detS = sig * sig + sig * linS + quadS
-            t = (dS * Ra[j] + aS * Rd[j]
-                 - 2.0 * (brS * Rbr[j] + biS * Rbi[j])) / detS
-            den = 1.0 + v[j] * t
-            xi_ref[j] = v[j] * v[j] * trCR + v[j] / den
+            rinvS = 1.0 / detS
 
-            t4_tile = jnp.sum(v[j] / den, axis=1, keepdims=True)
-            # Txs_j = sum_n v_j x conj(w_j): [x0 w*, x1 w*] -> 4 reals
-            vj = v[j]
-            txs_tile = jnp.stack([
-                jnp.sum(vj * (x0r * wr[j] + x0i * wi[j]), axis=1),
-                jnp.sum(vj * (x0i * wr[j] - x0r * wi[j]), axis=1),
-                jnp.sum(vj * (x1r * wr[j] + x1i * wi[j]), axis=1),
-                jnp.sum(vj * (x1i * wr[j] - x1r * wi[j]), axis=1),
-            ], axis=-1)                                   # (TF, 4)
+            def sji_apply(u0, u1):
+                z0 = _cscale(rinvS, _csub(_cscale(dS, u0), _cmul(bS, u1)))
+                z1 = _cscale(rinvS, _csub(_cscale(aS, u1),
+                                          _cmul(_cconj(bS), u0)))
+                return z0, z1
 
-            @pl.when(first)
-            def _():
-                t4_ref[j] = t4_tile
-                txs_ref[j] = txs_tile
+            # M_rs = A_j[:, r]^H S_j^-1 A_j[:, s]  (R x R Hermitian)
+            sjA = [sji_apply(Acol[j][s][0], Acol[j][s][1])
+                   for s in range(ranks[j])]
+            M = [[_cadd(_cmul(_cconj(Acol[j][r][0]), sjA[s][0]),
+                        _cmul(_cconj(Acol[j][r][1]), sjA[s][1]))
+                  for s in range(ranks[j])] for r in range(ranks[j])]
 
-            @pl.when(jnp.logical_not(first))
-            def _():
-                t4_ref[j] += t4_tile
-                txs_ref[j] += txs_tile
+            if ranks[j] == 1:
+                den = 1.0 + v[j] * M[0][0][0]
+                coef = 1.0 / den
+                accum(t4_ref, j, jnp.concatenate(
+                    [jnp.sum(v[j] / den, axis=1, keepdims=True),
+                     jnp.zeros((TF, 3), det.dtype)], axis=1))
+            else:
+                # G = I_2 + v M (Hermitian PD, det >= 1): closed-form inverse
+                g00 = 1.0 + v[j] * M[0][0][0]
+                g11 = 1.0 + v[j] * M[1][1][0]
+                g01 = _cscale(v[j], M[0][1])
+                dG = jnp.maximum(g00 * g11 - _cabs2(g01), 1.0)
+                rG = 1.0 / dG
+                coef = (g00 + g11) * rG
+                t4_tile = jnp.concatenate([
+                    jnp.sum(v[j] * g11 * rG, axis=1, keepdims=True),
+                    jnp.sum(v[j] * g00 * rG, axis=1, keepdims=True),
+                    jnp.sum(-v[j] * g01[0] * rG, axis=1, keepdims=True),
+                    jnp.sum(-v[j] * g01[1] * rG, axis=1, keepdims=True),
+                ], axis=1)
+                accum(t4_ref, j, t4_tile)
+
+            xi_ref[j] = (v[j] * v[j] * trCR + v[j] * coef) / ranks[j]
+
+            # Txs_j = sum_n v_j x w_j^H : per column r -> [x0 w*, x1 w*]
+            txs_cols = []
+            for r in range(ranks[j]):
+                cw = _cconj(w[j][r])
+                p0 = _cmul(x0, cw)
+                p1 = _cmul(x1, cw)
+                for comp_ in (p0[0], p0[1], p1[0], p1[1]):
+                    txs_cols.append(jnp.sum(v[j] * comp_, axis=1,
+                                            keepdims=True))
+            txs_tile = jnp.concatenate(
+                txs_cols + [jnp.zeros((TF, 4 * (Rmax - ranks[j])),
+                                      det.dtype)] if ranks[j] < Rmax
+                else txs_cols, axis=1)
+            accum(txs_ref, j, txs_tile)
 
         for j in range(J):
             for k in range(J):
                 vv = v[j] * v[k]
-                # Tss_jk = sum_n v_j v_k w_j conj(w_k)
-                ss_r = jnp.sum(vv * (wr[j] * wr[k] + wi[j] * wi[k]),
-                               axis=1)
-                ss_i = jnp.sum(vv * (wi[j] * wr[k] - wr[j] * wi[k]),
-                               axis=1)
-                tss_tile = jnp.stack([ss_r, ss_i], axis=-1)
+                cols = []
+                for r in range(ranks[j]):
+                    for s in range(ranks[k]):
+                        # Tss: v_j v_k w_j,r conj(w_k,s)
+                        pr = _cmul(w[j][r], _cconj(w[k][s]))
+                        cols.append(jnp.sum(vv * pr[0], axis=1,
+                                            keepdims=True))
+                        cols.append(jnp.sum(vv * pr[1], axis=1,
+                                            keepdims=True))
+                pad = 2 * (Rmax * Rmax - ranks[j] * ranks[k])
+                if pad:
+                    cols.append(jnp.zeros((TF, pad), det.dtype))
+                accum(tss_ref, (j, k), jnp.concatenate(cols, axis=1))
 
-                # T7_jk = sum_n v_j v_k A_j^H Sigma_x^-1 A_k  (j != k);
-                # Sigma_x^-1 = [d, -b; -conj(b), a]/det with b = br + i bi.
                 if j != k:
-                    # u = Sigma_x^-1 A_k  (complex 2-vector)
-                    u0r = (d * A0r[k] - br * A1r[k] + bi * A1i[k]) * rinv
-                    u0i = (d * A0i[k] - br * A1i[k] - bi * A1r[k]) * rinv
-                    u1r = (a * A1r[k] - br * A0r[k] - bi * A0i[k]) * rinv
-                    u1i = (a * A1i[k] - br * A0i[k] + bi * A0r[k]) * rinv
-                    m_r = (A0r[j] * u0r + A0i[j] * u0i
-                           + A1r[j] * u1r + A1i[j] * u1i)
-                    m_i = (A0r[j] * u0i - A0i[j] * u0r
-                           + A1r[j] * u1i - A1i[j] * u1r)
-                    t7_tile = jnp.stack([jnp.sum(vv * m_r, axis=1),
-                                         jnp.sum(vv * m_i, axis=1)], axis=-1)
+                    cols7 = []
+                    for r in range(ranks[j]):
+                        for s in range(ranks[k]):
+                            # T7: v_j v_k A_j,r^H Sigma_x^-1 A_k,s
+                            m = _cadd(
+                                _cmul(_cconj(Acol[j][r][0]), sxiA[k][s][0]),
+                                _cmul(_cconj(Acol[j][r][1]), sxiA[k][s][1]))
+                            cols7.append(jnp.sum(vv * m[0], axis=1,
+                                                 keepdims=True))
+                            cols7.append(jnp.sum(vv * m[1], axis=1,
+                                                 keepdims=True))
+                    if pad:
+                        cols7.append(jnp.zeros((TF, pad), det.dtype))
+                    accum(t7_ref, (j, k), jnp.concatenate(cols7, axis=1))
                 else:
-                    t7_tile = jnp.zeros((TF, 2), tss_tile.dtype)
-
-                @pl.when(first)
-                def _():
-                    tss_ref[j, k] = tss_tile
-                    t7_ref[j, k] = t7_tile
-
-                @pl.when(jnp.logical_not(first))
-                def _():
-                    tss_ref[j, k] += tss_tile
-                    t7_ref[j, k] += t7_tile
-
-        @pl.when(first)
-        def _():
-            ll_ref[:] = ll_tile
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            ll_ref[:] += ll_tile
+                    accum(t7_ref, (j, k),
+                          jnp.zeros((TF, 2 * Rmax * Rmax), det.dtype))
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
-                       A4: jnp.ndarray, sigma: jnp.ndarray,
-                       trR: jnp.ndarray, Xc: jnp.ndarray,
-                       interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("ranks", "interpret"))
+def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
+                 A4: jnp.ndarray, sigma: jnp.ndarray,
+                 trR: jnp.ndarray, Xc: jnp.ndarray,
+                 ranks: Tuple[int, ...], interpret: bool = False):
     """Run the fused kernel.
 
-    X (F, N, 2) complex; v (J, F, N); Rj (J, F, 4); A4 (J, F, 4) real
-    [Re A0, Im A0, Re A1, Im A1]; sigma (F,); trR (J, F); Xc (J, J, F).
-    Returns (xi, txs, tss, t4, t7, loglik) with reduced stats in packed real
-    form (see ops.gem wrapper for the complex views).
+    X (F, N, 2) complex; v (J, F, N); Rj (J, F, 4); A4 (J, F, 4*Rmax) real
+    mixing columns [Re A0r, Im A0r, Re A1r, Im A1r] per sub-source r;
+    sigma (F,); trR (J, F); Xc (J, J, F). Returns packed-real
+    (xi, txs, tss, t4, t7, loglik); see pallas_suff_stats for complex views.
     """
     J, F, N = v.shape
+    Rmax = max(ranks)
     # Large tiles: VMEM comfortably holds (TF, TN) f32 working sets for the
     # ~12 live arrays, and a single frame-tile avoids the accumulation
     # revisits entirely for typical clip lengths.
@@ -208,8 +282,7 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
     trRp = jnp.pad(trR, ((0, 0), (0, Fp - F)))[..., None]
     Xcp = jnp.pad(Xc, ((0, 0), (0, 0), (0, Fp - F)))[..., None]
 
-    nF, nN = Fp // TF, Np // TN
-    grid = (nF, nN)
+    grid = (Fp // TF, Np // TN)
 
     def fmap(i, j):
         return (0, i, 0)
@@ -220,7 +293,7 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         pl.BlockSpec((J, TF, TN), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((J, TF, 4), fmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((J, TF, 4), fmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, TF, 4 * Rmax), fmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((TF, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, TF, 1), fmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((J, J, TF, 1), lambda i, j: (0, 0, i, 0),
@@ -229,24 +302,27 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
     out_specs = [
         pl.BlockSpec((J, TF, TN), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),                    # xi
-        pl.BlockSpec((J, TF, 4), fmap, memory_space=pltpu.VMEM),  # txs
-        pl.BlockSpec((J, J, TF, 2), lambda i, j: (0, 0, i, 0),
+        pl.BlockSpec((J, TF, 4 * Rmax), fmap,
+                     memory_space=pltpu.VMEM),                    # txs
+        pl.BlockSpec((J, J, TF, 2 * Rmax * Rmax),
+                     lambda i, j: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),                    # tss
-        pl.BlockSpec((J, TF, 1), fmap, memory_space=pltpu.VMEM),  # t4
-        pl.BlockSpec((J, J, TF, 2), lambda i, j: (0, 0, i, 0),
+        pl.BlockSpec((J, TF, 4), fmap, memory_space=pltpu.VMEM),  # t4
+        pl.BlockSpec((J, J, TF, 2 * Rmax * Rmax),
+                     lambda i, j: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),                    # t7
         pl.BlockSpec((TF, 1), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),                    # ll
     ]
     out_shape = [
         jax.ShapeDtypeStruct((J, Fp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((J, Fp, 4 * Rmax), jnp.float32),
+        jax.ShapeDtypeStruct((J, J, Fp, 2 * Rmax * Rmax), jnp.float32),
         jax.ShapeDtypeStruct((J, Fp, 4), jnp.float32),
-        jax.ShapeDtypeStruct((J, J, Fp, 2), jnp.float32),
-        jax.ShapeDtypeStruct((J, Fp, 1), jnp.float32),
-        jax.ShapeDtypeStruct((J, J, Fp, 2), jnp.float32),
+        jax.ShapeDtypeStruct((J, J, Fp, 2 * Rmax * Rmax), jnp.float32),
         jax.ShapeDtypeStruct((Fp, 1), jnp.float32),
     ]
-    kernel = _make_kernel(J, TF, TN, N)
+    kernel = _make_kernel(ranks, TF, TN, N)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -258,7 +334,7 @@ def pallas_estep_rank1(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
 
     xi = xi[:, :F, :N]
     loglik = -jnp.sum(llf[:F, 0])
-    return xi, txs[:, :F], tss[:, :, :F], t4[:, :F, 0], t7[:, :, :F], loglik
+    return xi, txs[:, :F], tss[:, :, :F], t4[:, :F], t7[:, :, :F], loglik
 
 
 def pallas_available() -> bool:
@@ -269,27 +345,53 @@ def pallas_available() -> bool:
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                       interpret: bool = False):
-    """Drop-in replacement for estep.compute_suff_stats (rank-1, no
-    noise injection). Returns an estep.SuffStats."""
+    """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2},
+    no noise injection). Returns an estep.SuffStats."""
     from pyfasst_tpu.ops.estep import SuffStats, cross_terms
 
-    assert all(r == 1 for r in ranks)
+    assert all(r in (1, 2) for r in ranks)
     J = v.shape[0]
+    Rmax = max(ranks)
     trR, Xc = cross_terms(Rj, A_conv)
     A4 = jnp.stack([
-        jnp.stack([jnp.real(A_conv[j][:, 0, 0]), jnp.imag(A_conv[j][:, 0, 0]),
-                   jnp.real(A_conv[j][:, 1, 0]), jnp.imag(A_conv[j][:, 1, 0])],
-                  axis=-1)
-        for j in range(J)])                                   # (J, F, 4)
-    xi, txs, tss, t4, t7, loglik = pallas_estep_rank1(
-        X, v, Rj, A4, sigma, trR, Xc, interpret=interpret)
+        jnp.concatenate(
+            [jnp.stack([jnp.real(A_conv[j][:, 0, r]),
+                        jnp.imag(A_conv[j][:, 0, r]),
+                        jnp.real(A_conv[j][:, 1, r]),
+                        jnp.imag(A_conv[j][:, 1, r])], axis=-1)
+             for r in range(ranks[j])]
+            + ([jnp.zeros((v.shape[1], 4 * (Rmax - ranks[j])), jnp.float32)]
+               if ranks[j] < Rmax else []), axis=-1)
+        for j in range(J)])                                   # (J, F, 4*Rmax)
+    xi, txs, tss, t4, t7, loglik = pallas_estep(
+        X, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
+        interpret=interpret)
     xi = jnp.maximum(xi, eps)
-    Txs = tuple((txs[j, :, 0::2] + 1j * txs[j, :, 1::2])[..., None]
-                for j in range(J))                            # (F, 2, 1) each
-    Tss = tuple(tuple((tss[j, k, :, 0] + 1j * tss[j, k, :, 1])[:, None, None]
-                      for k in range(J)) for j in range(J))
-    T4 = tuple(t4[j] for j in range(J))
-    T7 = tuple(tuple(None if j == k else
-                     (t7[j, k, :, 0] + 1j * t7[j, k, :, 1])[:, None, None]
-                     for k in range(J)) for j in range(J))
-    return SuffStats(xi=xi, Txs=Txs, Tss=Tss, T4=T4, T7=T7, loglik=loglik)
+
+    def c_(re, im):
+        return re + 1j * im
+
+    Txs = []
+    for j in range(J):
+        R = ranks[j]
+        cols = txs[j].reshape(-1, Rmax, 4)[:, :R]              # (F, R, 4)
+        Txs.append(jnp.stack([c_(cols[..., 0], cols[..., 1]),
+                              c_(cols[..., 2], cols[..., 3])], axis=1))
+    Tss, T7 = [], []
+    for j in range(J):
+        row_ss, row_7 = [], []
+        for k in range(J):
+            Rj_, Rk_ = ranks[j], ranks[k]
+            blk = tss[j, k][:, :2 * Rj_ * Rk_].reshape(-1, Rj_, Rk_, 2)
+            row_ss.append(c_(blk[..., 0], blk[..., 1]))
+            if j == k:
+                row_7.append(None)
+            else:
+                blk7 = t7[j, k][:, :2 * Rj_ * Rk_].reshape(-1, Rj_, Rk_, 2)
+                row_7.append(c_(blk7[..., 0], blk7[..., 1]))
+        Tss.append(tuple(row_ss))
+        T7.append(tuple(row_7))
+    T4 = tuple(t4[j][:, 0] if ranks[j] == 1 else t4[j]
+               for j in range(J))
+    return SuffStats(xi=xi, Txs=tuple(Txs), Tss=Tss and tuple(Tss),
+                     T4=T4, T7=tuple(T7), loglik=loglik)

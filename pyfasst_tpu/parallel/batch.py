@@ -71,7 +71,8 @@ def batch_separate(
         batch_idx = list(idxs)
         while len(batch_idx) % dp != 0:
             batch_idx.append(idxs[-1])
-        X_b = jnp.asarray(np.stack([
+        from pyfasst_tpu.utils.misc import to_device_complex
+        X_b = to_device_complex(np.stack([
             _pad_frames(np.asarray(Xs[i], np.complex64), Npad)
             for i in batch_idx]))
         params_b = batch_params([make_params(F, Npad, i) for i in batch_idx])

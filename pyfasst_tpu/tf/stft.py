@@ -164,8 +164,9 @@ def stft(x, wlen: int = 1024, hop: Optional[int] = None,
 def istft(X, nsamples: int, wlen: int = 1024, hop: Optional[int] = None,
           window: Optional[np.ndarray] = None):
     """Synthesis: complex (F, N[, I]) -> (nsamples[, I]) via normalized WOLA."""
+    from pyfasst_tpu.utils.misc import to_device_complex
     hop = hop or wlen // 2
-    X = jnp.asarray(X)
+    X = to_device_complex(X) if isinstance(X, np.ndarray) else jnp.asarray(X)
     win = jnp.asarray(window if window is not None else sine_window(wlen),
                       dtype=jnp.real(X).dtype)
     return _istft_core(X, win, wlen, hop, nsamples)

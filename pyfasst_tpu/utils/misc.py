@@ -26,6 +26,27 @@ def ident(n: int, dtype=np.float64):
     return np.eye(n, dtype=dtype)
 
 
+def to_device_complex(x, dtype=None):
+    """Upload a complex host array via two real transfers.
+
+    Complex transfers are Unimplemented in BOTH directions on the axon TPU
+    backend (see CLAUDE.md): device->host must split (to_host_complex), and
+    host->device complex buffers abort at execution time with an opaque
+    'Unimplemented'. Combine on device with lax.complex instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x, dtype)
+    if dtype is not None:
+        rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    else:  # follow the input (downcasts silently when x64 is off)
+        rdt = jnp.float64 if x.dtype == np.complex128 else jnp.float32
+    return jax.lax.complex(jnp.asarray(x.real, rdt),
+                           jnp.asarray(x.imag, rdt))
+
+
 def to_host_complex(x) -> np.ndarray:
     """Fetch a complex device array to host via two real transfers.
 

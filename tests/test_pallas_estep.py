@@ -84,3 +84,82 @@ def test_pallas_estep_multitile_accumulation(rng):
             np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
                                        np.asarray(want.Tss[j][k]),
                                        rtol=5e-4, atol=1e-3)
+
+
+def _rank2_problem(rng, F=21, N=50, J=2):
+    X = jnp.asarray(rng.standard_normal((F, N, 2))
+                    + 1j * rng.standard_normal((F, N, 2)), jnp.complex64)
+    spat = []
+    for j in range(J):
+        A = (rng.standard_normal((F, 2, 2))
+             + 1j * rng.standard_normal((F, 2, 2))) * 0.5
+        spat.append(SpatialComp(A=jnp.asarray(A, jnp.complex64),
+                                mix_type="conv"))
+    spec = tuple(SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, 3)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((3, N)), jnp.float32),
+        spat_ind=j) for j in range(J))
+    params = FasstParams(spat=tuple(spat), spec=spec)
+    v = params.all_source_powers()
+    Rj = spatial_covs(params, F)
+    A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
+    sigma = jnp.asarray(0.01 + 0.005 * rng.random(F), jnp.float32)
+    return X, v, Rj, A_conv, sigma, (2,) * J
+
+
+def test_pallas_estep_rank2(rng):
+    """Full-rank (rank-2) sources through the generated kernel."""
+    X, v, Rj, A_conv, sigma, ranks = _rank2_problem(rng)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=5e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.T4[j]),
+                                   np.asarray(want.T4[j]),
+                                   rtol=5e-4, atol=1e-4)
+        for k in range(2):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=5e-4, atol=1e-3)
+            if j != k:
+                np.testing.assert_allclose(np.asarray(got.T7[j][k]),
+                                           np.asarray(want.T7[j][k]),
+                                           rtol=5e-4, atol=1e-3)
+
+
+def test_pallas_estep_mixed_ranks(rng):
+    """One rank-1 + one rank-2 source (padded mixing columns)."""
+    F, N = 17, 40
+    X = jnp.asarray(rng.standard_normal((F, N, 2))
+                    + 1j * rng.standard_normal((F, N, 2)), jnp.complex64)
+    A2 = (rng.standard_normal((F, 2, 2))
+          + 1j * rng.standard_normal((F, 2, 2))) * 0.5
+    spat = (SpatialComp(A=jnp.asarray(np.abs(rng.standard_normal((2, 1)))
+                                      + 0.3, jnp.float32)),
+            SpatialComp(A=jnp.asarray(A2, jnp.complex64), mix_type="conv"))
+    spec = tuple(SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, 3)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((3, N)), jnp.float32),
+        spat_ind=j) for j in range(2))
+    params = FasstParams(spat=spat, spec=spec)
+    v = params.all_source_powers()
+    Rj = spatial_covs(params, F)
+    A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
+    sigma = jnp.asarray(0.02 + 0.005 * rng.random(F), jnp.float32)
+    ranks = (1, 2)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=5e-4, atol=1e-3)
