@@ -78,9 +78,9 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
     noise_inject = cfg.annealing == AnnealingMode.ANN_NS_INJ
     pallas_ok = cfg.use_pallas and pallas_available()
-    if pallas_ok and not noise_inject and all(r in (1, 2) for r in ranks):
+    if pallas_ok and all(r in (1, 2) for r in ranks):
         stats = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
-                                  eps=cfg.eps)
+                                  eps=cfg.eps, noise_inject=noise_inject)
     else:
         stats = compute_suff_stats(
             X, v, Rj, sigma, ranks, eps=cfg.eps,

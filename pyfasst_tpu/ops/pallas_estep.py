@@ -12,10 +12,10 @@ The XLA version materializes ~10 intermediate (F, N) arrays between fusions.
 The kernel is GENERATED per static rank tuple: complex scalars are (re, im)
 pairs of (TF, TN) tiles and the per-source loops unroll over sub-source
 columns, so rank-1 (instantaneous/anechoic) and rank-2 (full-rank spatial
-covariance) sources share one code path. Numerics are IDENTICAL to estep.py
+covariance) sources share one code path, and the 'ann_ns_inj' noise
+injection is a static kernel variant. Numerics are IDENTICAL to estep.py
 (same subtract-free determinant and sub-source-coordinate statistics);
-parity is tested element-wise on CPU via interpret mode. The 'ann_ns_inj'
-mode falls back to the XLA path (gem.py dispatches).
+parity is tested element-wise on CPU via interpret mode.
 
 Grid: (F/TF, N/TN) with the frame axis fastest; the reduced outputs map to
 frequency-only blocks that are revisited across the frame grid dimension
@@ -70,7 +70,8 @@ def _cdot_conj(x, y):
     return (x[0] * y[0] + x[1] * y[1], x[0] * y[1] - x[1] * y[0])
 
 
-def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
+def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
+                 ns_inj: bool = False):
     J = len(ranks)
     Rmax = max(ranks)
 
@@ -120,6 +121,9 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
 
         tr_sxi_rxx = jnp.maximum(
             _cdot_conj(x0, y0)[0] + _cdot_conj(x1, y1)[0], 0.0)
+        if ns_inj:
+            # 'ann_ns_inj': observed covariance becomes x x^H + sigma I
+            tr_sxi_rxx = tr_sxi_rxx + sig * (a + d) * rinv
 
         col = jax.lax.broadcasted_iota(jnp.int32, (TF, TN), 1) + jn * TN
         valid = (col < N_valid).astype(det.dtype)
@@ -148,6 +152,10 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
 
         for j in range(J):
             trCR = sum(_cabs2(w[j][r]) for r in range(ranks[j]))
+            if ns_inj:
+                trCR = trCR + sig * sum(
+                    _cabs2(sxiA[j][r][0]) + _cabs2(sxiA[j][r][1])
+                    for r in range(ranks[j]))
 
             # leave-one-out S_j entries + cancellation-free determinant
             aS = sig + sum(v[k] * Ra[k] for k in range(J) if k != j)
@@ -204,6 +212,9 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
                 cw = _cconj(w[j][r])
                 p0 = _cmul(x0, cw)
                 p1 = _cmul(x1, cw)
+                if ns_inj:
+                    p0 = _cadd(p0, _cscale(sig, sxiA[j][r][0]))
+                    p1 = _cadd(p1, _cscale(sig, sxiA[j][r][1]))
                 for comp_ in (p0[0], p0[1], p1[0], p1[1]):
                     txs_cols.append(jnp.sum(v[j] * comp_, axis=1,
                                             keepdims=True))
@@ -221,6 +232,12 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
                     for s in range(ranks[k]):
                         # Tss: v_j v_k w_j,r conj(w_k,s)
                         pr = _cmul(w[j][r], _cconj(w[k][s]))
+                        if ns_inj:
+                            # + sigma v_j v_k z_j,r^H z_k,s
+                            zc = _cadd(
+                                _cdot_conj(sxiA[j][r][0], sxiA[k][s][0]),
+                                _cdot_conj(sxiA[j][r][1], sxiA[k][s][1]))
+                            pr = _cadd(pr, _cscale(sig, zc))
                         cols.append(jnp.sum(vv * pr[0], axis=1,
                                             keepdims=True))
                         cols.append(jnp.sum(vv * pr[1], axis=1,
@@ -252,11 +269,13 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ranks", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("ranks", "ns_inj", "interpret"))
 def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
                  A4: jnp.ndarray, sigma: jnp.ndarray,
                  trR: jnp.ndarray, Xc: jnp.ndarray,
-                 ranks: Tuple[int, ...], interpret: bool = False):
+                 ranks: Tuple[int, ...], ns_inj: bool = False,
+                 interpret: bool = False):
     """Run the fused kernel.
 
     X (F, N, 2) complex; v (J, F, N); Rj (J, F, 4); A4 (J, F, 4*Rmax) real
@@ -322,7 +341,7 @@ def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         jax.ShapeDtypeStruct((J, J, Fp, 2 * Rmax * Rmax), jnp.float32),
         jax.ShapeDtypeStruct((Fp, 1), jnp.float32),
     ]
-    kernel = _make_kernel(ranks, TF, TN, N)
+    kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -344,9 +363,9 @@ def pallas_available() -> bool:
 
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
-                      interpret: bool = False):
-    """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2},
-    no noise injection). Returns an estep.SuffStats."""
+                      noise_inject: bool = False, interpret: bool = False):
+    """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2}).
+    Returns an estep.SuffStats."""
     from pyfasst_tpu.ops.estep import SuffStats, cross_terms
 
     assert all(r in (1, 2) for r in ranks)
@@ -365,7 +384,7 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
         for j in range(J)])                                   # (J, F, 4*Rmax)
     xi, txs, tss, t4, t7, loglik = pallas_estep(
         X, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
-        interpret=interpret)
+        ns_inj=noise_inject, interpret=interpret)
     xi = jnp.maximum(xi, eps)
 
     def c_(re, im):

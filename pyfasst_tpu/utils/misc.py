@@ -40,9 +40,11 @@ def to_device_complex(x, dtype=None):
     if not np.iscomplexobj(x):
         return jnp.asarray(x, dtype)
     if dtype is not None:
-        rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-    else:  # follow the input (downcasts silently when x64 is off)
-        rdt = jnp.float64 if x.dtype == np.complex128 else jnp.float32
+        want64 = dtype == jnp.complex128
+    else:  # follow the input
+        want64 = x.dtype == np.complex128
+    rdt = jnp.float64 if (want64 and jax.config.jax_enable_x64) \
+        else jnp.float32
     return jax.lax.complex(jnp.asarray(x.real, rdt),
                            jnp.asarray(x.imag, rdt))
 

@@ -163,3 +163,24 @@ def test_pallas_estep_mixed_ranks(rng):
         np.testing.assert_allclose(np.asarray(got.Txs[j]),
                                    np.asarray(want.Txs[j]),
                                    rtol=5e-4, atol=1e-3)
+
+
+def test_pallas_estep_noise_inject(rng):
+    """'ann_ns_inj' corrections through the kernel (vs XLA path)."""
+    X, v, Rj, A_conv, sigma, ranks = _problem(rng, F=17, N=40, J=2)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv,
+                              noise_inject=True)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
+                            noise_inject=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=3e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=5e-4, atol=1e-4)
+        for k in range(2):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=5e-4, atol=1e-4)
