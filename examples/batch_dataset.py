@@ -45,8 +45,9 @@ for p, a, img in zip(paths, audios, imgs):
     stem = os.path.splitext(os.path.basename(p))[0]
     for j in range(img.shape[0]):
         tft._nsamples = a.nsamples
-        y = np.asarray(tft.invertTransform(jnp.asarray(img[j]),
-                                           nsamples=a.nsamples))
+        # pass the host array directly: invertTransform uploads complex
+        # data axon-safely (split real/imag)
+        y = np.asarray(tft.invertTransform(img[j], nsamples=a.nsamples))
         wavwrite(y / max(np.abs(y).max(), 1.0), a.samplerate,
                  os.path.join(out_dir, f"{stem}_src{j}.wav"))
 print("done:", len(paths), "clips")

@@ -22,8 +22,12 @@ X = tft.computeTransform(audio.data.astype(np.float32))
 F, N = int(X.shape[0]), int(X.shape[1])
 Nb = N // n_blocks
 
-A0 = jnp.stack([jnp.broadcast_to(jnp.asarray(a[:, 0], jnp.complex64), (F, 2))
-                for a in init_inst_mixing(None, 2, 1, J)])
+# build the complex init ON DEVICE (complex host->device uploads are
+# Unimplemented on the axon TPU backend; see CLAUDE.md)
+A0 = jnp.stack([
+    jnp.broadcast_to(jnp.asarray(np.asarray(a)[:, 0],
+                                 jnp.float32).astype(jnp.complex64), (F, 2))
+    for a in init_inst_mixing(None, 2, 1, J)])
 rng = np.random.default_rng(0)
 FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
 TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
@@ -33,4 +37,4 @@ A, FB, TW_all, logliks = run_gem_online(A0, FB0, TW0, X[:, :n_blocks * Nb],
                                         sigma, n_blocks=n_blocks)
 print("block log-likelihoods:", np.round(np.asarray(logliks), 1))
 print("learned mixing (mean over f):",
-      np.round(np.abs(np.asarray(A)).mean(axis=1), 3))
+      np.round(np.asarray(jnp.abs(A)).mean(axis=1), 3))
