@@ -36,40 +36,40 @@ def simm_updates(P, WF0, WG, HF0, HG, WM, HM, niter: int, eps=1e-12):
     """IS-NMF multiplicative updates of the SIMM factors against P = |X|^2.
 
     Shapes: P (F, N); WF0 (F, U); HF0 (U, N); WG (F, G); HG (G, N);
-    WM (F, M); HM (M, N). Returns updated (HF0, HG, WM, HM).
+    WM (F, M); HM (M, N). Returns updated (HF0, HG, WM, HM). Uses the same
+    float32 guards as the GEM engine (mstep.py): model PSD floored RELATIVE
+    to the observed scale, multiplicative ratios clamped (dead components
+    otherwise 0/0-swing the model).
     """
-    def model(HF0, HG, WM, HM):
-        SF0 = WF0 @ HF0
-        SPHI = WG @ HG
-        return SF0, SPHI, SF0 * SPHI + WM @ HM
+    from pyfasst_tpu.ops.mstep import _mul_upd
+
+    v_floor = 1e-12 * jnp.mean(P) + eps
+
+    def nd(V):
+        Vc = jnp.maximum(V, v_floor)
+        return P / (Vc * Vc), 1.0 / Vc
 
     def body(_, carry):
         HF0, HG, WM, HM = carry
-        SF0, SPHI, V = model(HF0, HG, WM, HM)
-        Vc = jnp.maximum(V, eps)
-        num = P / (Vc * Vc)
-        den = 1.0 / Vc
-        HF0 = HF0 * (WF0.T @ (SPHI * num)) / jnp.maximum(
-            WF0.T @ (SPHI * den), eps)
         SF0 = WF0 @ HF0
-        V = jnp.maximum(SF0 * SPHI + WM @ HM, eps)
-        num, den = P / (V * V), 1.0 / V
-        HG = HG * (WG.T @ (SF0 * num)) / jnp.maximum(
-            WG.T @ (SF0 * den), eps)
         SPHI = WG @ HG
-        V = jnp.maximum(SF0 * SPHI + WM @ HM, eps)
-        num, den = P / (V * V), 1.0 / V
-        HM = HM * (WM.T @ num) / jnp.maximum(WM.T @ den, eps)
-        V = jnp.maximum(SF0 * SPHI + WM @ HM, eps)
-        num, den = P / (V * V), 1.0 / V
-        WM = WM * (num @ HM.T) / jnp.maximum(den @ HM.T, eps)
+        num, den = nd(SF0 * SPHI + WM @ HM)
+        HF0 = _mul_upd(HF0, WF0.T @ (SPHI * num), WF0.T @ (SPHI * den), eps)
+        SF0 = WF0 @ HF0
+        num, den = nd(SF0 * SPHI + WM @ HM)
+        HG = _mul_upd(HG, WG.T @ (SF0 * num), WG.T @ (SF0 * den), eps)
+        SPHI = WG @ HG
+        num, den = nd(SF0 * SPHI + WM @ HM)
+        HM = _mul_upd(HM, WM.T @ num, WM.T @ den, eps)
+        num, den = nd(SF0 * SPHI + WM @ HM)
+        WM = _mul_upd(WM, num @ HM.T, den @ HM.T, eps)
         return HF0, HG, WM, HM
 
     return jax.lax.fori_loop(0, niter, body, (HF0, HG, WM, HM))
 
 
 @jax.jit
-def viterbi_melody(salience, self_bias: float = 0.0, jump_penalty: float = 0.8):
+def viterbi_melody(salience, jump_penalty: float = 0.8):
     """Viterbi path over F0 salience (U, N) with quadratic jump penalty.
 
     Reference parity: the melody tracking stage of SeparateLeadStereo

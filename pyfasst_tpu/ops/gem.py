@@ -43,7 +43,15 @@ def annealing_endpoints(X: jnp.ndarray, cfg: GEMConfig):
     power so sigma stays inside float32 range (and the 1/sigma pooled-solve
     weights stay bounded).
     """
-    Pm = jnp.mean(jnp.abs(X) ** 2, axis=(1, 2))               # (F,)
+    return endpoints_from_power(jnp.mean(jnp.abs(X) ** 2, axis=(1, 2)), cfg)
+
+
+def endpoints_from_power(Pm: jnp.ndarray, cfg: GEMConfig):
+    """Endpoints from a precomputed per-frequency mean power Pm (F,).
+
+    Split out so batch callers can compute Pm on the UNPADDED frames (zero
+    padding would otherwise dilute the mean and shrink the noise floor).
+    """
     floor = jnp.maximum(cfg.power_floor_frac * jnp.mean(Pm), cfg.eps)
     Pm = jnp.maximum(Pm, floor)
     return cfg.sigma_start_frac * Pm, cfg.sigma_end_frac * Pm
@@ -95,20 +103,25 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg", "start_iter"))
 @jax.default_matmul_precision("highest")
 def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
-            start_iter: int = 0) -> Tuple[FasstParams, jnp.ndarray]:
+            start_iter: int = 0, sigma_endpoints=None
+            ) -> Tuple[FasstParams, jnp.ndarray]:
     """Run GEM iterations [start_iter, cfg.niter) as one compiled fori_loop.
 
     X is the complex mixture STFT (F, N, 2). Returns (params,
     logliks[niter]). This is THE entry point the host API wraps
     (reference: estim_param_a_posteriori). start_iter > 0 resumes from a
     checkpoint: the annealing schedule is a pure function of the iteration
-    index, so resume is exact.
+    index, so resume is exact. sigma_endpoints, if given, is a (sigma0,
+    sigma1) pair of (F,) arrays overriding the endpoints derived from X --
+    used by the batch path, where X carries zero padding that would dilute
+    the per-frequency mean power.
 
     Matmul precision is pinned to full float32 ("highest"): TPU's default
     bf16 passes destroy the E-step reductions and the IS-NMF update ratios
     (verified NaN by ~100 iterations on a real chip).
     """
-    sigma0, sigma1 = annealing_endpoints(X, cfg)
+    sigma0, sigma1 = (annealing_endpoints(X, cfg) if sigma_endpoints is None
+                      else sigma_endpoints)
     logliks = jnp.zeros((cfg.niter,), jnp.float32)
 
     hold = int(cfg.spatial_hold_frac * cfg.niter)

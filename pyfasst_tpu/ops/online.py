@@ -20,11 +20,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from pyfasst_tpu.models.components import FasstParams
 from pyfasst_tpu.ops.estep import compute_suff_stats
-from pyfasst_tpu.ops.gem import spatial_covs
-from pyfasst_tpu.ops.mstep import _as_conv_A
-from pyfasst_tpu.utils.config import GEMConfig
 
 
 class OnlineState(NamedTuple):

@@ -19,7 +19,7 @@ from pyfasst_tpu.models.components import FasstParams
 from pyfasst_tpu.parallel.sharding import (
     batch_params, batched_run_gem, make_mesh, sharded_batch_separate,
 )
-from pyfasst_tpu.ops.gem import annealing_endpoints
+from pyfasst_tpu.ops.gem import endpoints_from_power
 from pyfasst_tpu.utils.config import GEMConfig
 
 
@@ -56,8 +56,10 @@ def batch_separate(
     one clip. Returns (images, logliks) per clip, cropped to true lengths;
     images are (J, F, N_i, 2).
 
-    Zero-padded trailing frames contribute nothing to the statistics (x = 0)
-    beyond the sigma-floor bins, and are cropped from the outputs.
+    Zero-padded trailing frames are cropped from the outputs, and the
+    annealing endpoints are computed from the UNPADDED frames of each clip
+    (padding would dilute the per-frequency mean power and shrink the noise
+    floor for heavily padded clips).
     """
     mesh = mesh or make_mesh()
     dp = mesh.shape["dp"]
@@ -76,9 +78,16 @@ def batch_separate(
             _pad_frames(np.asarray(Xs[i], np.complex64), Npad)
             for i in batch_idx]))
         params_b = batch_params([make_params(F, Npad, i) for i in batch_idx])
-        params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh)
-        sigma_b = jax.vmap(lambda X: annealing_endpoints(X, cfg)[1])(X_b)
-        Y_b = sharded_batch_separate(params_b, X_b, sigma_b, mesh)
+        # per-clip endpoints from the true (pre-padding) frame counts;
+        # host-side real power, so no complex upload is involved
+        Pm_true = jnp.asarray(np.stack([
+            np.mean(np.abs(np.asarray(Xs[i])) ** 2, axis=(1, 2))
+            for i in batch_idx]).astype(np.float32))
+        sig0_b, sig1_b = jax.vmap(
+            lambda p: endpoints_from_power(p, cfg))(Pm_true)
+        params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh,
+                                        sigma_endpoints_b=(sig0_b, sig1_b))
+        Y_b = sharded_batch_separate(params_b, X_b, sig1_b, mesh)
         from pyfasst_tpu.utils.misc import to_host_complex
         Y_b = to_host_complex(Y_b)
         lls = np.asarray(lls)

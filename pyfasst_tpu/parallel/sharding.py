@@ -66,23 +66,37 @@ def _param_sharding(params_b: FasstParams, mesh: Mesh):
 
 
 def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
-                    mesh: Mesh):
+                    mesh: Mesh, sigma_endpoints_b=None):
     """Run the GEM loop for a batch of equal-shape clips on a mesh.
 
     params_b: pytree with leading batch axis B; X_b: (B, F, N, 2) complex.
     B must be divisible by the 'dp' axis size; F need not divide 'fp' --
     the frequency sharding is applied as an internal constraint, which GSPMD
-    pads. Returns (params_b, logliks (B, niter)).
+    pads. sigma_endpoints_b, if given, is a (sigma0 (B, F), sigma1 (B, F))
+    pair of per-clip annealing endpoints (compute them on the UNPADDED
+    frames -- see batch.batch_separate). Returns (params_b,
+    logliks (B, niter)).
     """
     x_in = NamedSharding(mesh, P("dp"))
     x_shard = NamedSharding(mesh, P("dp", "fp"))
     p_shard = _param_sharding(params_b, mesh)
 
-    def fn(params_b, X_b):
-        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
-        return jax.vmap(functools.partial(run_gem, cfg=cfg))(params_b, X_b)
+    if sigma_endpoints_b is None:
+        def fn(params_b, X_b):
+            X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+            return jax.vmap(functools.partial(run_gem, cfg=cfg))(
+                params_b, X_b)
 
-    return jax.jit(fn, in_shardings=(p_shard, x_in))(params_b, X_b)
+        return jax.jit(fn, in_shardings=(p_shard, x_in))(params_b, X_b)
+
+    def fn(params_b, X_b, se_b):
+        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+        return jax.vmap(
+            lambda p, X, se: run_gem(p, X, cfg, sigma_endpoints=se)
+        )(params_b, X_b, se_b)
+
+    return jax.jit(fn, in_shardings=(p_shard, x_in, (x_in, x_in)))(
+        params_b, X_b, tuple(sigma_endpoints_b))
 
 
 def sharded_batch_separate(params_b: FasstParams, X_b: jnp.ndarray,

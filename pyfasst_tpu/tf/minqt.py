@@ -71,6 +71,10 @@ class MinQTransfo:
         self.fs = int(fs)
         self.wlen = int(wlen)
         self.hop = int(hop or wlen // 4)
+        if self.wlen % self.hop != 0:
+            raise ValueError(
+                f"MinQTransfo requires hop dividing wlen (got wlen={wlen}, "
+                f"hop={self.hop}): the framing/OLA use the reshape fast path")
         fmax = fmax or 0.45 * fs
         self.freqs = np.geomspace(fmin, fmax, n_bins)
         self.K = minqt_kernel(fs, wlen, n_bins, fmin, fmax, Q)   # (wlen, B)
@@ -83,6 +87,7 @@ class MinQTransfo:
         self.F = n_bins
         self._nsamples: Optional[int] = None
 
+    @jax.default_matmul_precision("highest")
     def computeTransform(self, data):
         """(nsamples[, I]) -> complex (B, N[, I]): one GEMM per channel."""
         x = jnp.asarray(np.asarray(data, np.float32))
@@ -100,12 +105,15 @@ class MinQTransfo:
             re, im = frames @ Kr, frames @ Ki
         return jnp.moveaxis(jax.lax.complex(re, im), 0, 1)       # (B, N[,I])
 
+    @jax.default_matmul_precision("highest")
     def invertTransform(self, Xb, nsamples: Optional[int] = None):
         """Real least-squares dual synthesis (band-limited projection)."""
+        from pyfasst_tpu.utils.misc import to_device_complex
         n = nsamples if nsamples is not None else self._nsamples
         if n is None:
             raise ValueError("call computeTransform first or pass nsamples")
-        Xb = jnp.asarray(Xb)
+        Xb = to_device_complex(Xb) if isinstance(Xb, np.ndarray) \
+            else jnp.asarray(Xb)
         Xn = jnp.moveaxis(Xb, 1, 0)                              # (N, B[,I])
         c = jnp.concatenate([jnp.real(Xn), jnp.imag(Xn)], axis=1)  # (N,2B[,I])
         D = jnp.asarray(self.dual_real.T, jnp.float32)           # (2B, wlen)

@@ -16,12 +16,15 @@ import json
 import os
 from typing import Optional, Tuple
 
+import warnings
+
 import jax
 import numpy as np
 
 from pyfasst_tpu.models.components import (
     FasstParams, SpatialComp, SpectralComp,
 )
+from pyfasst_tpu.utils.misc import to_device_complex, to_host_complex
 
 _FACTORS = ("FB", "FW", "TW", "TB", "trans", "FB2", "TW2")
 
@@ -34,14 +37,14 @@ def save_params(path: str, params: FasstParams,
             "n_spec": len(params.spec), "spat": [], "spec": [],
             "extra": extra or {}}
     for j, c in enumerate(params.spat):
-        arrays[f"spat_{j}_A"] = np.asarray(c.A)
+        arrays[f"spat_{j}_A"] = to_host_complex(c.A)
         meta["spat"].append({"mix_type": c.mix_type, "free": bool(c.free)})
     for k, c in enumerate(params.spec):
         present = []
         for name in _FACTORS:
             val = getattr(c, name)
             if val is not None:
-                arrays[f"spec_{k}_{name}"] = np.asarray(val)
+                arrays[f"spec_{k}_{name}"] = to_host_complex(val)
                 present.append(name)
         meta["spec"].append({
             "spat_ind": c.spat_ind, "free": list(c.free),
@@ -60,15 +63,26 @@ def save_params(path: str, params: FasstParams,
 def load_params(path: str) -> Tuple[FasstParams, int, dict]:
     """Load (params, iteration, extra) from a checkpoint written above."""
     import jax.numpy as jnp
+
+    def up(arr):
+        if (arr.dtype in (np.float64, np.complex128)
+                and not jax.config.jax_enable_x64):
+            warnings.warn(
+                "loading a float64 checkpoint without jax_enable_x64: "
+                "leaves are downcast to float32 (the x64 parity mode "
+                "requires enabling x64 before load)", stacklevel=3)
+        return to_device_complex(arr) if np.iscomplexobj(arr) \
+            else jnp.asarray(arr)
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         spat = []
         for j, m in enumerate(meta["spat"]):
-            spat.append(SpatialComp(A=jnp.asarray(data[f"spat_{j}_A"]),
+            spat.append(SpatialComp(A=up(data[f"spat_{j}_A"]),
                                     mix_type=m["mix_type"], free=m["free"]))
         spec = []
         for k, m in enumerate(meta["spec"]):
-            kw = {name: (jnp.asarray(data[f"spec_{k}_{name}"])
+            kw = {name: (up(data[f"spec_{k}_{name}"])
                          if name in m["present"] else None)
                   for name in _FACTORS}
             spec.append(SpectralComp(spat_ind=m["spat_ind"],

@@ -4,8 +4,9 @@ The reference has no metrics module (SURVEY.md §5); quality in the FASST
 literature is reported as BSS-Eval SDR/SIR/SAR. This is a self-contained
 implementation of the classical bss_eval_sources decomposition (Vincent,
 Gribonval & Fevotte 2006): project each estimate onto the subspace spanned
-by time-shifted references (512-tap allowed distortion filters), split the
-error into interference/artifact parts, permute for the best match.
+by time-shifted references (filt_len-tap allowed distortion filters,
+default 128), split the error into interference/artifact parts, permute
+for the best match.
 Host-side numpy (scoring is not a hot path).
 """
 from __future__ import annotations
@@ -23,9 +24,7 @@ def _shifted_gram_projection(est: np.ndarray, refs: np.ndarray, L: int):
     uses all references jointly and proj_each[j] uses only reference j.
     """
     J, T = refs.shape
-    # build the (J*L, T) shifted reference matrix lazily via correlations
-    G = np.zeros((J * L, J * L))
-    D = np.zeros(J * L)
+    # dense (J*L, T) shifted reference matrix (memory O(J*L*T))
     shifted = np.zeros((J * L, T))
     for j in range(J):
         for tau in range(L):

@@ -59,5 +59,8 @@ def to_host_complex(x) -> np.ndarray:
     import jax.numpy as jnp
     if not np.iscomplexobj(x):
         return np.asarray(x)
-    return (np.asarray(jnp.real(x)).astype(np.complex128)
-            + 1j * np.asarray(jnp.imag(x)))
+    re = np.asarray(jnp.real(x))
+    im = np.asarray(jnp.imag(x))
+    out = re.astype(np.complex128) + 1j * im
+    # preserve the input width (complex64 stays complex64)
+    return out.astype(np.complex64) if x.dtype == jnp.complex64 else out

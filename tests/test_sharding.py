@@ -114,6 +114,47 @@ def test_batch_separate_variable_lengths(rng):
         assert lls[i].shape == (4,)
 
 
+def test_batch_padding_preserves_annealing_endpoints(rng):
+    """A heavily padded clip must be driven by the SAME annealing schedule
+    as the clip run alone: the batch path computes the endpoints from the
+    unpadded frames (zero padding would dilute the per-frequency mean power
+    and shrink the noise floor)."""
+    from pyfasst_tpu.parallel.batch import batch_separate
+    from pyfasst_tpu.utils.config import GEMConfig
+
+    F, n = 33, 40          # granularity 128 -> padded 3.2x
+    X = (rng.standard_normal((F, n, 2))
+         + 1j * rng.standard_normal((F, n, 2)))
+
+    def make_params(F, Npad, i):
+        r = np.random.default_rng(0)
+        spat = tuple(SpatialComp(A=jnp.asarray(
+            np.abs(r.standard_normal((2, 1))) + 0.4, jnp.float32))
+            for _ in range(2))
+        spec = tuple(SpectralComp(
+            FB=jnp.asarray(0.5 + r.random((F, 3)), jnp.float32),
+            TW=jnp.asarray(0.5 + r.random((3, Npad)), jnp.float32),
+            spat_ind=j) for j in range(2))
+        return FasstParams(spat=spat, spec=spec)
+
+    cfg = GEMConfig(niter=4)
+    _, lls = batch_separate([X], make_params, cfg, mesh=make_mesh(8),
+                            granularity=128)
+
+    # reference: the same clip through run_gem with zero padding but the
+    # TRUE endpoints (what an unpadded run of those frames would use)
+    from pyfasst_tpu.ops.gem import endpoints_from_power
+    Xp = jnp.asarray(np.pad(X, ((0, 0), (0, 128 - n), (0, 0))),
+                     jnp.complex64)
+    se = endpoints_from_power(
+        jnp.asarray(np.mean(np.abs(X) ** 2, axis=(1, 2)), jnp.float32), cfg)
+    _, ll_ref = run_gem(make_params(F, 128, 0), Xp, cfg, sigma_endpoints=se)
+    np.testing.assert_allclose(lls[0], np.asarray(ll_ref), rtol=2e-4)
+    # and it must DIFFER from the naive diluted-endpoint run
+    _, ll_diluted = run_gem(make_params(F, 128, 0), Xp, cfg)
+    assert not np.allclose(lls[0], np.asarray(ll_diluted), rtol=1e-5)
+
+
 def test_frame_axis_sharding_sp(rng):
     """SURVEY.md §2 SP row: shard the frame axis N instead of frequencies;
     the suff-stat reductions over n become psums inserted by GSPMD."""
