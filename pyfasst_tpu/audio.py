@@ -4,6 +4,11 @@ Reference parity: pyfasst/audioObject.py::AudioObject (UNVERIFIED symbol names;
 mount empty at build time -- see SURVEY.md). The reference wraps the stdlib
 `wave` module / scipy.io.wavfile and exposes `.data`, `.samplerate`,
 `.channels`. Audio I/O stays on the host (numpy); device code receives arrays.
+
+The decode itself runs through the native C++ codec (pyfasst_tpu/native/
+wavio.cpp) when the toolchain can build it: block/streaming reads, 24-bit
+PCM, and the GIL released during file I/O. scipy.io.wavfile is the pure-
+Python fallback (identical normalized output for the formats both support).
 """
 from __future__ import annotations
 
@@ -12,6 +17,8 @@ from typing import Optional, Union
 
 import numpy as np
 from scipy.io import wavfile as _wavfile
+
+from pyfasst_tpu.native import wavio as _native_wavio
 
 _PCM_SCALE = {np.dtype(np.int16): 2.0 ** 15,
               np.dtype(np.int32): 2.0 ** 31,
@@ -42,6 +49,12 @@ class AudioObject:
     # -- reference API ------------------------------------------------------
     def _read(self) -> None:
         """Read the WAV file into float64 (nsamples, channels) in [-1, 1]."""
+        native = _native_wavio()
+        if native is not None:
+            data, sr = native.read(self.filename)
+            self.samplerate = int(sr)
+            self.data = self._as_2d_float(data)
+            return
         sr, raw = _wavfile.read(self.filename)
         self.samplerate = int(sr)
         raw = np.asarray(raw)
@@ -63,6 +76,11 @@ class AudioObject:
         if self.data is None:
             raise ValueError("no data to write")
         data = np.clip(self.data, -1.0, 1.0)
+        native = _native_wavio()
+        if native is not None and np.dtype(dtype) == np.dtype(np.int16):
+            native.write(path, np.ascontiguousarray(data, np.float64),
+                         self.samplerate, bits=16)
+            return path
         if np.dtype(dtype) == np.dtype(np.int16):
             out = np.round(data * (2.0 ** 15 - 1)).astype(np.int16)
         else:
@@ -105,3 +123,21 @@ def wavread(filename) -> tuple[np.ndarray, int]:
 def wavwrite(data: np.ndarray, samplerate: int, filename: str) -> str:
     """Functional helper: write float data in [-1,1] as PCM16 WAV."""
     return AudioObject(data=data, samplerate=samplerate)._write(filename)
+
+
+def wavread_block(filename, offset: int, frames: int
+                  ) -> tuple[np.ndarray, int]:
+    """Read `frames` samples starting at `offset` without loading the file.
+
+    The streaming loader for the online GEM path (ops/online.py): pages a
+    long recording block by block. Served by the native codec when built
+    (seek + bounded read); the scipy fallback reads the whole file and
+    slices (correct, just not O(block)).
+    """
+    native = _native_wavio()
+    if native is not None:
+        data, sr = native.read(os.fspath(filename), offset=int(offset),
+                               frames=int(frames))
+        return data, int(sr)
+    data, sr = wavread(filename)
+    return data[offset:offset + frames], sr
