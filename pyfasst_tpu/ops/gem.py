@@ -70,11 +70,14 @@ def spatial_covs(params: FasstParams, F: int) -> jnp.ndarray:
 
 
 def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
-             cfg: GEMConfig, spatial_enabled=None
+             cfg: GEMConfig, spatial_enabled=None, x4=None
              ) -> Tuple[FasstParams, jnp.ndarray]:
     """One GEM iteration; returns updated params and the step log-likelihood.
 
-    X is the complex mixture STFT (F, N, 2).
+    X is the complex mixture STFT (F, N, 2). x4 optionally carries
+    pallas_estep.pack_x4(X), hoisted out of the loop by run_gem (X is
+    constant across iterations; repacking it per step costs ~10 MB/iter of
+    HBM traffic at bench shapes).
     """
     from pyfasst_tpu.ops.mstep import _as_conv_A
     from pyfasst_tpu.ops.pallas_estep import pallas_available, pallas_suff_stats
@@ -88,7 +91,8 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     pallas_ok = cfg.use_pallas and pallas_available()
     if pallas_ok and all(r in (1, 2) for r in ranks):
         stats = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
-                                  eps=cfg.eps, noise_inject=noise_inject)
+                                  eps=cfg.eps, noise_inject=noise_inject,
+                                  x4=x4)
     else:
         stats = compute_suff_stats(
             X, v, Rj, sigma, ranks, eps=cfg.eps,
@@ -120,17 +124,21 @@ def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
     bf16 passes destroy the E-step reductions and the IS-NMF update ratios
     (verified NaN by ~100 iterations on a real chip).
     """
+    from pyfasst_tpu.ops.pallas_estep import pack_x4, pallas_available
+
     sigma0, sigma1 = (annealing_endpoints(X, cfg) if sigma_endpoints is None
                       else sigma_endpoints)
     logliks = jnp.zeros((cfg.niter,), jnp.float32)
 
     hold = int(cfg.spatial_hold_frac * cfg.niter)
+    # pack the constant mixture plane once, not once per iteration
+    x4 = pack_x4(X) if cfg.use_pallas and pallas_available() else None
 
     def body(it, carry):
         params, logliks = carry
         sigma = noise_psd(it, cfg.niter, sigma0, sigma1, cfg.annealing)
         params, ll = gem_step(params, X, sigma, cfg,
-                              spatial_enabled=(it >= hold))
+                              spatial_enabled=(it >= hold), x4=x4)
         logliks = logliks.at[it].set(ll.astype(jnp.float32))
         return params, logliks
 

@@ -17,11 +17,14 @@ injection is a static kernel variant. Numerics are IDENTICAL to estep.py
 (same subtract-free determinant and sub-source-coordinate statistics);
 parity is tested element-wise on CPU via interpret mode.
 
-Grid: (F/TF, N/TN) with the frame axis fastest; the reduced outputs map to
-frequency-only blocks that are revisited across the frame grid dimension
-(TPU grid iteration is sequential, so read-modify-write accumulation is
-safe). Frame padding is masked out of the log-likelihood; padded v/x are
-zero so every other statistic is unaffected by construction.
+Grid: (ceil(F/TF), ceil(N/TN)) with the frame axis fastest; the reduced
+outputs map to frequency-only blocks that are revisited across the frame
+grid dimension (TPU grid iteration is sequential, so read-modify-write
+accumulation is safe). Blocks need NOT divide (F, N): the kernel zeroes v
+and x on the ragged frame edge (making every statistic self-masking) and
+ragged frequency rows drop at the block write, so no operand is ever
+padded or sliced on the host -- and the constant mixture plane is packed
+once per run (pack_x4), not once per iteration.
 """
 from __future__ import annotations
 
@@ -71,7 +74,7 @@ def _cdot_conj(x, y):
 
 
 def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
-                 ns_inj: bool = False):
+                 ns_inj: bool = False, no_ll: bool = False):
     J = len(ranks)
     Rmax = max(ranks)
 
@@ -89,10 +92,29 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
             def _():
                 ref[idx] += tile
 
-        x0 = (x4_ref[0], x4_ref[1])
-        x1 = (x4_ref[2], x4_ref[3])
+        # Ragged-edge masking: block shapes need not divide (F, N); the
+        # out-of-bounds lanes of the final frame block read UNSPECIFIED
+        # values -- on real hardware these are arbitrary bits, INCLUDING
+        # NaNs, so the mask must be a select (where), never a multiply
+        # (NaN * 0 == NaN poisons the frame reductions; interpret mode
+        # zero-fills and hides this). Zeroing v and x makes every reduced
+        # statistic (all are v- or x-weighted) and xi's garbage columns
+        # self-masking; the log-det term keeps its explicit mask below.
+        # Out-of-bounds frequency ROWS never mix into valid rows (no
+        # in-kernel reduction over f) and are dropped at the block write.
+        col = jax.lax.broadcasted_iota(jnp.int32, (TF, TN), 1) \
+            + pl.program_id(1) * TN
+        valid_b = col < N_valid
+        valid = valid_b.astype(jnp.float32)
+        zero = jnp.zeros((TF, TN), jnp.float32)
+
+        def msk(t):
+            return jnp.where(valid_b, t, zero)
+
+        x0 = (msk(x4_ref[0]), msk(x4_ref[1]))
+        x1 = (msk(x4_ref[2]), msk(x4_ref[3]))
         sig = sig_ref[:]                     # (TF, 1)
-        v = [v_ref[j] for j in range(J)]     # (TF, TN) each
+        v = [msk(v_ref[j]) for j in range(J)]   # (TF, TN) each
 
         # Sigma_x entries and the nonnegative-monomial determinant.
         Ra = [R_ref[j, :, 0:1] for j in range(J)]
@@ -125,11 +147,9 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
             # 'ann_ns_inj': observed covariance becomes x x^H + sigma I
             tr_sxi_rxx = tr_sxi_rxx + sig * (a + d) * rinv
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (TF, TN), 1) + jn * TN
-        valid = (col < N_valid).astype(det.dtype)
+        ll_term = tr_sxi_rxx if no_ll else jnp.log(det) + tr_sxi_rxx
         accum(ll_ref, slice(None),
-              jnp.sum((jnp.log(det) + tr_sxi_rxx) * valid, axis=1,
-                      keepdims=True))
+              jnp.sum(ll_term * valid, axis=1, keepdims=True))
 
         # per-source mixing columns (per-f rows broadcast over frames):
         # A_ref[j] layout (TF, 4*Rmax): columns r -> [a0r, a0i, a1r, a1i].
@@ -269,39 +289,52 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
     return kernel
 
 
+def pack_x4(X: jnp.ndarray) -> jnp.ndarray:
+    """(F, N, 2) complex STFT -> the kernel's (4, F, N) real plane layout.
+
+    X is constant across GEM iterations: callers running a loop should pack
+    ONCE outside it (run_gem does) -- repacking per iteration costs ~10 MB
+    of HBM traffic per iteration at bench shapes.
+    """
+    return jnp.stack([jnp.real(X[..., 0]), jnp.imag(X[..., 0]),
+                      jnp.real(X[..., 1]), jnp.imag(X[..., 1])])
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("ranks", "ns_inj", "interpret"))
-def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
+                   static_argnames=("ranks", "ns_inj", "interpret", "tf",
+                                    "no_ll"))
+def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
                  A4: jnp.ndarray, sigma: jnp.ndarray,
                  trR: jnp.ndarray, Xc: jnp.ndarray,
                  ranks: Tuple[int, ...], ns_inj: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, tf: int = 32,
+                 no_ll: bool = False):
     """Run the fused kernel.
 
-    X (F, N, 2) complex; v (J, F, N); Rj (J, F, 4); A4 (J, F, 4*Rmax) real
-    mixing columns [Re A0r, Im A0r, Re A1r, Im A1r] per sub-source r;
-    sigma (F,); trR (J, F); Xc (J, J, F). Returns packed-real
-    (xi, txs, tss, t4, t7, loglik); see pallas_suff_stats for complex views.
+    x4 (4, F, N) packed mixture (pack_x4); v (J, F, N); Rj (J, F, 4);
+    A4 (J, F, 4*Rmax) real mixing columns [Re A0r, Im A0r, Re A1r, Im A1r]
+    per sub-source r; sigma (F,); trR (J, F); Xc (J, J, F). Returns
+    packed-real (xi, txs, tss, t4, t7, loglik); see pallas_suff_stats for
+    complex views.
+
+    No host-visible padding: block shapes need not divide (F, N) -- the
+    kernel masks the ragged frame edge itself and out-of-range frequency
+    rows are dropped at the block write, so the (J, F, N)-sized operands
+    avoid a pad copy in and a slice copy out every iteration (~14 MB/iter
+    of HBM traffic at bench shapes).
     """
     J, F, N = v.shape
     Rmax = max(ranks)
     # Large tiles: VMEM comfortably holds (TF, TN) f32 working sets for the
     # ~12 live arrays, and a single frame-tile avoids the accumulation
     # revisits entirely for typical clip lengths.
-    TF = 32
+    TF = tf
     TN = min(_cdiv(N, 128) * 128, 2048)
-    Fp, Np = _cdiv(F, TF) * TF, _cdiv(N, TN) * TN
-    x4 = jnp.stack([jnp.real(X[..., 0]), jnp.imag(X[..., 0]),
-                    jnp.real(X[..., 1]), jnp.imag(X[..., 1])])
-    x4 = jnp.pad(x4, ((0, 0), (0, Fp - F), (0, Np - N)))
-    vp = jnp.pad(v, ((0, 0), (0, Fp - F), (0, Np - N)))
-    Rp = jnp.pad(Rj, ((0, 0), (0, Fp - F), (0, 0)))
-    Ap = jnp.pad(A4, ((0, 0), (0, Fp - F), (0, 0)))
-    sp = jnp.pad(sigma, (0, Fp - F), constant_values=1.0)[:, None]
-    trRp = jnp.pad(trR, ((0, 0), (0, Fp - F)))[..., None]
-    Xcp = jnp.pad(Xc, ((0, 0), (0, 0), (0, Fp - F)))[..., None]
+    sp = sigma[:, None]
+    trRp = trR[..., None]
+    Xcp = Xc[..., None]
 
-    grid = (Fp // TF, Np // TN)
+    grid = (_cdiv(F, TF), _cdiv(N, TN))
 
     def fmap(i, j):
         return (0, i, 0)
@@ -334,14 +367,14 @@ def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
                      memory_space=pltpu.VMEM),                    # ll
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((J, Fp, Np), jnp.float32),
-        jax.ShapeDtypeStruct((J, Fp, 4 * Rmax), jnp.float32),
-        jax.ShapeDtypeStruct((J, J, Fp, 2 * Rmax * Rmax), jnp.float32),
-        jax.ShapeDtypeStruct((J, Fp, 4), jnp.float32),
-        jax.ShapeDtypeStruct((J, J, Fp, 2 * Rmax * Rmax), jnp.float32),
-        jax.ShapeDtypeStruct((Fp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((J, F, N), jnp.float32),
+        jax.ShapeDtypeStruct((J, F, 4 * Rmax), jnp.float32),
+        jax.ShapeDtypeStruct((J, J, F, 2 * Rmax * Rmax), jnp.float32),
+        jax.ShapeDtypeStruct((J, F, 4), jnp.float32),
+        jax.ShapeDtypeStruct((J, J, F, 2 * Rmax * Rmax), jnp.float32),
+        jax.ShapeDtypeStruct((F, 1), jnp.float32),
     ]
-    kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj)
+    kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj, no_ll=no_ll)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -349,11 +382,10 @@ def pallas_estep(X: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(x4, vp, Rp, Ap, sp, trRp, Xcp)
+    )(x4, v, Rj, A4, sp, trRp, Xcp)
 
-    xi = xi[:, :F, :N]
-    loglik = -jnp.sum(llf[:F, 0])
-    return xi, txs[:, :F], tss[:, :, :F], t4[:, :F], t7[:, :, :F], loglik
+    loglik = -jnp.sum(llf[:, 0])
+    return xi, txs, tss, t4, t7, loglik
 
 
 def pallas_available() -> bool:
@@ -363,12 +395,16 @@ def pallas_available() -> bool:
 
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
-                      noise_inject: bool = False, interpret: bool = False):
+                      noise_inject: bool = False, interpret: bool = False,
+                      x4=None):
     """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2}).
-    Returns an estep.SuffStats."""
+    Returns an estep.SuffStats. Pass x4=pack_x4(X) (precomputed once) when
+    calling inside a loop; X is then ignored."""
     from pyfasst_tpu.ops.estep import SuffStats, cross_terms
 
     assert all(r in (1, 2) for r in ranks)
+    if x4 is None:
+        x4 = pack_x4(X)
     J = v.shape[0]
     Rmax = max(ranks)
     trR, Xc = cross_terms(Rj, A_conv)
@@ -383,7 +419,7 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                if ranks[j] < Rmax else []), axis=-1)
         for j in range(J)])                                   # (J, F, 4*Rmax)
     xi, txs, tss, t4, t7, loglik = pallas_estep(
-        X, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
+        x4, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
         ns_inj=noise_inject, interpret=interpret)
     xi = jnp.maximum(xi, eps)
 

@@ -12,6 +12,15 @@ over clips/segments across a v5e-8 slice". Parallelism map (SURVEY.md §2):
   - PP: not applicable to a two-phase EM loop (documented, not faked).
   - SP (frame axis): available by the same mechanism (shard N); off by
     default since clips are short relative to F.
+  - EP (source axis): deliberately NOT sharded. FASST keeps J small by
+    design (2-8 sources; polyphony lives in NMF components WITHIN a source,
+    not in more sources), so the J axis has less parallelism than one
+    device's vector lanes. Worse, the float32-safe E-step couples sources
+    through the leave-one-out statistics S_j = sum_{k!=j} v_k R_k + sigma I
+    (estep.py): sharding J would move an O(J^2) all-to-all of (F, N)-sized
+    planes onto the ICI every iteration to save VPU work that is already
+    ~free. The fp/sp axes expose strictly more parallelism at zero extra
+    communication.
 
 Everything below is plain jit + NamedSharding constraints: no hand-written
 collectives, which is the idiomatic XLA SPMD design.
