@@ -1,0 +1,173 @@
+"""Command-line interface: `python -m pyfasst_tpu <command>`.
+
+The reference ships example *scripts* only (SURVEY.md §5); this packages the
+same end-to-end flows as a CLI so the framework is usable without writing
+Python: blind source separation (`separate`), lead/accompaniment
+(`lead`), mixing-direction analysis (`demix`), and WAV inspection (`info`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("audio", help="input WAV (stereo for spatial models)")
+    p.add_argument("-o", "--out", default="separated",
+                   help="output directory for the separated WAVs")
+    p.add_argument("--wlen", type=int, default=1024,
+                   help="STFT window length (samples)")
+    p.add_argument("--iters", type=int, default=200, help="GEM iterations")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-q", "--quiet", action="store_true")
+
+
+def _cmd_separate(args) -> int:
+    from pyfasst_tpu.models.variants import (
+        MultiChanHMM, MultiChanNMFConv, MultiChanNMFInst_FASST,
+    )
+
+    kw = dict(wlen=args.wlen, iter_num=args.iters, seed=args.seed,
+              annealing=args.annealing, verbose=0 if args.quiet else 1)
+    basis = None if args.freq_basis == "none" else args.freq_basis
+    if args.model == "inst":
+        model = MultiChanNMFInst_FASST(
+            args.audio, nbComps=args.sources, nbNMFComps=args.nmf_comps,
+            freq_basis=basis, n_bands=args.bands, **kw)
+    elif args.model in ("conv", "fullrank"):
+        init_mixing = None
+        if args.demix:
+            from pyfasst_tpu.models.demix import DEMIX
+            dm = DEMIX(args.audio, wlen=args.wlen)
+            dm.comp_parameters(K=args.sources)
+            init_mixing = dm.mixing(args.wlen // 2 + 1)   # (K, F, 2, 1)
+            if not args.quiet:
+                print(f"DEMIX init: {init_mixing.shape[0]} directions")
+        model = MultiChanNMFConv(
+            args.audio, nbComps=args.sources, nbNMFComps=args.nmf_comps,
+            spatial_rank=2 if args.model == "fullrank" else 1,
+            init_mixing=init_mixing, freq_basis=basis, n_bands=args.bands,
+            **kw)
+    else:  # hmm / gsmm
+        model = MultiChanHMM(
+            args.audio, nbComps=args.sources, nbStates=args.states,
+            sourceModel="hmm" if args.model == "hmm" else "gsmm", **kw)
+
+    t0 = time.perf_counter()
+    logliks = model.estim_param_a_posteriori()
+    paths = model.separate_spat_comps(args.out)
+    wall = time.perf_counter() - t0
+    if args.checkpoint:
+        from pyfasst_tpu.utils.checkpoint import save_params
+        save_params(args.checkpoint, model.params, iteration=args.iters)
+    report = {
+        "files": paths,
+        "iterations": int(args.iters),
+        "final_loglik": float(logliks[-1]),
+        "wall_seconds": round(wall, 3),
+        "xrt": round(model.audio.duration / max(wall, 1e-9), 2),
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def _cmd_lead(args) -> int:
+    from pyfasst_tpu.models.lead import SeparateLeadStereoTF
+
+    sep = SeparateLeadStereoTF(args.audio, wlen=args.wlen, niter=args.iters,
+                               n_f0=args.n_f0)
+    sep.runDecomposition()
+    p_lead, p_acc = sep.writeSeparatedSignals(args.out)
+    print(json.dumps({"files": [p_lead, p_acc],
+                      "melody_frames": int(sep.melody.shape[0])}))
+    return 0
+
+
+def _cmd_demix(args) -> int:
+    from pyfasst_tpu.models.demix import DEMIX
+
+    dm = DEMIX(args.audio, wlen=args.wlen)
+    gains, delays = dm.comp_parameters(K=args.sources)
+    print(json.dumps({
+        "sources": int(len(gains)),
+        "gains": [round(float(g), 4) for g in gains],
+        "delays_samples": [round(float(d), 4) for d in delays],
+    }))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from pyfasst_tpu.native import wavio
+    native = wavio()
+    if native is not None:
+        print(json.dumps(native.info(args.audio)))
+        return 0
+    from pyfasst_tpu.audio import AudioObject
+    obj = AudioObject(args.audio)
+    print(json.dumps({"samplerate": obj.samplerate, "channels": obj.channels,
+                      "frames": obj.nsamples}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="pyfasst_tpu",
+        description="TPU-native FASST audio source separation")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("separate", help="blind source separation")
+    _add_common(p)
+    p.add_argument("--model", default="inst",
+                   choices=("inst", "conv", "fullrank", "hmm", "gsmm"),
+                   help="spatial/spectral model family")
+    p.add_argument("--sources", type=int, default=2,
+                   help="number of sources J")
+    p.add_argument("--nmf-comps", type=int, default=8,
+                   help="NMF components per source")
+    p.add_argument("--states", type=int, default=8,
+                   help="discrete states (hmm/gsmm)")
+    p.add_argument("--annealing", default="ann",
+                   choices=("ann", "no_ann", "ann_ns_inj"))
+    p.add_argument("--freq-basis", default="none",
+                   choices=("none", "erb", "mel"),
+                   help="fixed log-frequency spectral basis")
+    p.add_argument("--bands", type=int, default=40,
+                   help="bands for --freq-basis")
+    p.add_argument("--demix", action="store_true",
+                   help="initialize conv mixing from DEMIX directions")
+    p.add_argument("--checkpoint", default=None,
+                   help="write final parameters to this .npz")
+    p.set_defaults(fn=_cmd_separate)
+
+    p = sub.add_parser("lead", help="lead/accompaniment separation (SIMM)")
+    _add_common(p)
+    p.add_argument("--n-f0", type=int, default=120,
+                   help="F0 grid size for the lead source")
+    p.set_defaults(fn=_cmd_lead, wlen=2048, iters=50)
+
+    p = sub.add_parser("demix", help="estimate mixing directions / count")
+    p.add_argument("audio")
+    p.add_argument("--wlen", type=int, default=1024)
+    p.add_argument("--sources", type=int, default=None,
+                   help="fix the source count (default: estimate)")
+    p.set_defaults(fn=_cmd_demix)
+
+    p = sub.add_parser("info", help="inspect a WAV file")
+    p.add_argument("audio")
+    p.set_defaults(fn=_cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError, RuntimeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

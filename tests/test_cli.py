@@ -1,0 +1,66 @@
+"""CLI (`python -m pyfasst_tpu`) end-to-end on tiny clips."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyfasst_tpu.__main__ import main
+from pyfasst_tpu.audio import wavwrite
+
+
+@pytest.fixture
+def mix_wav(tmp_path, rng):
+    fs = 8000
+    t = np.arange(fs) / fs
+    s1 = 0.5 * np.sin(2 * np.pi * 440 * t)
+    s2 = 0.3 * rng.standard_normal(fs)
+    mix = np.stack([0.9 * s1 + 0.3 * s2, 0.3 * s1 + 0.9 * s2], 1)
+    p = str(tmp_path / "mix.wav")
+    wavwrite(mix, fs, p)
+    return p
+
+
+def test_info(mix_wav, capsys):
+    assert main(["info", mix_wav]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["samplerate"] == 8000 and out["channels"] == 2
+
+
+def test_separate_inst(mix_wav, tmp_path, capsys):
+    out_dir = str(tmp_path / "sep")
+    assert main(["separate", mix_wav, "-o", out_dir, "--iters", "8",
+                 "--nmf-comps", "3", "--wlen", "256", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2
+    for f in rep["files"]:
+        assert os.path.exists(f)
+    assert np.isfinite(rep["final_loglik"])
+
+
+def test_separate_checkpoint(mix_wav, tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    assert main(["separate", mix_wav, "-o", str(tmp_path / "s"),
+                 "--iters", "4", "--wlen", "256", "-q",
+                 "--checkpoint", ck]) == 0
+    from pyfasst_tpu.utils.checkpoint import load_params
+    _, it, _ = load_params(ck)
+    assert it == 4
+
+
+def test_demix_command(mix_wav, capsys):
+    assert main(["demix", mix_wav, "--sources", "2", "--wlen", "256"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sources"] == 2 and len(out["gains"]) == 2
+
+
+def test_lead_command(mix_wav, tmp_path, capsys):
+    assert main(["lead", mix_wav, "-o", str(tmp_path / "l"),
+                 "--iters", "4", "--wlen", "256", "--n-f0", "24"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert len(rep["files"]) == 2
+
+
+def test_missing_file_is_clean_error(capsys):
+    assert main(["separate", "no_such_file.wav", "-q"]) == 2
+    assert "error:" in capsys.readouterr().err
