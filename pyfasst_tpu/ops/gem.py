@@ -90,9 +90,12 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     noise_inject = cfg.annealing == AnnealingMode.ANN_NS_INJ
     pallas_ok = cfg.use_pallas and pallas_available()
     if pallas_ok and all(r in (1, 2) for r in ranks):
+        # instantaneous models have real mixing (a trace-time dtype fact):
+        # the kernel then deletes all identically-zero imaginary arithmetic
+        real_cov = all(not jnp.iscomplexobj(c.A) for c in params.spat)
         stats = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
                                   eps=cfg.eps, noise_inject=noise_inject,
-                                  x4=x4)
+                                  x4=x4, real_cov=real_cov)
     else:
         stats = compute_suff_stats(
             X, v, Rj, sigma, ranks, eps=cfg.eps,

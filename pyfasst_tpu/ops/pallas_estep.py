@@ -43,38 +43,72 @@ def _cdiv(a, b):
 
 
 # -- tiny complex algebra on (re, im) tile pairs --------------------------------
+#
+# A component may be None, meaning EXACTLY ZERO at trace time: instantaneous
+# models have real mixing, so b = sum v_j Re(b_j), the mixing columns, and
+# everything derived from them (Sigma_x^-1 A, A^H S^-1 A, ...) carry no
+# imaginary part. Propagating the None through the algebra deletes those
+# multiplies/adds from the generated kernel (the compiler cannot do it:
+# folding x * 0 -> 0 is invalid under IEEE NaN/Inf semantics). The kernel is
+# VPU-compute-bound (docs/design.md §4), so fewer ops is the lever that works.
+
+def _m(a, b):
+    """a * b with symbolic zero."""
+    return None if a is None or b is None else a * b
+
+
+def _na(a, b):
+    """a + b with symbolic zero."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _ns(a, b):
+    """a - b with symbolic zero."""
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
 
 def _cmul(x, y):
-    return (x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0])
+    return (_ns(_m(x[0], y[0]), _m(x[1], y[1])),
+            _na(_m(x[0], y[1]), _m(x[1], y[0])))
 
 
 def _cconj(x):
-    return (x[0], -x[1])
+    return (x[0], None if x[1] is None else -x[1])
 
 
 def _cadd(x, y):
-    return (x[0] + y[0], x[1] + y[1])
+    return (_na(x[0], y[0]), _na(x[1], y[1]))
 
 
 def _csub(x, y):
-    return (x[0] - y[0], x[1] - y[1])
+    return (_ns(x[0], y[0]), _ns(x[1], y[1]))
 
 
 def _cscale(s, x):
-    return (s * x[0], s * x[1])
+    return (_m(s, x[0]), _m(s, x[1]))
 
 
 def _cabs2(x):
-    return x[0] * x[0] + x[1] * x[1]
+    return _na(_m(x[0], x[0]), _m(x[1], x[1]))
 
 
 def _cdot_conj(x, y):
     """conj(x) * y."""
-    return (x[0] * y[0] + x[1] * y[1], x[0] * y[1] - x[1] * y[0])
+    return (_na(_m(x[0], y[0]), _m(x[1], y[1])),
+            _ns(_m(x[0], y[1]), _m(x[1], y[0])))
 
 
 def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
-                 ns_inj: bool = False, no_ll: bool = False):
+                 ns_inj: bool = False, no_ll: bool = False,
+                 real_cov: bool = False):
     J = len(ranks)
     Rmax = max(ranks)
 
@@ -111,6 +145,12 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
         def msk(t):
             return jnp.where(valid_b, t, zero)
 
+        def rsum(t):
+            """sum over frames -> (TF, 1); None sums to an exact-zero tile."""
+            if t is None:
+                return jnp.zeros((TF, 1), jnp.float32)
+            return jnp.sum(t, axis=1, keepdims=True)
+
         x0 = (msk(x4_ref[0]), msk(x4_ref[1]))
         x1 = (msk(x4_ref[2]), msk(x4_ref[3]))
         sig = sig_ref[:]                     # (TF, 1)
@@ -126,7 +166,8 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
         a = sig + sum(v[j] * Ra[j] for j in range(J))
         d = sig + sum(v[j] * Rd[j] for j in range(J))
         b = (sum(v[j] * Rbr[j] for j in range(J)),
-             sum(v[j] * Rbi[j] for j in range(J)))
+             None if real_cov
+             else sum(v[j] * Rbi[j] for j in range(J)))
         lin = sum(v[j] * trR[j] for j in range(J))
         quad = 0.5 * sum(v[j] * v[k] * Xc_ref[j, k]
                          for j in range(J) for k in range(J))
@@ -158,9 +199,11 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
             cols = []
             for r in range(ranks[j]):
                 o = 4 * r
-                cols.append(((A_ref[j, :, o:o + 1], A_ref[j, :, o + 1:o + 2]),
-                             (A_ref[j, :, o + 2:o + 3],
-                              A_ref[j, :, o + 3:o + 4])))
+                cols.append((
+                    (A_ref[j, :, o:o + 1],
+                     None if real_cov else A_ref[j, :, o + 1:o + 2]),
+                    (A_ref[j, :, o + 2:o + 3],
+                     None if real_cov else A_ref[j, :, o + 3:o + 4])))
             Acol.append(cols)
 
         # w_j,r = A_j[:, r]^H y  and  u_j,r = Sigma_x^-1 A_j[:, r]
@@ -181,7 +224,8 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
             aS = sig + sum(v[k] * Ra[k] for k in range(J) if k != j)
             dS = sig + sum(v[k] * Rd[k] for k in range(J) if k != j)
             bS = (sum(v[k] * Rbr[k] for k in range(J) if k != j),
-                  sum(v[k] * Rbi[k] for k in range(J) if k != j))
+                  None if real_cov
+                  else sum(v[k] * Rbi[k] for k in range(J) if k != j))
             linS = sum(v[k] * trR[k] for k in range(J) if k != j)
             quadS = 0.5 * sum(v[k] * v[l] * Xc_ref[k, l]
                               for k in range(J) for l in range(J)
@@ -217,10 +261,10 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                 rG = 1.0 / dG
                 coef = (g00 + g11) * rG
                 t4_tile = jnp.concatenate([
-                    jnp.sum(v[j] * g11 * rG, axis=1, keepdims=True),
-                    jnp.sum(v[j] * g00 * rG, axis=1, keepdims=True),
-                    jnp.sum(-v[j] * g01[0] * rG, axis=1, keepdims=True),
-                    jnp.sum(-v[j] * g01[1] * rG, axis=1, keepdims=True),
+                    rsum(v[j] * g11 * rG),
+                    rsum(v[j] * g00 * rG),
+                    rsum(_m(_m(-v[j], g01[0]), rG)),
+                    rsum(_m(_m(-v[j], g01[1]), rG)),
                 ], axis=1)
                 accum(t4_ref, j, t4_tile)
 
@@ -236,8 +280,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                     p0 = _cadd(p0, _cscale(sig, sxiA[j][r][0]))
                     p1 = _cadd(p1, _cscale(sig, sxiA[j][r][1]))
                 for comp_ in (p0[0], p0[1], p1[0], p1[1]):
-                    txs_cols.append(jnp.sum(v[j] * comp_, axis=1,
-                                            keepdims=True))
+                    txs_cols.append(rsum(_m(v[j], comp_)))
             txs_tile = jnp.concatenate(
                 txs_cols + [jnp.zeros((TF, 4 * (Rmax - ranks[j])),
                                       det.dtype)] if ranks[j] < Rmax
@@ -258,10 +301,8 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                                 _cdot_conj(sxiA[j][r][0], sxiA[k][s][0]),
                                 _cdot_conj(sxiA[j][r][1], sxiA[k][s][1]))
                             pr = _cadd(pr, _cscale(sig, zc))
-                        cols.append(jnp.sum(vv * pr[0], axis=1,
-                                            keepdims=True))
-                        cols.append(jnp.sum(vv * pr[1], axis=1,
-                                            keepdims=True))
+                        cols.append(rsum(_m(vv, pr[0])))
+                        cols.append(rsum(_m(vv, pr[1])))
                 pad = 2 * (Rmax * Rmax - ranks[j] * ranks[k])
                 if pad:
                     cols.append(jnp.zeros((TF, pad), det.dtype))
@@ -275,10 +316,8 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                             m = _cadd(
                                 _cmul(_cconj(Acol[j][r][0]), sxiA[k][s][0]),
                                 _cmul(_cconj(Acol[j][r][1]), sxiA[k][s][1]))
-                            cols7.append(jnp.sum(vv * m[0], axis=1,
-                                                 keepdims=True))
-                            cols7.append(jnp.sum(vv * m[1], axis=1,
-                                                 keepdims=True))
+                            cols7.append(rsum(_m(vv, m[0])))
+                            cols7.append(rsum(_m(vv, m[1])))
                     if pad:
                         cols7.append(jnp.zeros((TF, pad), det.dtype))
                     accum(t7_ref, (j, k), jnp.concatenate(cols7, axis=1))
@@ -302,13 +341,13 @@ def pack_x4(X: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("ranks", "ns_inj", "interpret", "tf",
-                                    "no_ll"))
+                                    "no_ll", "real_cov"))
 def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
                  A4: jnp.ndarray, sigma: jnp.ndarray,
                  trR: jnp.ndarray, Xc: jnp.ndarray,
                  ranks: Tuple[int, ...], ns_inj: bool = False,
                  interpret: bool = False, tf: int = 32,
-                 no_ll: bool = False):
+                 no_ll: bool = False, real_cov: bool = False):
     """Run the fused kernel.
 
     x4 (4, F, N) packed mixture (pack_x4); v (J, F, N); Rj (J, F, 4);
@@ -374,7 +413,8 @@ def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         jax.ShapeDtypeStruct((J, J, F, 2 * Rmax * Rmax), jnp.float32),
         jax.ShapeDtypeStruct((F, 1), jnp.float32),
     ]
-    kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj, no_ll=no_ll)
+    kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj, no_ll=no_ll,
+                          real_cov=real_cov)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -396,10 +436,13 @@ def pallas_available() -> bool:
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                       noise_inject: bool = False, interpret: bool = False,
-                      x4=None):
+                      x4=None, real_cov: bool = False):
     """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2}).
     Returns an estep.SuffStats. Pass x4=pack_x4(X) (precomputed once) when
-    calling inside a loop; X is then ignored."""
+    calling inside a loop; X is then ignored. real_cov=True asserts every
+    mixing column is REAL (instantaneous models): the kernel then drops all
+    arithmetic on the identically-zero imaginary parts (~25-30%% of the VPU
+    work; the E-step is compute-bound)."""
     from pyfasst_tpu.ops.estep import SuffStats, cross_terms
 
     assert all(r in (1, 2) for r in ranks)
@@ -420,7 +463,7 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
         for j in range(J)])                                   # (J, F, 4*Rmax)
     xi, txs, tss, t4, t7, loglik = pallas_estep(
         x4, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
-        ns_inj=noise_inject, interpret=interpret)
+        ns_inj=noise_inject, interpret=interpret, real_cov=real_cov)
     xi = jnp.maximum(xi, eps)
 
     def c_(re, im):

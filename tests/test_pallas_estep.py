@@ -184,3 +184,65 @@ def test_pallas_estep_noise_inject(rng):
             np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
                                        np.asarray(want.Tss[j][k]),
                                        rtol=5e-4, atol=1e-4)
+
+
+def test_pallas_estep_real_cov_specialization(rng):
+    """real_cov=True (instantaneous/real mixing) must match the generic
+    kernel and the XLA path exactly: it only deletes arithmetic on
+    identically-zero imaginary parts."""
+    X, v, Rj, A_conv, sigma, ranks = _problem(rng)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True,
+                            real_cov=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    J = v.shape[0]
+    for j in range(J):
+        np.testing.assert_allclose(np.asarray(got.Txs[j]),
+                                   np.asarray(want.Txs[j]),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.T4[j]),
+                                   np.asarray(want.T4[j]),
+                                   rtol=2e-4, atol=1e-5)
+        for k in range(J):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=2e-4, atol=1e-4)
+            if j != k:
+                # real mixing + real Sigma_x^-1 A columns: T7 is real
+                assert float(np.abs(np.imag(np.asarray(
+                    got.T7[j][k]))).max()) == 0.0
+                np.testing.assert_allclose(np.asarray(got.T7[j][k]),
+                                           np.asarray(want.T7[j][k]),
+                                           rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_estep_real_cov_rank2_ns_inj(rng):
+    """The specialization composes with rank-2 sources and noise injection."""
+    X, v, Rj, A_conv, sigma, _ = _problem(rng, F=17, N=40)
+    # promote source 0 to a rank-2 REAL mixing
+    A0 = jnp.asarray(np.abs(rng.standard_normal((17, 2, 2))) + 0.3,
+                     jnp.float32).astype(jnp.complex64)
+    A_conv = (A0,) + A_conv[1:]
+    from pyfasst_tpu.ops import herm
+    Rj = jnp.stack([herm.herm_from_mixing(A_conv[0]),
+                    herm.herm_from_mixing(A_conv[1])])
+    ranks = (2, 1)
+    want = compute_suff_stats(X, v, Rj, sigma, ranks, A_conv=A_conv,
+                              noise_inject=True)
+    got = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, interpret=True,
+                            real_cov=True, noise_inject=True)
+    np.testing.assert_allclose(np.asarray(got.xi), np.asarray(want.xi),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got.loglik), float(want.loglik),
+                               rtol=1e-4)
+    for j in range(2):
+        np.testing.assert_allclose(np.asarray(got.T4[j]),
+                                   np.asarray(want.T4[j]),
+                                   rtol=2e-4, atol=1e-5)
+        for k in range(2):
+            np.testing.assert_allclose(np.asarray(got.Tss[j][k]),
+                                       np.asarray(want.Tss[j][k]),
+                                       rtol=2e-4, atol=1e-4)
