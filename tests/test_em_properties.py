@@ -83,3 +83,31 @@ def test_recovers_panned_sources(rng):
     best = max(min(sdr(Y[p[0]], Y_true[0]), sdr(Y[p[1]], Y_true[1]))
                for p in perms)
     assert best > 10.0, f"SDR too low: {best:.2f} dB"
+
+
+def test_nmf_updates_nonincrease_is_divergence(rng):
+    """SURVEY.md §4 unit row: the multiplicative IS-NMF factor updates must
+    not increase IS(P, V) on random data -- including the 4-factor
+    FB.FW.TW.TB chain."""
+    from pyfasst_tpu.models.components import SpectralComp
+    from pyfasst_tpu.ops.mstep import _nmf_factor_updates
+    from pyfasst_tpu.utils.signal import is_distortion
+
+    F, N, L, K, M = 21, 34, 6, 4, 12
+    P = jnp.asarray(0.1 + rng.random((F, N)), jnp.float32)
+
+    comp = SpectralComp(
+        FB=jnp.asarray(0.5 + rng.random((F, L)), jnp.float32),
+        FW=jnp.asarray(0.5 + rng.random((L, K)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng.random((K, M)), jnp.float32),
+        TB=jnp.asarray(0.5 + rng.random((M, N)), jnp.float32),
+        free=(True, True, True, True), spat_ind=0)
+    V = comp.power()
+    d0 = float(is_distortion(P, V))
+    d = d0
+    for _ in range(12):
+        comp, V = _nmf_factor_updates(comp, P, V, eps=1e-30)
+        d_new = float(is_distortion(P, V))
+        assert d_new <= d * (1 + 1e-4), (d, d_new)
+        d = d_new
+    assert d < 0.5 * d0    # actually makes progress, not just holds still
