@@ -55,17 +55,24 @@ def _cmd_separate(args) -> int:
             args.audio, nbComps=args.sources, nbStates=args.states,
             sourceModel="hmm" if args.model == "hmm" else "gsmm", **kw)
 
+    start_iter = 0
+    if args.resume:
+        start_iter = model.load_checkpoint(args.resume)
+        if not args.quiet:
+            print(f"resumed from {args.resume} at iteration {start_iter}")
     t0 = time.perf_counter()
-    logliks = model.estim_param_a_posteriori()
+    logliks = model.estim_param_a_posteriori(
+        start_iter=start_iter, checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every)
     paths = model.separate_spat_comps(args.out)
     wall = time.perf_counter() - t0
-    if args.checkpoint:
-        from pyfasst_tpu.utils.checkpoint import save_params
-        save_params(args.checkpoint, model.params, iteration=args.iters)
     report = {
         "files": paths,
         "iterations": int(args.iters),
-        "final_loglik": float(logliks[-1]),
+        # a resume from a finished checkpoint runs zero iterations: no
+        # loglik was computed this run, don't report a misleading 0.0
+        "final_loglik": (float(logliks[-1])
+                         if start_iter < args.iters else None),
         "wall_seconds": round(wall, 3),
         "xrt": round(model.audio.duration / max(wall, 1e-9), 2),
     }
@@ -139,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initialize conv mixing from DEMIX directions")
     p.add_argument("--checkpoint", default=None,
                    help="write final parameters to this .npz")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint written by --checkpoint "
+                        "(exact when run with the same --iters)")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="with --checkpoint: persist every K iterations and "
+                        "roll back to the last checkpoint on divergence")
     p.set_defaults(fn=_cmd_separate)
 
     p = sub.add_parser("lead", help="lead/accompaniment separation (SIMM)")

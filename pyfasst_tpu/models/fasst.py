@@ -118,23 +118,59 @@ class FASST:
         self.Cx = observed_covariance(self.Xs)
 
     # -- estimation ----------------------------------------------------------
-    def estim_param_a_posteriori(self, niter: Optional[int] = None
+    def estim_param_a_posteriori(self, niter: Optional[int] = None,
+                                 start_iter: int = 0,
+                                 checkpoint_path: Optional[str] = None,
+                                 checkpoint_every: Optional[int] = None
                                  ) -> np.ndarray:
         """Run the GEM loop (THE entry point; one compiled fori_loop).
 
-        Returns the per-iteration log-likelihoods.
+        Returns the per-iteration log-likelihoods. start_iter > 0 resumes an
+        interrupted run (see load_checkpoint): the annealing schedule is a
+        pure function of the iteration index against the FULL niter, so the
+        resumed trajectory is exactly the uninterrupted one (run with the
+        same niter as the original).
+
+        checkpoint_path + checkpoint_every=K persist the parameters every K
+        iterations (same compiled executable across chunks: the loop bounds
+        are traced). Non-finite log-likelihood in a chunk triggers the
+        failure path (SURVEY §5): parameters roll back to the last
+        checkpoint and a RuntimeError names the diverging iteration.
         """
         if self.params is None:
             raise RuntimeError("model parameters not initialized "
                                "(use a concrete FASST variant)")
         cfg = self.cfg if niter is None else \
             GEMConfig(**{**self.cfg.__dict__, "niter": int(niter)})
+        every = int(checkpoint_every or 0)
+        if every and not checkpoint_path:
+            raise ValueError("checkpoint_every requires checkpoint_path")
         t0 = time.perf_counter()
-        params, logliks = run_gem(self.params, self.Xs, cfg)
-        logliks = jax.block_until_ready(logliks)
+        lls = np.zeros(cfg.niter, np.float64)
+        s = int(start_iter)
+        params = self.params
+        while s < cfg.niter:
+            e = min(s + every, cfg.niter) if every else cfg.niter
+            new_params, logliks = run_gem(params, self.Xs, cfg,
+                                          start_iter=s, end_iter=e)
+            chunk = np.asarray(jax.block_until_ready(logliks))[s:e]
+            if not np.all(np.isfinite(chunk)):
+                bad = s + int(np.argmin(np.isfinite(chunk)))
+                self.params = params        # last good (checkpointed) state
+                raise RuntimeError(
+                    f"GEM diverged (non-finite log-likelihood) at iteration "
+                    f"{bad}; parameters rolled back to iteration {s}"
+                    + (f" (checkpoint: {checkpoint_path})"
+                       if checkpoint_path else ""))
+            lls[s:e] = chunk
+            params = new_params
+            if checkpoint_path and (every or e == cfg.niter):
+                self.params = params
+                self.save_checkpoint(checkpoint_path, iteration=e)
+            s = e
         self._gem_seconds = time.perf_counter() - t0
         self.params = params
-        self.logliks = np.asarray(logliks, dtype=np.float64)
+        self.logliks = lls
         if self.verbose:
             print(f"GEM {cfg.niter} iters in {self._gem_seconds:.3f}s, "
                   f"final loglik {self.logliks[-1]:.6g}")
@@ -172,6 +208,22 @@ class FASST:
         ys = np.stack([np.asarray(self.tft.invertTransform(Y[j], nsamples=n))
                        for j in range(Y.shape[0])]) * self._scale
         return self._write_sources(ys, dir_results, suffix)
+
+    # -- checkpoint / resume ---------------------------------------------------
+    def save_checkpoint(self, path: str, iteration: Optional[int] = None
+                        ) -> str:
+        """Persist the current parameters (utils.checkpoint .npz format)."""
+        from pyfasst_tpu.utils.checkpoint import save_params
+        it = self.cfg.niter if iteration is None else int(iteration)
+        return save_params(path, self.params, iteration=it)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore parameters; returns the saved iteration index, to pass as
+        estim_param_a_posteriori(start_iter=...) for an exact resume."""
+        from pyfasst_tpu.utils.checkpoint import load_params
+        params, it, _ = load_params(path)
+        self.params = params
+        return it
 
     def retrieveSubsrcSignals(self) -> np.ndarray:
         """Alias kept for reference API parity: the separated source images."""

@@ -107,21 +107,25 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     return params, stats.loglik
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "start_iter"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 @jax.default_matmul_precision("highest")
 def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
-            start_iter: int = 0, sigma_endpoints=None
+            start_iter=0, sigma_endpoints=None, end_iter=None
             ) -> Tuple[FasstParams, jnp.ndarray]:
-    """Run GEM iterations [start_iter, cfg.niter) as one compiled fori_loop.
+    """Run GEM iterations [start_iter, end_iter or cfg.niter) as one
+    compiled fori_loop.
 
     X is the complex mixture STFT (F, N, 2). Returns (params,
-    logliks[niter]). This is THE entry point the host API wraps
-    (reference: estim_param_a_posteriori). start_iter > 0 resumes from a
-    checkpoint: the annealing schedule is a pure function of the iteration
-    index, so resume is exact. sigma_endpoints, if given, is a (sigma0,
-    sigma1) pair of (F,) arrays overriding the endpoints derived from X --
-    used by the batch path, where X carries zero padding that would dilute
-    the per-frequency mean power.
+    logliks[niter]) with entries outside the executed range left zero.
+    This is THE entry point the host API wraps (reference:
+    estim_param_a_posteriori). start_iter/end_iter are DYNAMIC (traced)
+    bounds, so chunked runs (checkpoint every K iterations, resume) reuse
+    one executable; the annealing schedule stays a pure function of the
+    iteration index against the FULL cfg.niter, so a chunked or resumed
+    trajectory is exactly the uninterrupted one. sigma_endpoints, if given,
+    is a (sigma0, sigma1) pair of (F,) arrays overriding the endpoints
+    derived from X -- used by the batch path, where X carries zero padding
+    that would dilute the per-frequency mean power.
 
     Matmul precision is pinned to full float32 ("highest"): TPU's default
     bf16 passes destroy the E-step reductions and the IS-NMF update ratios
@@ -145,4 +149,5 @@ def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
         logliks = logliks.at[it].set(ll.astype(jnp.float32))
         return params, logliks
 
-    return jax.lax.fori_loop(start_iter, cfg.niter, body, (params, logliks))
+    stop = cfg.niter if end_iter is None else end_iter
+    return jax.lax.fori_loop(start_iter, stop, body, (params, logliks))

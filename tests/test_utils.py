@@ -144,3 +144,83 @@ def test_gem_under_debug_nans(rng):
         assert np.all(np.isfinite(np.asarray(ll)))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def _tiny_fasst(rng, tmp_path, nan_bin=False):
+    import scipy.io.wavfile as wavfile
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+    rng = np.random.default_rng(11)     # deterministic: callers compare runs
+    fs = 8000
+    t = np.arange(fs) / fs
+    mix = np.stack([0.5 * np.sin(2 * np.pi * 300 * t)
+                    + 0.2 * rng.standard_normal(fs),
+                    0.3 * np.sin(2 * np.pi * 300 * t)
+                    + 0.4 * rng.standard_normal(fs)], 1)
+    p = str(tmp_path / "m.wav")
+    wavfile.write(p, fs, (mix * 2 ** 14).astype(np.int16))
+    model = MultiChanNMFInst_FASST(p, nbComps=2, nbNMFComps=3, wlen=256,
+                                   iter_num=9)
+    if nan_bin:
+        bad = np.asarray(model.Xs)
+        # poison one TF bin AFTER construction (device array -> host -> re-up)
+        from pyfasst_tpu.utils.misc import to_host_complex, to_device_complex
+        h = to_host_complex(model.Xs)
+        h[3, 2, 0] = np.nan
+        model.Xs = to_device_complex(h)
+    return model
+
+
+def test_chunked_checkpoint_run_matches_straight(rng, tmp_path):
+    """checkpoint_every chunks reuse one executable and reproduce the
+    uninterrupted trajectory exactly (dynamic loop bounds, same schedule)."""
+    m1 = _tiny_fasst(rng, tmp_path)
+    ll_straight = m1.estim_param_a_posteriori()
+    m2 = _tiny_fasst(rng, tmp_path)
+    ck = str(tmp_path / "ck.npz")
+    ll_chunked = m2.estim_param_a_posteriori(checkpoint_path=ck,
+                                             checkpoint_every=4)
+    np.testing.assert_allclose(ll_chunked, ll_straight, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(m1.params), jax.tree.leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+    # the checkpoint holds the FINAL iteration
+    from pyfasst_tpu.utils.checkpoint import load_params
+    _, it, _ = load_params(ck)
+    assert it == 9
+
+
+def test_class_resume_from_checkpoint(rng, tmp_path):
+    """save mid-run via checkpoint_every, reload into a fresh model, resume
+    with the same niter -> identical final state."""
+    m1 = _tiny_fasst(rng, tmp_path)
+    ll_ref = m1.estim_param_a_posteriori()
+
+    m2 = _tiny_fasst(rng, tmp_path)
+    ck = str(tmp_path / "mid.npz")
+    # run only [0, 6) by chunking manually through start/end
+    from pyfasst_tpu.ops.gem import run_gem
+    params, _ = run_gem(m2.params, m2.Xs, m2.cfg, start_iter=0, end_iter=6)
+    m2.params = params
+    m2.save_checkpoint(ck, iteration=6)
+
+    m3 = _tiny_fasst(rng, tmp_path)
+    start = m3.load_checkpoint(ck)
+    assert start == 6
+    ll = m3.estim_param_a_posteriori(start_iter=start)
+    np.testing.assert_allclose(ll[6:], ll_ref[6:], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(m1.params), jax.tree.leaves(m3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_divergence_rolls_back_to_checkpoint(rng, tmp_path):
+    """Non-finite loglik raises and restores the last checkpointed params
+    (SURVEY §5 failure-detection row)."""
+    import pytest
+    m = _tiny_fasst(rng, tmp_path, nan_bin=True)
+    p0 = jax.tree.leaves(m.params)
+    with pytest.raises(RuntimeError, match="diverged"):
+        m.estim_param_a_posteriori(checkpoint_path=str(tmp_path / "g.npz"),
+                                   checkpoint_every=3)
+    for a, b in zip(p0, jax.tree.leaves(m.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
