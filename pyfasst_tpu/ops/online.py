@@ -9,8 +9,11 @@ accumulated statistics while the time activations TW are estimated per
 block. Enables long recordings whose full (F, N) plane does not fit in HBM
 and latency-bounded streaming separation.
 
-TPU-native shape: one jitted `lax.scan` over blocks; each block runs a few
-inner EM iterations (static count). Rank-1 sources (the streaming use case).
+TPU-native shape: one jitted `lax.scan` over blocks (run_gem_online, whole
+mixture in memory) OR a host-driven loop over `online_block` fed by
+`tf.stft.STFT.stream_blocks` -- the bounded-memory path for recordings
+whose (F, N) plane exceeds HBM. Both run the same block body. Rank-1
+sources (the streaming use case).
 """
 from __future__ import annotations
 
@@ -47,28 +50,13 @@ def _block_estep(Xb, A, FB, TWb, sigma, eps):
     return stats, v
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_blocks", "inner_iters", "eps"))
-@jax.default_matmul_precision("highest")
-def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
-                   X: jnp.ndarray, sigma: jnp.ndarray,
-                   n_blocks: int, forgetting: float = 0.9,
-                   inner_iters: int = 4, eps: float = 1e-30):
-    """Stream the mixture through `n_blocks` equal blocks.
+def online_init(A0: jnp.ndarray, FB0: jnp.ndarray) -> OnlineState:
+    """Fresh streaming state around initial mixing/pattern guesses.
 
-    A0 (J, F, 2) complex; FB0 (J, F, K); TW0 (J, K, Nb) per-block init;
-    X (F, N, 2) with N = n_blocks * Nb; sigma (F,) noise PSD (held fixed --
-    streaming has no global annealing schedule; pass a moderately small
-    floor). Returns (A, FB, TW_all (J, K, N), logliks (n_blocks,)).
+    A0 (J, F, 2) complex rank-1 mixing; FB0 (J, F, K) spectral patterns.
     """
     J, F, K = FB0.shape
-    Nb = X.shape[1] // n_blocks
-    lam = forgetting
-
-    Xblocks = jnp.moveaxis(
-        X[:, :n_blocks * Nb].reshape(F, n_blocks, Nb, 2), 1, 0)
-
-    zero_state = OnlineState(
+    return OnlineState(
         A=A0, FB=FB0,
         txs=jnp.zeros((J, F, 2), jnp.complex64),
         tss=jnp.zeros((J, J, F), jnp.complex64),
@@ -77,6 +65,11 @@ def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
         fb_num=jnp.zeros((J, F, K), jnp.float32),
         fb_den=jnp.zeros((J, F, K), jnp.float32),
     )
+
+
+def _make_block_step(TW0, sigma, lam, inner_iters: int, eps: float):
+    """The per-block body shared by the scanned and host-driven paths."""
+    J = TW0.shape[0]
 
     def block_step(state: OnlineState, Xb):
         A, FB = state.A, state.FB
@@ -144,7 +137,47 @@ def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
                                 fb_num=fb_num, fb_den=fb_den)
         return new_state, (TWb, stats.loglik)
 
-    state, (TW_all, logliks) = jax.lax.scan(block_step, zero_state, Xblocks)
+    return block_step
+
+
+@functools.partial(jax.jit, static_argnames=("inner_iters", "eps"))
+@jax.default_matmul_precision("highest")
+def online_block(state: OnlineState, Xb: jnp.ndarray, TW0: jnp.ndarray,
+                 sigma: jnp.ndarray, forgetting: float = 0.9,
+                 inner_iters: int = 4, eps: float = 1e-30):
+    """Process ONE mixture block host-side: (state, (TWb, loglik)).
+
+    The bounded-memory streaming entry: feed blocks from
+    STFT.stream_blocks (same Nb per call => one compiled executable) and
+    carry the returned state. Semantics identical to run_gem_online's
+    scanned body (shared implementation).
+    """
+    return _make_block_step(TW0, sigma, forgetting, inner_iters,
+                            eps)(state, Xb)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "inner_iters", "eps"))
+@jax.default_matmul_precision("highest")
+def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
+                   X: jnp.ndarray, sigma: jnp.ndarray,
+                   n_blocks: int, forgetting: float = 0.9,
+                   inner_iters: int = 4, eps: float = 1e-30):
+    """Stream the mixture through `n_blocks` equal blocks (whole X given).
+
+    A0 (J, F, 2) complex; FB0 (J, F, K); TW0 (J, K, Nb) per-block init;
+    X (F, N, 2) with N = n_blocks * Nb; sigma (F,) noise PSD (held fixed --
+    streaming has no global annealing schedule; pass a moderately small
+    floor). Returns (A, FB, TW_all (J, K, N), logliks (n_blocks,)).
+    """
+    J, F, K = FB0.shape
+    Nb = X.shape[1] // n_blocks
+
+    Xblocks = jnp.moveaxis(
+        X[:, :n_blocks * Nb].reshape(F, n_blocks, Nb, 2), 1, 0)
+    block_step = _make_block_step(TW0, sigma, forgetting, inner_iters, eps)
+    state, (TW_all, logliks) = jax.lax.scan(
+        block_step, online_init(A0, FB0), Xblocks)
     # (n_blocks, J, K, Nb) -> (J, K, n_blocks * Nb), blocks in time order
     TW_all = jnp.moveaxis(TW_all, 0, 2).reshape(J, TW0.shape[1], -1)
     return state.A, state.FB, TW_all, logliks

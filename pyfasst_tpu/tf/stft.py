@@ -99,22 +99,21 @@ def _frame_by_reshape(xp, n_frames: int, wlen: int, hop: int):
     return jnp.concatenate(parts, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("wlen", "hop", "method"))
-@jax.default_matmul_precision("highest")
-def _stft_core(x, window, wlen: int, hop: int, method: str):
-    nsamples = x.shape[0]
-    pad_front, pad_back, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
-    xp = jnp.pad(x, ((pad_front, pad_back),) + ((0, 0),) * (x.ndim - 1))
+def _spec_from_padded(xp, n_frames: int, window, wlen: int, hop: int,
+                      method: str):
+    """Windowed spectra of a PRE-PADDED signal: xp length must be exactly
+    (n_frames - 1) * hop + wlen. Shared by the whole-signal core and the
+    block-streaming path (identical math => bit-identical blocks)."""
     if wlen % hop == 0:
         frames = _frame_by_reshape(xp, n_frames, wlen, hop)
     else:
         idx = jnp.asarray(_frame_indices(n_frames, wlen, hop))
         frames = xp[idx]
-    frames = frames * (window[:, None] if x.ndim == 2 else window)[None]
+    frames = frames * (window[:, None] if xp.ndim == 2 else window)[None]
     if method == "matmul":
         C, S = _dft_matrices(wlen, window.dtype)
         C, S = jnp.asarray(C), jnp.asarray(S)
-        if x.ndim == 2:
+        if xp.ndim == 2:
             re = jnp.einsum("nwi,wf->nfi", frames, C)
             im = jnp.einsum("nwi,wf->nfi", frames, S)
         else:
@@ -123,6 +122,15 @@ def _stft_core(x, window, wlen: int, hop: int, method: str):
     else:
         X = jnp.fft.rfft(frames, axis=1)  # (N, F[, I])
     return jnp.moveaxis(X, 0, 1)  # (F, N[, I])
+
+
+@functools.partial(jax.jit, static_argnames=("wlen", "hop", "method"))
+@jax.default_matmul_precision("highest")
+def _stft_core(x, window, wlen: int, hop: int, method: str):
+    nsamples = x.shape[0]
+    pad_front, pad_back, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
+    xp = jnp.pad(x, ((pad_front, pad_back),) + ((0, 0),) * (x.ndim - 1))
+    return _spec_from_padded(xp, n_frames, window, wlen, hop, method)
 
 
 @functools.partial(jax.jit, static_argnames=("wlen", "hop", "nsamples"))
@@ -207,6 +215,43 @@ class STFT:
         if n is None:
             raise ValueError("call computeTransform first or pass nsamples")
         return istft(X, n, self.wlen, self.hop, self.window)
+
+    def stream_blocks(self, filename, frames_per_block: int):
+        """Yield STFT blocks of a WAV file, reading only each block's
+        samples (the long-context front-end: memory stays
+        O(frames_per_block), served by the native codec's seek+read when
+        built). Blocks are bit-identical to the corresponding slices of
+        computeTransform on the whole file (shared _spec_from_padded), so
+
+            jnp.concatenate(list(st.stream_blocks(p, Nb)), axis=1)
+            == st.computeTransform(whole)
+
+        Pairs with ops.online.online_block for bounded-memory streaming
+        estimation of recordings whose (F, N) plane exceeds HBM.
+        """
+        import os as _os
+        from pyfasst_tpu.audio import wavread_block
+        from pyfasst_tpu.native import wavio
+        native = wavio()
+        if native is not None:
+            nsamples = native.info(_os.fspath(filename))["frames"]
+        else:
+            from pyfasst_tpu.audio import wavread
+            nsamples = wavread(filename)[0].shape[0]
+        wlen, hop = self.wlen, self.hop
+        pad_front, _, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
+        win = jnp.asarray(self.window, jnp.float32)
+        for m0 in range(0, n_frames, frames_per_block):
+            m1 = min(m0 + frames_per_block, n_frames)
+            lo = m0 * hop - pad_front                    # may be < 0
+            hi = (m1 - 1) * hop - pad_front + wlen       # may be > nsamples
+            lo_c, hi_c = max(lo, 0), min(hi, nsamples)
+            data, _ = wavread_block(filename, lo_c, hi_c - lo_c)
+            chunk = np.pad(np.asarray(data, np.float32),
+                           ((lo_c - lo, hi - hi_c),) + ((0, 0),)
+                           * (data.ndim - 1))
+            yield _spec_from_padded(jnp.asarray(chunk), m1 - m0, win,
+                                    wlen, hop, self.method)
 
     # snake_case aliases (idiomatic surface; same functions)
     forward = computeTransform

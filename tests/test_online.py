@@ -76,3 +76,62 @@ def test_online_spectral_patterns_localize(rng):
     straight = min(e0_band0, e1_band1)
     flipped = min(e0_band1, e1_band0)
     assert max(straight, flipped) > 0.6, (straight, flipped)
+
+
+def test_stream_blocks_bit_identical_to_full_stft(rng, tmp_path):
+    """STFT.stream_blocks must reproduce the whole-file transform exactly
+    (same framing/window/DFT code path, block-paged reads)."""
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.tf.stft import STFT
+
+    fs, n = 8000, 8000 + 123          # deliberately not frame-aligned
+    mix = np.clip(0.4 * rng.standard_normal((n, 2)), -1, 1)
+    p = str(tmp_path / "long.wav")
+    wavwrite(mix, fs, p)
+
+    st = STFT(wlen=256, fs=fs)
+    from pyfasst_tpu.audio import wavread
+    full = st.computeTransform(wavread(p)[0].astype(np.float32))
+    blocks = list(st.stream_blocks(p, frames_per_block=7))
+    streamed = jnp.concatenate(blocks, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(jnp.real(streamed)),
+                                  np.asarray(jnp.real(full)))
+    np.testing.assert_array_equal(np.asarray(jnp.imag(streamed)),
+                                  np.asarray(jnp.imag(full)))
+
+
+def test_online_block_matches_scanned_run(rng):
+    """Host-driven online_block carries must equal run_gem_online's scan
+    (shared body)."""
+    from pyfasst_tpu.ops.online import (
+        online_block, online_init, run_gem_online,
+    )
+
+    J, F, K, Nb, nb = 2, 17, 3, 16, 4
+    X = jnp.asarray(rng.standard_normal((F, nb * Nb, 2))
+                    + 1j * rng.standard_normal((F, nb * Nb, 2)),
+                    jnp.complex64)
+    A0 = jnp.asarray(0.4 + rng.random((J, F, 2)), jnp.float32
+                     ).astype(jnp.complex64)
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 0.01, jnp.float32)
+
+    A_ref, FB_ref, TW_ref, ll_ref = run_gem_online(A0, FB0, TW0, X, sigma,
+                                                   n_blocks=nb)
+    state = online_init(A0, FB0)
+    tws, lls = [], []
+    for b in range(nb):
+        Xb = X[:, b * Nb:(b + 1) * Nb]
+        state, (TWb, ll) = online_block(state, Xb, TW0, sigma)
+        tws.append(TWb)
+        lls.append(float(ll))
+    np.testing.assert_allclose(np.asarray(state.A), np.asarray(A_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.FB), np.asarray(FB_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(tws, axis=-1)), np.asarray(TW_ref),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(lls, np.asarray(ll_ref), rtol=1e-5)
