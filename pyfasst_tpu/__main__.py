@@ -53,7 +53,7 @@ def _cmd_separate(args) -> int:
     else:  # hmm / gsmm
         model = MultiChanHMM(
             args.audio, nbComps=args.sources, nbStates=args.states,
-            sourceModel="hmm" if args.model == "hmm" else "gsmm", **kw)
+            sparsity="HMM" if args.model == "hmm" else "GMM", **kw)
 
     start_iter = 0
     if args.resume:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp

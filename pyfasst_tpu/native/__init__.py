@@ -13,9 +13,7 @@ from __future__ import annotations
 
 import os
 import subprocess
-import sys
 import sysconfig
-from typing import Optional
 
 _wavio_mod = None
 _wavio_tried = False

@@ -64,3 +64,22 @@ def test_lead_command(mix_wav, tmp_path, capsys):
 def test_missing_file_is_clean_error(capsys):
     assert main(["separate", "no_such_file.wav", "-q"]) == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_separate_hmm_and_gsmm(mix_wav, tmp_path, capsys):
+    for model in ("hmm", "gsmm"):
+        out_dir = str(tmp_path / model)
+        assert main(["separate", mix_wav, "-o", out_dir, "--model", model,
+                     "--states", "3", "--iters", "6", "--wlen", "256",
+                     "-q"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+
+
+def test_separate_fullrank_erb(mix_wav, tmp_path, capsys):
+    out_dir = str(tmp_path / "fr")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--freq-basis", "erb", "--bands", "12", "--iters", "6",
+                 "--wlen", "256", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
