@@ -111,7 +111,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
     J = len(ranks)
     Rmax = max(ranks)
 
-    def kernel(x4_ref, v_ref, R_ref, A_ref, sig_ref, trR_ref, Xc_ref,
+    def kernel(x4_ref, v_ref, A_ref, sig_ref,
                xi_ref, txs_ref, tss_ref, t4_ref, t7_ref, ll_ref):
         jn = pl.program_id(1)
         first = jn == 0
@@ -155,12 +155,49 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
         sig = sig_ref[:]                     # (TF, 1)
         v = [msk(v_ref[j]) for j in range(J)]   # (TF, TN) each
 
-        # Sigma_x entries and the nonnegative-monomial determinant.
-        Ra = [R_ref[j, :, 0:1] for j in range(J)]
-        Rd = [R_ref[j, :, 1:2] for j in range(J)]
-        Rbr = [R_ref[j, :, 2:3] for j in range(J)]
-        Rbi = [R_ref[j, :, 3:4] for j in range(J)]
-        trR = [trR_ref[j] for j in range(J)]  # (TF, 1)
+        # per-source mixing columns (per-f rows broadcast over frames):
+        # A_ref[j] layout (TF, 4*Rmax): columns r -> [a0r, a0i, a1r, a1i].
+        Acol = []
+        for j in range(J):
+            cols = []
+            for r in range(ranks[j]):
+                o = 4 * r
+                cols.append((
+                    (A_ref[j, :, o:o + 1],
+                     None if real_cov else A_ref[j, :, o + 1:o + 2]),
+                    (A_ref[j, :, o + 2:o + 3],
+                     None if real_cov else A_ref[j, :, o + 3:o + 4])))
+            Acol.append(cols)
+
+        # Spatial invariants derived IN-TILE from the mixing columns (all
+        # (TF, 1) math, riding along with the kernel instead of a chain of
+        # small per-iteration XLA ops on (F,)-sized arrays): packed
+        # R_j = A_j A_j^H entries, tr(R_j), and the Lagrange cross terms
+        # X_jk = sum_rs |A_j[0,r] A_k[1,s] - A_j[1,r] A_k[0,s]|^2 of the
+        # cancellation-free determinant (estep.cross_terms).
+        Ra = [sum(_cabs2(Acol[j][r][0]) for r in range(ranks[j]))
+              for j in range(J)]
+        Rd = [sum(_cabs2(Acol[j][r][1]) for r in range(ranks[j]))
+              for j in range(J)]
+        Rb = []
+        for j in range(J):
+            prods = [_cmul(Acol[j][r][0], _cconj(Acol[j][r][1]))
+                     for r in range(ranks[j])]
+            Rb.append((sum(pr[0] for pr in prods),
+                       None if real_cov else sum(pr[1] for pr in prods)))
+        Rbr = [Rb[j][0] for j in range(J)]
+        Rbi = [Rb[j][1] for j in range(J)]
+        trR = [Ra[j] + Rd[j] for j in range(J)]  # (TF, 1)
+        Xc = {}
+        for j in range(J):
+            for k in range(J):
+                acc = None
+                for r in range(ranks[j]):
+                    for s_ in range(ranks[k]):
+                        c = _csub(_cmul(Acol[j][r][0], Acol[k][s_][1]),
+                                  _cmul(Acol[j][r][1], Acol[k][s_][0]))
+                        acc = _na(acc, _cabs2(c))
+                Xc[(j, k)] = acc
 
         a = sig + sum(v[j] * Ra[j] for j in range(J))
         d = sig + sum(v[j] * Rd[j] for j in range(J))
@@ -168,7 +205,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
              None if real_cov
              else sum(v[j] * Rbi[j] for j in range(J)))
         lin = sum(v[j] * trR[j] for j in range(J))
-        quad = 0.5 * sum(v[j] * v[k] * Xc_ref[j, k]
+        quad = 0.5 * sum(v[j] * v[k] * Xc[(j, k)]
                          for j in range(J) for k in range(J))
         det = sig * sig + sig * lin + quad
         rinv = 1.0 / det
@@ -191,20 +228,6 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
         accum(ll_ref, slice(None),
               jnp.sum(ll_term * valid, axis=1, keepdims=True))
 
-        # per-source mixing columns (per-f rows broadcast over frames):
-        # A_ref[j] layout (TF, 4*Rmax): columns r -> [a0r, a0i, a1r, a1i].
-        Acol = []
-        for j in range(J):
-            cols = []
-            for r in range(ranks[j]):
-                o = 4 * r
-                cols.append((
-                    (A_ref[j, :, o:o + 1],
-                     None if real_cov else A_ref[j, :, o + 1:o + 2]),
-                    (A_ref[j, :, o + 2:o + 3],
-                     None if real_cov else A_ref[j, :, o + 3:o + 4])))
-            Acol.append(cols)
-
         # w_j,r = A_j[:, r]^H y  and  u_j,r = Sigma_x^-1 A_j[:, r]
         w = [[_cadd(_cmul(_cconj(Acol[j][r][0]), y0),
                     _cmul(_cconj(Acol[j][r][1]), y1))
@@ -226,7 +249,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                   None if real_cov
                   else sum(v[k] * Rbi[k] for k in range(J) if k != j))
             linS = sum(v[k] * trR[k] for k in range(J) if k != j)
-            quadS = 0.5 * sum(v[k] * v[l] * Xc_ref[k, l]
+            quadS = 0.5 * sum(v[k] * v[l] * Xc[(k, l)]
                               for k in range(J) for l in range(J)
                               if k != j and l != j)
             detS = sig * sig + sig * linS + quadS
@@ -341,17 +364,18 @@ def pack_x4(X: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit,
                    static_argnames=("ranks", "ns_inj", "interpret", "tf",
                                     "no_ll", "real_cov"))
-def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
+def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray,
                  A4: jnp.ndarray, sigma: jnp.ndarray,
-                 trR: jnp.ndarray, Xc: jnp.ndarray,
                  ranks: Tuple[int, ...], ns_inj: bool = False,
                  interpret: bool = False, tf: int = 32,
                  no_ll: bool = False, real_cov: bool = False):
     """Run the fused kernel.
 
-    x4 (4, F, N) packed mixture (pack_x4); v (J, F, N); Rj (J, F, 4);
-    A4 (J, F, 4*Rmax) real mixing columns [Re A0r, Im A0r, Re A1r, Im A1r]
-    per sub-source r; sigma (F,); trR (J, F); Xc (J, J, F). Returns
+    x4 (4, F, N) packed mixture (pack_x4); v (J, F, N); A4 (J, F, 4*Rmax)
+    real mixing columns [Re A0r, Im A0r, Re A1r, Im A1r] per sub-source r;
+    sigma (F,). The spatial covariance entries, traces, and Lagrange cross
+    terms are derived from A4 inside the kernel ((TF, 1) tile math), so no
+    per-iteration chain of small (F,)-sized XLA ops feeds it. Returns
     packed-real (xi, txs, tss, t4, t7, loglik); see pallas_suff_stats for
     complex views.
 
@@ -369,8 +393,6 @@ def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
     TF = tf
     TN = min(_cdiv(N, 128) * 128, 2048)
     sp = sigma[:, None]
-    trRp = trR[..., None]
-    Xcp = Xc[..., None]
 
     grid = (_cdiv(F, TF), _cdiv(N, TN))
 
@@ -382,12 +404,8 @@ def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((J, TF, TN), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((J, TF, 4), fmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((J, TF, 4 * Rmax), fmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((TF, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((J, TF, 1), fmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((J, J, TF, 1), lambda i, j: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((J, TF, TN), lambda i, j: (0, i, j),
@@ -421,7 +439,7 @@ def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray, Rj: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(x4, v, Rj, A4, sp, trRp, Xcp)
+    )(x4, v, A4, sp)
 
     loglik = -jnp.sum(llf[:, 0])
     return xi, txs, tss, t4, t7, loglik
@@ -442,14 +460,13 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
     mixing column is REAL (instantaneous models): the kernel then drops all
     arithmetic on the identically-zero imaginary parts (~25-30%% of the VPU
     work; the E-step is compute-bound)."""
-    from pyfasst_tpu.ops.estep import SuffStats, cross_terms
+    from pyfasst_tpu.ops.estep import SuffStats
 
     assert all(r in (1, 2) for r in ranks)
     if x4 is None:
         x4 = pack_x4(X)
     J = v.shape[0]
     Rmax = max(ranks)
-    trR, Xc = cross_terms(Rj, A_conv)
     A4 = jnp.stack([
         jnp.concatenate(
             [jnp.stack([jnp.real(A_conv[j][:, 0, r]),
@@ -461,7 +478,7 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                if ranks[j] < Rmax else []), axis=-1)
         for j in range(J)])                                   # (J, F, 4*Rmax)
     xi, txs, tss, t4, t7, loglik = pallas_estep(
-        x4, v, Rj, A4, sigma, trR, Xc, ranks=tuple(ranks),
+        x4, v, A4, sigma, ranks=tuple(ranks),
         ns_inj=noise_inject, interpret=interpret, real_cov=real_cov)
     xi = jnp.maximum(xi, eps)
 
