@@ -57,34 +57,69 @@ def local_directions(X: np.ndarray, wf: int = 3, wn: int = 8):
     return u, conf, lam1
 
 
+def _peel_seeds(z: np.ndarray, w: np.ndarray, K: int,
+                n_candidates: int = 2048) -> np.ndarray:
+    """DEMIX-style sequential seeding by LOCAL DENSITY: find the densest
+    mode of the remaining features, mean-shift onto it, REMOVE its
+    neighbourhood, repeat K times.
+
+    Density, not per-point confidence, picks the seed: the confidence
+    weights saturate at their cap for most selected bins, so an argmax over
+    them is arbitrary. And inertia-selected random restarts systematically
+    split the heaviest cluster instead of keeping a light one when sources
+    have very unequal bin counts -- peeling seeds one centroid per mode
+    regardless of its weight share. z is in cluster-width units.
+    """
+    rng = np.random.default_rng(0)
+    z_rem, w_rem = z, w
+    seeds = []
+    for _ in range(K):
+        if len(z_rem) == 0:
+            seeds.append(seeds[-1] + 1.0)            # degenerate fallback
+            continue
+        cand = z_rem[rng.choice(len(z_rem),
+                                min(n_candidates, len(z_rem)),
+                                replace=False)]
+        d2 = np.sum((cand[:, None, :] - z_rem[None, :, :]) ** 2, axis=-1)
+        density = (w_rem * (d2 < 1.5 ** 2)).sum(axis=1)
+        c = cand[int(np.argmax(density))]
+        for _ in range(3):                           # local mean-shift
+            close = np.sum((z_rem - c) ** 2, axis=1) < 1.5 ** 2
+            if not np.any(close):
+                break
+            c = np.average(z_rem[close], axis=0, weights=w_rem[close])
+        seeds.append(c)
+        far = np.sum((z_rem - c) ** 2, axis=1) >= 2.5 ** 2
+        z_rem, w_rem = z_rem[far], w_rem[far]
+    return np.stack(seeds)
+
+
 def _weighted_kmeans(z: np.ndarray, w: np.ndarray, K: int, n_iter: int = 50,
-                     restarts: int = 8) -> Tuple[np.ndarray, np.ndarray]:
-    """Weighted k-means with k-means++ restarts; keeps the best inertia."""
-    best = None
-    for seed in range(restarts):
-        rng = np.random.default_rng(seed)
-        centers = [z[rng.choice(len(z), p=w / w.sum())]]
-        for _ in range(K - 1):
-            d2 = np.min([np.sum((z - c) ** 2, axis=1) for c in centers],
-                        axis=0)
-            p = w * d2
-            p = p / max(p.sum(), 1e-30)
-            centers.append(z[rng.choice(len(z), p=p)])
-        centers = np.stack(centers)
-        labels = np.zeros(len(z), np.int64)
-        for _ in range(n_iter):
-            d2 = np.stack([np.sum((z - c) ** 2, axis=1) for c in centers])
-            labels = np.argmin(d2, axis=0)
-            for k in range(K):
-                m = labels == k
-                if np.any(m):
-                    centers[k] = np.average(z[m], axis=0, weights=w[m])
-        inertia = float(np.sum(w * np.min(
-            np.stack([np.sum((z - c) ** 2, axis=1) for c in centers]),
-            axis=0)))
-        if best is None or inertia < best[0]:
-            best = (inertia, centers.copy(), labels.copy())
-    return best[1], best[2]
+                     trim_radius: float = 3.0) -> Tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Peel-seeded, TRIMMED weighted k-means in cluster-width units.
+
+    z must already be scaled so one unit ~ one cluster width per feature
+    (DEMIX._cluster_scale). Two robustness properties matter here and plain
+    inertia-minimizing k-means has neither:
+      - seeds come from peeling (one per dominance region), because the
+        minimum-inertia solution SPLITS a heavy cluster rather than keep a
+        light one when sources have very unequal bin counts;
+      - the centroid update is trimmed to points within `trim_radius`
+        cluster widths, because heavy-tailed slope noise otherwise drags
+        centroids off their clusters (weighted means are not robust).
+    """
+    centers = _peel_seeds(z, w, K)
+    labels = np.zeros(len(z), np.int64)
+    for _ in range(n_iter):
+        d2 = np.stack([np.sum((z - c) ** 2, axis=1) for c in centers])
+        labels = np.argmin(d2, axis=0)
+        near = np.min(d2, axis=0) < trim_radius ** 2
+        for k in range(K):
+            m = (labels == k) & near
+            if np.any(m):
+                centers[k] = np.average(z[m], axis=0, weights=w[m])
+    return centers, labels
 
 
 class DEMIX:
@@ -97,7 +132,9 @@ class DEMIX:
 
     def __init__(self, audio=None, X: Optional[np.ndarray] = None,
                  fs: int = 44100, wlen: int = 1024,
-                 conf_quantile: float = 0.8, wf: int = 3, wn: int = 8):
+                 conf_quantile: float = 0.8, wf: int = 3, wn: int = 8,
+                 max_delay: float = 32.0, max_gain: float = 30.0,
+                 slope_lag: int = 8):
         if X is None:
             from pyfasst_tpu.audio import AudioObject
             obj = audio if isinstance(audio, AudioObject) else \
@@ -109,6 +146,9 @@ class DEMIX:
         self.F = self.X.shape[0]
         self.conf_quantile = conf_quantile
         self.wf, self.wn = wf, wn
+        self.max_delay = float(max_delay)
+        self.max_gain = float(max_gain)
+        self.slope_lag = int(slope_lag)
         self.gains: Optional[np.ndarray] = None
         self.delays: Optional[np.ndarray] = None
 
@@ -119,17 +159,26 @@ class DEMIX:
                                                         self.wn)
         return self.u, self.conf
 
+    # One cluster width per feature, in (log-gain, delay-samples): set by
+    # the slope-estimator noise, NOT by data spread (std-based scaling is
+    # inflated by heavy delay tails and collapses the delay axis, making
+    # distances gain-dominated).
+    _cluster_scale = np.array([0.15, 1.2])
+
     def estimate_count(self, K_max: int = 6, drop: float = 0.5) -> int:
         """Estimate the source count K^ (reference DEMIX estimates it too).
 
         Elbow rule on the weighted k-means inertia: grow K while adding a
         cluster still cuts the inertia by more than `drop`; the first K
         whose improvement falls below it is returned.
+
+        Known bias: a source holding a small fraction of the confident
+        bins (narrowband, or much quieter than the rest) barely moves the
+        global inertia, so K^ comes out LOW on strongly unequal mixtures.
+        Pass K explicitly to comp_parameters when the count is known.
         """
         z, w = self._features()
-        scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)
-                          * max(np.std(z[:, 0]), 1e-6)])
-        z = z * scale
+        z = z / self._cluster_scale
         prev = None
         for K in range(1, K_max + 1):
             centers, _ = _weighted_kmeans(z, w, K)
@@ -149,10 +198,8 @@ class DEMIX:
         if K is None:
             K = self.estimate_count()
         z, w = self._features()
-        scale = np.array([1.0, 1.0 / max(np.std(z[:, 1]), 1e-6)
-                          * max(np.std(z[:, 0]), 1e-6)])
-        centers, _ = _weighted_kmeans(z * scale, w, K)
-        centers = centers / scale
+        centers, _ = _weighted_kmeans(z / self._cluster_scale, w, K)
+        centers = centers * self._cluster_scale
         self.gains = np.exp(centers[:, 0])
         self.delays = -centers[:, 1]
         return self.gains, self.delays
@@ -162,27 +209,45 @@ class DEMIX:
         z columns are (log gain, delay in samples), pre-scaling."""
         self.comp_pcafeatures()
         u, conf, lam1 = self.u, self.conf, self.lam1
+        L = self.slope_lag
         # feature 1: log gain ratio |u1/u0|
         g = np.abs(u[..., 1]) / np.maximum(np.abs(u[..., 0]), 1e-12)
-        # feature 2: phase increment of u1 u0* between adjacent frequencies
-        # (wrap-free delay read-out: equals -pi * delay / (F-1) per bin)
+        # feature 2: phase increment of u1 u0* across an L-bin frequency
+        # lag: equals -pi L delay / (F-1). The lag is the delay-resolution
+        # lever: per-pair phase noise is ~constant, so the implied delay
+        # noise scales as 1/L (adjacent bins, L=1, give clusters many
+        # samples wide for |d| ~ 5 and k-means cannot separate sources).
+        # Wrap-safe for |d| < (F-1)/L, consistent with the max_delay gate.
         prod = u[..., 1] * np.conj(u[..., 0])
-        slope = np.angle(prod[1:] * np.conj(prod[:-1]))        # (F-1, N)
-        gmid = 0.5 * (np.log(np.maximum(g[1:], 1e-9))
-                      + np.log(np.maximum(g[:-1], 1e-9)))
+        slope = np.angle(prod[L:] * np.conj(prod[:-L]))        # (F-L, N)
+        logg = np.log(np.maximum(g, 1e-9))
+        gmid = 0.5 * (logg[L:] + logg[:-L])
+        # endpoint-consistency gate: a pair whose two bins sit in DIFFERENT
+        # sources' territory reads a meaningless slope (and such pairs are
+        # plentiful at band boundaries once L > 1, spawning spurious
+        # clusters). Same-source endpoints agree on the gain ratio.
+        consistent = (np.abs(logg[L:] - logg[:-L]) < 0.3).ravel()
         # selection: silent bins have 0/0 covariances and garbage-huge
         # confidence -- gate on local ENERGY first, then on confidence,
         # and cap the k-means weights.
-        energy = np.minimum(lam1[1:], lam1[:-1]).ravel()
-        w = np.minimum(conf[1:], conf[:-1]).ravel()
+        energy = np.minimum(lam1[L:], lam1[:-L]).ravel()
+        w = np.minimum(conf[L:], conf[:-L]).ravel()
         z = np.stack([gmid.ravel(), slope.ravel()
-                      * (self.F - 1) / np.pi], axis=1)
-        loud = energy >= 1e-3 * energy.mean()
+                      * (self.F - 1) / (np.pi * L)], axis=1)
+        loud = (energy >= 1e-3 * energy.mean()) & consistent
         # cap the confidence weights HARD: conf scales like 1/(direction
         # rotation)^2 within the smoothing window, which biases raw-conf
         # selection toward small-delay sources; past ~confident it carries
         # no extra information.
         z, w = z[loud], np.minimum(w[loud], 100.0)
+        # physical-bounds gate: slope features wrap for large effective
+        # delays and explode on cross-source bins; without it, a handful of
+        # garbage features (|delay| in the hundreds, gains in the hundreds)
+        # sit far from every real cluster and CAPTURE a k-means centroid,
+        # losing one true source (observed on a 3-source mixture).
+        sane = (np.abs(z[:, 1]) <= self.max_delay) \
+            & (np.abs(z[:, 0]) <= np.log(self.max_gain))
+        z, w = z[sane], w[sane]
         keep = w >= np.quantile(w, self.conf_quantile)
         return z[keep], w[keep]
 

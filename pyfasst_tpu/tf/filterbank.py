@@ -43,13 +43,25 @@ def mel_to_hz(m):
 
 def _triangle_bank(freqs: np.ndarray, centers_hz: np.ndarray) -> np.ndarray:
     """Triangular filters on the given center grid; rows sum over all bands
-    to ~1 inside [centers[0], centers[-1]] (partition of unity)."""
+    to ~1 EVERYWHERE: the first/last filters are shelves (flat outside
+    their center), so frequencies below centers[1] and above centers[-2]
+    are still covered.
+
+    Full coverage is load-bearing, not cosmetic: a fixed FB whose columns
+    leave any frequency row at ~0 makes those bins UNREPRESENTABLE by the
+    model, and as the annealing noise floor shrinks, their residual power
+    drives the log-likelihood to -|x|^2/sigma (observed at -4e8 on a
+    broadband mixture) and wrecks the surrounding M-step updates."""
     B = len(centers_hz) - 2
     bank = np.zeros((B, len(freqs)), dtype=np.float64)
     for b in range(B):
         lo, c, hi = centers_hz[b], centers_hz[b + 1], centers_hz[b + 2]
         up = (freqs - lo) / max(c - lo, 1e-9)
         down = (hi - freqs) / max(hi - c, 1e-9)
+        if b == 0:
+            up = np.ones_like(freqs, dtype=np.float64)      # low shelf
+        if b == B - 1:
+            down = np.ones_like(freqs, dtype=np.float64)    # high shelf
         bank[b] = np.clip(np.minimum(up, down), 0.0, None)
     return bank
 

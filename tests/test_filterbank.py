@@ -43,3 +43,15 @@ def test_erb_transform_roundtrip_smooth_signal(rng):
     y = np.asarray(tr.invertTransform(Xb, nsamples=n))
     err = np.linalg.norm(y - x) / np.linalg.norm(x)
     assert err < 0.15, err
+
+
+def test_full_coverage_every_bin():
+    """Every frequency row must be representable: bank coverage == 1
+    everywhere (shelf edges). A coverage hole makes those bins
+    unrepresentable and collapses the annealed likelihood on broadband
+    audio (observed before the fix)."""
+    from pyfasst_tpu.tf.filterbank import erb_filterbank, mel_filterbank
+    for fb in (erb_filterbank(32, 513, 16000, 1024),
+               mel_filterbank(12, 129, 8000, 256)):
+        cov = fb.sum(0)
+        np.testing.assert_allclose(cov, 1.0, rtol=1e-9)

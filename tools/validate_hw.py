@@ -1,0 +1,334 @@
+"""Hardware validation matrix: the five BASELINE.json acceptance configs,
+full iteration counts, real TPU, SDR-scored against synthetic ground truth.
+
+Writes docs/validation.md and prints one JSON line per scenario. Run time
+~10-15 min (five compiles + runs).
+
+Scoring is plain per-image SDR (no allowed-distortion filters): the Wiener
+estimates target the source IMAGES, so exact-image SDR is well-defined for
+every scenario including the reverberant one.
+"""
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from pyfasst_tpu.models.components import (
+    CONV, FasstParams, SpatialComp, SpectralComp, init_inst_mixing,
+    init_nmf_comp,
+)
+from pyfasst_tpu.ops.gem import annealing_endpoints, run_gem
+from pyfasst_tpu.ops.wiener import separate_sources
+from pyfasst_tpu.tf.stft import STFT
+from pyfasst_tpu.tf.filterbank import spectral_basis
+from pyfasst_tpu.utils.config import GEMConfig
+from pyfasst_tpu.utils.misc import to_host_complex
+
+FS = 16000
+DUR = 6.0
+WLEN = 1024
+
+
+def _sources(rng, n, kinds):
+    """Time-domain test sources: spectrally distinct, amplitude-modulated."""
+    t = np.arange(n) / FS
+    out = []
+    for kind in kinds:
+        if kind == "harm":
+            s = sum(np.sin(2 * np.pi * 220 * (k + 1) * t) / (k + 1)
+                    for k in range(5)) * (1 + 0.4 * np.sin(2 * np.pi * 2 * t))
+        elif kind.startswith("band:"):       # dense band-limited noise
+            from scipy.signal import butter, lfilter
+            lo, hi = (float(x) for x in kind.split(":")[1].split("-"))
+            b, a = butter(4, [lo, hi], btype="band")
+            s = lfilter(b, a, rng.standard_normal(n))
+        elif kind == "noise_lo":
+            s = np.convolve(rng.standard_normal(n), np.ones(24) / 24,
+                            "same") * (np.sin(2 * np.pi * 1.3 * t) > 0)
+        elif kind == "noise_hi":
+            w = rng.standard_normal(n)
+            s = (w - np.convolve(w, np.ones(8) / 8, "same")) \
+                * (1 + 0.5 * np.sin(2 * np.pi * 0.7 * t + 1))
+        elif kind == "tone_switch":   # state-switching spectra (HMM target)
+            seg = int(0.25 * FS)
+            freqs = [330, 660, 495]
+            s = np.concatenate([
+                np.sin(2 * np.pi * freqs[i % 3]
+                       * np.arange(seg) / FS) for i in range(n // seg + 1)
+            ])[:n]
+        elif kind == "clicks":
+            s = np.zeros(n)
+            s[::int(0.21 * FS)] = 1.0
+            s = np.convolve(s, np.hanning(64), "same") \
+                * rng.standard_normal(n) * 0.5 + s
+        out.append(s / (np.std(s) + 1e-9))
+    return out
+
+
+def _best_perm_sdr(ys, ys_true):
+    """(min, mean) over sources of the image SDR at the best permutation.
+
+    The permutation maximizes the TOTAL SDR; min is the harshest view
+    (everything must separate), mean is the literature's usual summary.
+    """
+    J = len(ys_true)
+
+    def sdr(a, b):
+        return 10 * np.log10(np.sum(b ** 2)
+                             / max(np.sum((a - b) ** 2), 1e-12))
+
+    best, best_perm = None, None
+    for p in itertools.permutations(range(J)):
+        tot = sum(sdr(ys[p[j]], ys_true[j]) for j in range(J))
+        if best is None or tot > best:
+            best, best_perm = tot, p
+    per = [sdr(ys[best_perm[j]], ys_true[j]) for j in range(J)]
+    return min(per), float(np.mean(per))
+
+
+def _estimate_and_separate(params, X_host, cfg):
+    """X_host complex (F, N, 2) -> (params, logliks, images (J,F,N,2))."""
+    from pyfasst_tpu.utils.misc import to_device_complex
+    X = to_device_complex(X_host)
+    scale = float(np.sqrt(np.mean(np.abs(X_host) ** 2)))
+    X = X / scale
+    t0 = time.perf_counter()
+    params, lls = run_gem(params, X, cfg)
+    _, sigma1 = annealing_endpoints(X, cfg)
+    Y = separate_sources(params, X, sigma1)
+    Yh = to_host_complex(Y) * scale
+    wall = time.perf_counter() - t0
+    return params, np.asarray(lls), Yh, wall
+
+
+def _istft_images(tft, Yh, nsamples):
+    return np.stack([np.asarray(tft.invertTransform(Yh[j], nsamples=nsamples))
+                     for j in range(Yh.shape[0])])
+
+
+def _report(name, sdrs, wall, iters, extra=None):
+    mn, mean = sdrs
+    rec = {"scenario": name, "min_sdr_db": round(float(mn), 2),
+           "mean_sdr_db": round(float(mean), 2),
+           "wall_s": round(wall, 3), "iters": iters, **(extra or {})}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def scenario_inst(rng):
+    """configs[0]: stereo instantaneous, 2 sources, 500 iters."""
+    n = int(FS * DUR)
+    s1, s2 = _sources(rng, n, ["harm", "noise_hi"])
+    A = np.array([[0.95, 0.31], [0.31, 0.95]])
+    ys_true = np.stack([np.outer(s1, A[:, 0]), np.outer(s2, A[:, 1])])
+    mix = ys_true.sum(0)
+    tft = STFT(wlen=WLEN, fs=FS)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    F, N = X.shape[:2]
+    key = jax.random.PRNGKey(0)
+    spat = tuple(SpatialComp(A=a) for a in init_inst_mixing(None, 2, 1, 2))
+    spec = tuple(init_nmf_comp(k, F, N, 8, spat_ind=j)
+                 for j, k in enumerate(jax.random.split(key, 2)))
+    cfg = GEMConfig(niter=500)
+    _, lls, Yh, wall = _estimate_and_separate(
+        FasstParams(spat=spat, spec=spec), X, cfg)
+    ys = _istft_images(tft, Yh, n)
+    return _report("configs[0] inst 2src", _best_perm_sdr(ys, ys_true),
+                   wall, 500, {"final_ll": round(float(lls[-1]), 1)})
+
+
+def scenario_anechoic(rng):
+    """configs[1]: anechoic conv, 3 sources, rank-1 + ERB basis, 400 iters.
+
+    Sources are spectrally dense (band-limited noises): DEMIX's lagged
+    phase-slope features need in-band frequency pairs, so sparse comb
+    spectra are out of its design envelope (documented in demix.py).
+    """
+    n = int(FS * DUR)
+    srcs = _sources(rng, n, ["band:0.01-0.2", "band:0.15-0.55",
+                             "band:0.45-0.95"])
+    gains = [0.5, 1.0, 1.8]
+    delays = [-4, 0, 5]                      # integer samples: exact images
+    ys_true = []
+    for s, g, d in zip(srcs, gains, delays):
+        ch1 = g * np.roll(s, d)
+        ys_true.append(np.stack([s, ch1], 1))
+    ys_true = np.stack(ys_true)
+    mix = ys_true.sum(0)
+    tft = STFT(wlen=WLEN, fs=FS)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    F, N = X.shape[:2]
+
+    # DEMIX-initialized anechoic mixing
+    from pyfasst_tpu.models.demix import DEMIX
+    dm = DEMIX(X=X, wlen=WLEN)
+    dm.comp_parameters(K=3)
+    A0 = dm.mixing(F)                                        # (3, F, 2, 1)
+    from pyfasst_tpu.utils.misc import to_device_complex
+    key = jax.random.PRNGKey(1)
+    FB_erb = jnp.asarray(spectral_basis("erb", 32, F, FS, WLEN), jnp.float32)
+    spat = tuple(SpatialComp(A=to_device_complex(A0[j]), mix_type=CONV)
+                 for j in range(3))
+    rng2 = np.random.default_rng(5)
+    spec = tuple(SpectralComp(
+        FB=FB_erb, FW=jnp.asarray(0.5 + rng2.random((32, 6)), jnp.float32),
+        TW=jnp.asarray(0.5 + rng2.random((6, N)), jnp.float32),
+        free=(False, True, True, False), spat_ind=j) for j in range(3))
+    cfg = GEMConfig(niter=400)
+    _, lls, Yh, wall = _estimate_and_separate(
+        FasstParams(spat=spat, spec=spec), X, cfg)
+    ys = _istft_images(tft, Yh, n)
+    return _report("configs[1] anechoic 3src ERB+DEMIX",
+                   _best_perm_sdr(ys, ys_true), wall, 400,
+                   {"final_ll": round(float(lls[-1]), 1)})
+
+
+def scenario_reverb(rng):
+    """configs[2]: reverberant full-rank, 4 sources, rank-2, 400 iters."""
+    n = int(FS * DUR)
+    srcs = _sources(rng, n, ["harm", "noise_lo", "noise_hi", "clicks"])
+    ys_true = []
+    for j, s in enumerate(srcs):
+        chs = []
+        for ch in range(2):
+            h = rng.standard_normal(100) * np.exp(-np.arange(100) / 20.0)
+            h[0] += 1.5 if ch == (j % 2) else 0.4   # direction + reverb tail
+            chs.append(np.convolve(s, h, "same"))
+        ys_true.append(np.stack(chs, 1))
+    ys_true = np.stack(ys_true)
+    mix = ys_true.sum(0)
+    tft = STFT(wlen=WLEN, fs=FS)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    F, N = X.shape[:2]
+    key = jax.random.PRNGKey(2)
+    rng2 = np.random.default_rng(6)
+    from pyfasst_tpu.utils.misc import to_device_complex
+    A0 = (rng2.standard_normal((4, F, 2, 2)) * 0.2
+          + 1j * rng2.standard_normal((4, F, 2, 2)) * 0.2)
+    for j in range(4):
+        A0[j, :, j % 2, 0] += 1.0
+        A0[j, :, 1 - j % 2, 1] += 0.5
+    spat = tuple(SpatialComp(A=to_device_complex(A0[j]), mix_type=CONV)
+                 for j in range(4))
+    spec = tuple(init_nmf_comp(k, F, N, 6, spat_ind=j)
+                 for j, k in enumerate(jax.random.split(key, 4)))
+    cfg = GEMConfig(niter=400)
+    _, lls, Yh, wall = _estimate_and_separate(
+        FasstParams(spat=spat, spec=spec), X, cfg)
+    ys = _istft_images(tft, Yh, n)
+    return _report("configs[2] reverberant full-rank 4src",
+                   _best_perm_sdr(ys, ys_true), wall, 400,
+                   {"final_ll": round(float(lls[-1]), 1)})
+
+
+def scenario_hmm(rng):
+    """configs[3]: HMM spectral states, 2 sources, 300 iters."""
+    from pyfasst_tpu.models.variants import MultiChanHMM
+
+    n = int(FS * DUR)
+    s1, s2 = _sources(rng, n, ["tone_switch", "noise_hi"])
+    A = np.array([[0.9, 0.35], [0.35, 0.9]])
+    ys_true = np.stack([np.outer(s1, A[:, 0]), np.outer(s2, A[:, 1])])
+    mix = ys_true.sum(0)
+    model = MultiChanHMM(mix, fs=FS, nbComps=2, nbStates=6, wlen=WLEN,
+                         iter_num=300, sparsity="HMM")
+    t0 = time.perf_counter()
+    model.estim_param_a_posteriori()
+    ys = model.separated_images()
+    wall = time.perf_counter() - t0
+    return _report("configs[3] HMM 2src", _best_perm_sdr(ys, ys_true),
+                   wall, 300, {"final_ll": round(float(model.logliks[-1]), 1)})
+
+
+def scenario_batch(rng):
+    """configs[4]: batched separation of 8 variable-length clips (one chip;
+    the 8-device sharded path is validated on the CPU mesh in tests)."""
+    from pyfasst_tpu.parallel.batch import batch_separate
+    from pyfasst_tpu.parallel.sharding import make_mesh
+
+    tft = STFT(wlen=WLEN, fs=FS)
+    Xs, total_audio = [], 0.0
+    for i in range(8):
+        dur = 4.0 + 0.5 * i
+        n = int(FS * dur)
+        total_audio += dur
+        s1, s2 = _sources(rng, n, ["harm", "noise_hi"])
+        mix = np.outer(s1, [0.95, 0.31]) + np.outer(s2, [0.31, 0.95])
+        Xs.append(to_host_complex(tft.computeTransform(
+            mix.astype(np.float32))))
+    F = Xs[0].shape[0]
+
+    def make_params(F, Npad, i):
+        key = jax.random.PRNGKey(i)
+        spat = tuple(SpatialComp(A=a)
+                     for a in init_inst_mixing(None, 2, 1, 2))
+        spec = tuple(init_nmf_comp(k, F, Npad, 8, spat_ind=j)
+                     for j, k in enumerate(jax.random.split(key, 2)))
+        return FasstParams(spat=spat, spec=spec)
+
+    cfg = GEMConfig(niter=300)
+    mesh = make_mesh(1)
+    # warm-up pass compiles one executable per frame bucket; time the
+    # second pass (steady-state throughput, same methodology as bench.py)
+    batch_separate(Xs, make_params, cfg, mesh=mesh, granularity=64)
+    t0 = time.perf_counter()
+    imgs, lls = batch_separate(Xs, make_params, cfg, mesh=mesh,
+                               granularity=64)
+    wall = time.perf_counter() - t0
+    finite = all(np.all(np.isfinite(l)) for l in lls) and \
+        all(np.all(np.isfinite(y)) for y in imgs)
+    rec = {"scenario": "configs[4] batch 8 clips (1 chip)",
+           "total_audio_s": total_audio, "wall_s": round(wall, 2),
+           "batched_xrt": round(total_audio / wall, 1),
+           "iters": 300, "all_finite": bool(finite)}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    rng = np.random.default_rng(42)
+    recs = [scenario_inst(rng), scenario_anechoic(rng), scenario_reverb(rng),
+            scenario_hmm(rng), scenario_batch(rng)]
+    lines = [
+        "# Hardware validation matrix (real TPU)",
+        "",
+        "Generated by `tools/validate_hw.py`: the five BASELINE.json "
+        "acceptance configs at full iteration counts on one real chip, "
+        "SDR over sources at the best permutation, scored against exact "
+        "synthetic source images. Wall times INCLUDE one-time compilation "
+        "(except the batch row, which times a warm pass); steady-state "
+        "throughput is bench.py's metric (xRT 85-92 on the flagship).",
+        "",
+        "| scenario | min SDR (dB) | mean SDR (dB) | iters | wall (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in recs:
+        if "min_sdr_db" in r:
+            lines.append(f"| {r['scenario']} | {r['min_sdr_db']} | "
+                         f"{r['mean_sdr_db']} | {r['iters']} | "
+                         f"{r['wall_s']} |")
+        else:
+            lines.append(f"| {r['scenario']} | (finite={r['all_finite']}) | "
+                         f"batched xRT {r['batched_xrt']} | {r['iters']} | "
+                         f"{r['wall_s']} |")
+    lines.append("")
+    out = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "validation.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({"wrote": "docs/validation.md"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
