@@ -75,6 +75,20 @@ class MultiChanNMFConv(FASST):
                                       self.tft.wlen)
         from pyfasst_tpu.utils.misc import to_device_complex
         if init_mixing is not None:
+            init_mixing = np.asarray(init_mixing)
+            if init_mixing.shape[-1] < spatial_rank:
+                # rank expansion (e.g. DEMIX rank-1 directions seeding a
+                # full-rank model): append small orthogonal columns so the
+                # extra spatial degrees of freedom start near-anechoic and
+                # grow only if the data asks for them.
+                a = init_mixing[..., 0]                     # (J, F, 2)
+                orth = np.stack([-np.conj(a[..., 1]),
+                                 np.conj(a[..., 0])], axis=-1)
+                norm = np.linalg.norm(a, axis=-1, keepdims=True) + 1e-12
+                cols = [init_mixing] + [
+                    (0.2 * orth / norm)[..., None]
+                    for _ in range(spatial_rank - init_mixing.shape[-1])]
+                init_mixing = np.concatenate(cols, axis=-1)
             A0 = to_device_complex(
                 init_mixing, jnp.complex128 if self.dtype == jnp.float64
                 else jnp.complex64)

@@ -210,23 +210,20 @@ def scenario_reverb(rng):
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     F, N = X.shape[:2]
-    key = jax.random.PRNGKey(2)
-    rng2 = np.random.default_rng(6)
-    from pyfasst_tpu.utils.misc import to_device_complex
-    A0 = (rng2.standard_normal((4, F, 2, 2)) * 0.2
-          + 1j * rng2.standard_normal((4, F, 2, 2)) * 0.2)
-    for j in range(4):
-        A0[j, :, j % 2, 0] += 1.0
-        A0[j, :, 1 - j % 2, 1] += 0.5
-    spat = tuple(SpatialComp(A=to_device_complex(A0[j]), mix_type=CONV)
-                 for j in range(4))
-    spec = tuple(init_nmf_comp(k, F, N, 6, spat_ind=j)
-                 for j, k in enumerate(jax.random.split(key, 4)))
-    cfg = GEMConfig(niter=400)
-    _, lls, Yh, wall = _estimate_and_separate(
-        FasstParams(spat=spat, spec=spec), X, cfg)
-    ys = _istft_images(tft, Yh, n)
-    return _report("configs[2] reverberant full-rank 4src",
+    # blind full-rank: DEMIX anechoic directions (direct path) seed the
+    # rank-2 mixing via MultiChanNMFConv's rank expansion
+    from pyfasst_tpu.models.demix import DEMIX
+    from pyfasst_tpu.models.variants import MultiChanNMFConv
+    dm = DEMIX(X=X, wlen=WLEN)
+    dm.comp_parameters(K=4)
+    model = MultiChanNMFConv(mix, fs=FS, nbComps=4, nbNMFComps=6,
+                             spatial_rank=2, init_mixing=dm.mixing(F),
+                             wlen=WLEN, iter_num=400)
+    t0 = time.perf_counter()
+    lls = model.estim_param_a_posteriori()
+    ys = model.separated_images()
+    wall = time.perf_counter() - t0
+    return _report("configs[2] reverberant full-rank 4src (DEMIX init)",
                    _best_perm_sdr(ys, ys_true), wall, 400,
                    {"final_ll": round(float(lls[-1]), 1)})
 
