@@ -63,8 +63,10 @@ std::string parse_header(FILE* f, WavInfo* wi) {
     }
     uint32_t size = le32(ch + 4);
     if (std::memcmp(ch, "fmt ", 4) == 0) {
+      if (size < 16 || size > 1 << 20)  // corrupt sizes would be allocated
+        return "malformed fmt chunk";
       std::vector<unsigned char> buf(size);
-      if (size < 16 || !read_exact(f, buf.data(), size))
+      if (!read_exact(f, buf.data(), size))
         return "malformed fmt chunk";
       wi->format = le16(&buf[0]);
       wi->channels = le16(&buf[2]);
@@ -94,6 +96,18 @@ std::string parse_header(FILE* f, WavInfo* wi) {
   }
   if (wi->channels == 0 || wi->samplerate == 0)
     return "malformed fmt chunk (zero channels or samplerate)";
+  // clamp the declared data size to what the file actually holds: fseek
+  // past EOF succeeds on POSIX, so a corrupt size field would otherwise
+  // survive parsing and demand a multi-GB buffer before the read fails
+  // (std::bad_alloc aborts the process on memory-constrained hosts).
+  std::fseek(f, 0, SEEK_END);
+  long file_end = std::ftell(f);
+  if (file_end >= wi->data_offset) {
+    uint32_t avail = (uint32_t)(file_end - wi->data_offset);
+    if (wi->data_bytes > avail) wi->data_bytes = avail;
+  } else {
+    wi->data_bytes = 0;
+  }
   if (wi->block_align == 0)
     wi->block_align = (uint16_t)(wi->channels * (wi->bits / 8));
   if (wi->format == 1) {

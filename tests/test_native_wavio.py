@@ -105,3 +105,28 @@ def test_audioobject_uses_same_convention(tmp_path, stereo):
     np.testing.assert_array_equal(data, obj.data)
     blk, sr2 = wavread_block(p, 50, 25)
     np.testing.assert_array_equal(blk, data[50:75])
+
+
+@needs_native
+def test_fuzzed_headers_never_crash(tmp_path, rng):
+    """Mutated/truncated WAV headers must raise clean Python errors (the
+    parser is native C++: robustness against malformed input is a safety
+    property, not a nicety)."""
+    base = str(tmp_path / "f.wav")
+    native.write(base, np.zeros((64, 2)), 8000, bits=16)
+    blob = bytearray(open(base, "rb").read())
+    for trial in range(200):
+        mutated = bytearray(blob)
+        for _ in range(rng.integers(1, 6)):
+            mutated[rng.integers(0, min(64, len(mutated)))] = \
+                int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            mutated = mutated[:rng.integers(0, len(mutated))]
+        p = str(tmp_path / "m.wav")
+        with open(p, "wb") as fh:
+            fh.write(mutated)
+        try:
+            native.read(p)
+            native.info(p)
+        except (ValueError, OSError):
+            pass  # clean error is the contract; a crash would kill pytest
