@@ -105,6 +105,44 @@ def _cmd_demix(args) -> int:
     return 0
 
 
+def _cmd_eval(args) -> int:
+    import numpy as np
+    from pyfasst_tpu.audio import wavread
+    from pyfasst_tpu.utils.metrics import bss_eval_sources
+
+    def load_mono(paths):
+        sigs, sr0 = [], None
+        for p in paths:
+            data, sr = wavread(p)
+            if sr0 is None:
+                sr0 = sr
+            elif sr != sr0:
+                raise ValueError(f"sample-rate mismatch: {p} has {sr}, "
+                                 f"expected {sr0}")
+            sigs.append(data.mean(axis=1))       # downmix to mono
+        T = min(len(s) for s in sigs)
+        return np.stack([s[:T] for s in sigs]), sr0
+
+    est, sr_e = load_mono(args.estimates)
+    ref, sr_r = load_mono(args.references)
+    if sr_e != sr_r:
+        raise ValueError(f"estimate/reference sample rates differ "
+                         f"({sr_e} vs {sr_r})")
+    if est.shape[0] != ref.shape[0]:
+        raise ValueError(f"{est.shape[0]} estimates vs {ref.shape[0]} "
+                         "references")
+    T = min(est.shape[1], ref.shape[1])
+    res = bss_eval_sources(est[:, :T], ref[:, :T],
+                           filt_len=args.filt_len)
+    print(json.dumps({
+        "sdr_db": [round(float(x), 2) for x in res["sdr"]],
+        "sir_db": [round(float(x), 2) for x in res["sir"]],
+        "sar_db": [round(float(x), 2) for x in res["sar"]],
+        "permutation": [int(p) for p in res["perm"]],
+    }))
+    return 0
+
+
 def _cmd_info(args) -> int:
     from pyfasst_tpu.native import wavio
     native = wavio()
@@ -166,6 +204,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sources", type=int, default=None,
                    help="fix the source count (default: estimate)")
     p.set_defaults(fn=_cmd_demix)
+
+    p = sub.add_parser("eval", help="BSS-Eval estimated stems vs references")
+    p.add_argument("-e", "--estimates", nargs="+", required=True,
+                   help="estimated source WAVs (order-free: the best "
+                        "permutation is scored)")
+    p.add_argument("-r", "--references", nargs="+", required=True,
+                   help="ground-truth source WAVs")
+    p.add_argument("--filt-len", type=int, default=128,
+                   help="allowed-distortion filter taps")
+    p.set_defaults(fn=_cmd_eval)
 
     p = sub.add_parser("info", help="inspect a WAV file")
     p.add_argument("audio")

@@ -8,9 +8,10 @@ cluster the directions into K anechoic (gain, delay) parameters.
 
 TPU-native shape: the local covariance smoothing and the closed-form 2x2
 eigendecomposition are vectorized over the whole (f, n) plane (device
-friendly); the final confidence-weighted k-means over (log-gain, phase-slope)
-features runs on host (tiny data). Returns mixing matrices ready to seed
-MultiChanNMFConv (configs[1]).
+friendly); the final clustering of (log-gain, lagged-phase-slope) features
+-- density-peel-seeded trimmed k-means -- runs on host (tiny data).
+Returns mixing matrices ready to seed MultiChanNMFConv (configs[1]), or,
+rank-expanded, the full-rank models (configs[2]).
 """
 from __future__ import annotations
 

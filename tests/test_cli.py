@@ -83,3 +83,25 @@ def test_separate_fullrank_erb(mix_wav, tmp_path, capsys):
                  "--wlen", "256", "-q"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+
+
+def test_eval_command(mix_wav, tmp_path, capsys):
+    """Scoring estimated stems vs references through the CLI."""
+    # trivial case: estimates == references -> near-perfect SDR
+    from pyfasst_tpu.audio import wavread, wavwrite
+    data, sr = wavread(mix_wav)
+    a = str(tmp_path / "a.wav")
+    b = str(tmp_path / "b.wav")
+    wavwrite(data * 0.8, sr, a)
+    wavwrite(np.roll(data, 1, axis=0) * 0.5 + 0.01 * data, sr, b)
+    assert main(["eval", "-e", b, a, "-r", a, b]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    # swapped estimates: permutation recovered, SDR high (gain/shift are
+    # within the allowed-distortion filters)
+    assert rep["permutation"] == [1, 0]
+    assert all(s > 20 for s in rep["sdr_db"])
+
+
+def test_eval_count_mismatch_is_clean(mix_wav, capsys):
+    assert main(["eval", "-e", mix_wav, "-r", mix_wav, mix_wav]) == 2
+    assert "estimates vs" in capsys.readouterr().err
