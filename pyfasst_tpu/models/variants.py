@@ -197,7 +197,8 @@ class multiChanSourceF0Filter(FASST):
     def __init__(self, audio, nbComps: int = 2, nbNMFComps: int = 4,
                  n_f0: int = 60, n_filter_bands: int = 20,
                  spatial_rank: int = 1, f0_min: float = 80.0,
-                 f0_max: float = 500.0, **kw):
+                 f0_max: float = 500.0, init_from_lead: bool = False,
+                 lead_iters: int = 30, **kw):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps + 2)
         A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
@@ -208,12 +209,35 @@ class multiChanSourceF0Filter(FASST):
                            f0_min=f0_min, f0_max=f0_max)
         WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
                                 self.tft.wlen)
+        TW0 = 0.5 + jax.random.uniform(keys[0], (n_f0, self.N), self.dtype)
+        TW20 = 0.5 + jax.random.uniform(
+            keys[1], (n_filter_bands, self.N), self.dtype)
+        if init_from_lead:
+            # reference flow: run the SeparateLeadStereo pipeline first and
+            # seed the lead source's F0/envelope activations from its
+            # melody-constrained SIMM estimate (same WF0/WGAMMA grids: the
+            # dictionaries are built by the same functions and parameters)
+            from pyfasst_tpu.models.lead import SeparateLeadStereoTF
+            sep = SeparateLeadStereoTF(
+                audio=self.audio.data, fs=self.fs, wlen=self.tft.wlen,
+                hop=self.tft.hop, n_f0=n_f0, f0_min=f0_min, f0_max=f0_max,
+                n_filter=n_filter_bands, niter=lead_iters)
+            sep.runDecomposition()
+            # seed with a RELATIVE floor: the melody constraint leaves hard
+            # zeros off the Viterbi corridor, and multiplicative updates
+            # cannot regrow from exact zero -- as the annealing noise
+            # shrinks, bins the constrained lead cannot reach must remain
+            # reachable by SOME component or the likelihood collapses.
+            HF0 = jnp.asarray(sep.HF0, self.dtype)
+            HG = jnp.asarray(sep.HG, self.dtype)
+            TW0 = HF0 + 1e-2 * jnp.mean(HF0)
+            TW20 = HG + 1e-2 * jnp.mean(HG)
+            self.lead_melody = sep.melody
         lead = SpectralComp(
             FB=jnp.asarray(WF0, self.dtype),
-            TW=0.5 + jax.random.uniform(keys[0], (n_f0, self.N), self.dtype),
+            TW=TW0,
             FB2=jnp.asarray(WGAMMA, self.dtype),
-            TW2=0.5 + jax.random.uniform(
-                keys[1], (n_filter_bands, self.N), self.dtype),
+            TW2=TW20,
             spat_ind=0, free=(False, False, True, False),
             free2=(False, True))
         spec = [lead]

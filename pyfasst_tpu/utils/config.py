@@ -36,6 +36,11 @@ class GEMConfig:
     # power. The final floor keeps cond(Sigma_x) within what float32 2x2
     # determinants can resolve (~1e6); a -55 dB noise floor is inaudible and
     # far inside the 0.1 dB SDR budget (BASELINE.json).
+    # NOTE: the schedule interpolates the endpoints LINEARLY, so at small
+    # niter (< ~50) the last step still shrinks sigma by orders of
+    # magnitude at once and the final log-likelihood can DIP while tiny
+    # residuals get repriced -- cosmetic at realistic iteration counts,
+    # use no_ann when comparing logliks across few iterations.
     sigma_start_frac: float = 1e-2
     sigma_end_frac: float = 3e-6
     # Numerical floors (load-bearing: IS divergence and 2x2 inverses blow up

@@ -84,3 +84,37 @@ def test_source_filter_model_end_to_end(rng):
     best = max(min(sdr(Y[p[0]], Y_true[0]), sdr(Y[p[1]], Y_true[1]))
                for p in [(0, 1), (1, 0)])
     assert best > 8.0, f"source-filter separation SDR too low: {best:.2f}"
+
+
+def test_init_from_lead_pipeline(rng, tmp_path):
+    """Reference flow: the SeparateLeadStereo pipeline seeds the
+    source-filter model's F0/envelope activations (melody-constrained),
+    and estimation proceeds from there."""
+    import scipy.io.wavfile as wavfile
+    from pyfasst_tpu.models.variants import multiChanSourceF0Filter
+
+    fs = 8000
+    t = np.arange(fs) / fs
+    lead = np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+    acc = 0.4 * rng.standard_normal(fs)
+    mix = np.stack([0.9 * lead + 0.4 * acc, 0.4 * lead + 0.9 * acc], 1)
+    p = str(tmp_path / "m.wav")
+    wavfile.write(p, fs, (mix / np.abs(mix).max() * 2 ** 14).astype(np.int16))
+
+    # no_ann for the loglik comparison: under annealing, sigma changes per
+    # iteration and the LAST linear step at small niter drops it ~100x at
+    # once, so ll[-1] vs ll[0] is not meaningful there (verified benign:
+    # random init shows the same final-step dip, and it vanishes at
+    # realistic iteration counts).
+    model = multiChanSourceF0Filter(p, nbComps=2, nbNMFComps=3, wlen=512,
+                                    n_f0=40, f0_min=100, f0_max=600,
+                                    iter_num=20, annealing="no_ann",
+                                    init_from_lead=True, lead_iters=6)
+    assert model.lead_melody is not None
+    # the init must carry the lead pipeline's F0 activations, which must be
+    # concentrated (melody-constrained: zero outside the Viterbi corridor)
+    TW = np.asarray(model.params.spec[0].TW)
+    frac_active = np.mean(TW > 1e-3 * TW.max())
+    assert frac_active < 0.5, frac_active
+    ll = model.estim_param_a_posteriori()
+    assert np.all(np.isfinite(ll)) and ll[-1] > ll[0]
