@@ -28,12 +28,12 @@ arrays -- negligible next to the E-step.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 
 from pyfasst_tpu.models.components import (
-    CONV, INST, NMF, FasstParams, SpatialComp, SpectralComp,
+    INST, NMF, FasstParams, SpatialComp, SpectralComp,
 )
 from pyfasst_tpu.ops import herm
 from pyfasst_tpu.ops.estep import SuffStats

@@ -22,7 +22,7 @@ from pyfasst_tpu.ops import herm
 from pyfasst_tpu.ops.estep import (
     cross_terms, mixture_cov, stable_inv, stable_mixture_det,
 )
-from pyfasst_tpu.ops.gem import observed_covariance, spatial_covs
+from pyfasst_tpu.ops.gem import spatial_covs
 
 
 _I8 = jnp.asarray([1.0, 0, 0, 0, 0, 0, 1.0, 0])  # packed general identity

@@ -12,7 +12,7 @@ Host-side numpy (scoring is not a hot path).
 from __future__ import annotations
 
 import itertools
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -6,7 +6,6 @@ functions. Device-friendly jnp implementations (usable inside jit).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
