@@ -165,9 +165,10 @@ def generate_WF0(F: int, fs: int, wlen: int, n_f0: int = 60,
                  rolloff: float = 1.0) -> np.ndarray:
     """Harmonic-comb source dictionary (F, n_f0) on a log-F0 grid.
 
-    Reference parity: SeparateLeadStereo's generate_WF0_chirped builds glottal
-    combs (UNVERIFIED); here each column is a Gaussian-blurred harmonic comb
-    with 1/h^rolloff amplitude decay -- the same role (pitched-source atoms).
+    Each column is a Gaussian-blurred harmonic comb with 1/h^rolloff
+    amplitude decay -- a simple pitched-source atom family. The reference's
+    glottal-pulse atoms (and chirped variants) are generate_WF0_chirped
+    below; this lighter comb is kept as an option.
     """
     freqs = np.arange(F) * fs / wlen
     f0s = np.geomspace(f0_min, f0_max, n_f0)
@@ -182,14 +183,86 @@ def generate_WF0(F: int, fs: int, wlen: int, n_f0: int = 60,
     return W
 
 
+def odgd_harmonic_amplitudes(n_harm: int, Oq: float = 0.6,
+                             oversample: int = 4096) -> np.ndarray:
+    """Complex Fourier coefficients c_1..c_n_harm of the KLGLOTT88
+    derivative-glottal-flow waveform (open quotient Oq).
+
+    The waveform over one normalized period t in [0, 1):
+
+        g(t) = 27/(4 Oq^2) t^2 - 27/(4 Oq^3) t^3   for t < Oq, else 0
+
+    (normalized so max g = 1 at t = 2 Oq / 3; g(Oq) = 0). Coefficients are
+    computed numerically (FFT of a densely sampled period) instead of the
+    closed form -- identical to ~1e-10 at this oversampling and immune to
+    the small-m cancellation in the analytic expression. Reference parity:
+    SeparateLeadStereo's ODGD spectrum generator (UNVERIFIED; mount empty).
+    """
+    t = np.arange(oversample) / oversample
+    g = np.where(t < Oq,
+                 27.0 / (4 * Oq ** 2) * t ** 2
+                 - 27.0 / (4 * Oq ** 3) * t ** 3, 0.0)
+    C = np.fft.rfft(g) / oversample
+    return C[1:n_harm + 1]
+
+
+def generate_WF0_chirped(F: int, fs: int, wlen: int, n_f0: int = 60,
+                         f0_min: float = 80.0, f0_max: float = 500.0,
+                         chirp_per_f0: int = 1,
+                         chirp_semitones: float = 0.5,
+                         Oq: float = 0.6,
+                         window: Optional[np.ndarray] = None) -> np.ndarray:
+    """Glottal-source dictionary (F, n_f0 * chirp_per_f0), chirped atoms.
+
+    Reference parity: SeparateLeadStereo's generate_WF0_chirped (UNVERIFIED):
+    each atom is the power spectrum of a windowed KLGLOTT88 glottal pulse
+    train at fundamental f0, including chirped variants whose F0 glides by
+    up to +-chirp_semitones across the analysis window (vibrato/portamento
+    energy smears across bins; un-chirped combs misfit it). Atoms are
+    ordered f0-major: columns [i*chirp_per_f0 : (i+1)*chirp_per_f0] all
+    belong to f0s[i] (melody tracking pools them).
+
+    Host-side init-time code (numpy): runs once per model build.
+    """
+    if window is None:
+        n = np.arange(wlen)
+        window = np.sin(np.pi * (n + 0.5) / wlen)   # STFT sine window
+    f0s = np.geomspace(f0_min, f0_max, n_f0)
+    tt = np.arange(wlen) / fs
+    Tw = wlen / fs
+    n_fft = 2 * (F - 1)
+    W = np.zeros((F, n_f0 * chirp_per_f0))
+    if chirp_per_f0 == 1:
+        rates = np.array([0.0])
+    else:
+        rates = np.linspace(-1.0, 1.0, chirp_per_f0)
+    for i, f0 in enumerate(f0s):
+        n_harm = max(int(np.floor((fs / 2) / (f0 * 2 ** (
+            chirp_semitones / 12.0)))), 1)
+        C = odgd_harmonic_amplitudes(n_harm, Oq=Oq)
+        m = np.arange(1, n_harm + 1)
+        for c_idx, r in enumerate(rates):
+            # F0 glides from f0 to f0 * 2^(r * semitones / 12) over the
+            # window: linear-in-time frequency, quadratic phase.
+            f1 = f0 * 2.0 ** (r * chirp_semitones / 12.0)
+            slope = (f1 - f0) / Tw
+            phase = np.outer(m, f0 * tt + 0.5 * slope * tt * tt)
+            x = (C[:, None] * np.exp(2j * np.pi * phase)).sum(axis=0).real
+            spec = np.fft.rfft(window * x, n_fft)[:F]
+            W[:, i * chirp_per_f0 + c_idx] = np.abs(spec) ** 2
+    W /= np.maximum(W.sum(axis=0, keepdims=True), 1e-12)
+    return W
+
+
 class multiChanSourceF0Filter(FASST):
     """Source/filter (SIMM) lead + NMF accompaniment model.
 
     Source 0 (lead) has the true MULTIPLICATIVE source-filter PSD
         v_0 = (WF0 @ HF0) * (WGAMMA @ HGAMMA)
-    (WF0 harmonic-comb dictionary fixed, HF0 free F0 activations; WGAMMA
-    smooth filter dictionary fixed, HGAMMA free envelope activations);
-    sources 1.. are plain NMF components. Reference parity:
+    (WF0 glottal-source dictionary fixed -- chirped KLGLOTT88 atoms by
+    default, generate_WF0_chirped; HF0 free F0 activations; WGAMMA smooth
+    filter dictionary fixed, HGAMMA free envelope activations); sources 1..
+    are plain NMF components. Reference parity:
     pyfasst/audioModel.py::multiChanSourceF0Filter + SeparateLeadStereo
     dictionaries (UNVERIFIED).
     """
@@ -198,18 +271,26 @@ class multiChanSourceF0Filter(FASST):
                  n_f0: int = 60, n_filter_bands: int = 20,
                  spatial_rank: int = 1, f0_min: float = 80.0,
                  f0_max: float = 500.0, init_from_lead: bool = False,
-                 lead_iters: int = 30, **kw):
+                 lead_iters: int = 30, glottal: bool = True,
+                 chirp_per_f0: int = 1, **kw):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps + 2)
         A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
                                   nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
-        WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0,
-                           f0_min=f0_min, f0_max=f0_max)
+        if glottal:
+            WF0 = generate_WF0_chirped(self.F, self.fs, self.tft.wlen,
+                                       n_f0=n_f0, f0_min=f0_min,
+                                       f0_max=f0_max,
+                                       chirp_per_f0=chirp_per_f0)
+        else:
+            WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0,
+                               f0_min=f0_min, f0_max=f0_max)
+        U = WF0.shape[1]
         WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
                                 self.tft.wlen)
-        TW0 = 0.5 + jax.random.uniform(keys[0], (n_f0, self.N), self.dtype)
+        TW0 = 0.5 + jax.random.uniform(keys[0], (U, self.N), self.dtype)
         TW20 = 0.5 + jax.random.uniform(
             keys[1], (n_filter_bands, self.N), self.dtype)
         if init_from_lead:
@@ -221,7 +302,8 @@ class multiChanSourceF0Filter(FASST):
             sep = SeparateLeadStereoTF(
                 audio=self.audio.data, fs=self.fs, wlen=self.tft.wlen,
                 hop=self.tft.hop, n_f0=n_f0, f0_min=f0_min, f0_max=f0_max,
-                n_filter=n_filter_bands, niter=lead_iters)
+                n_filter=n_filter_bands, niter=lead_iters,
+                glottal=glottal, chirp_per_f0=chirp_per_f0)
             sep.runDecomposition()
             # seed with a RELATIVE floor: the melody constraint leaves hard
             # zeros off the Viterbi corridor, and multiplicative updates
@@ -243,5 +325,6 @@ class multiChanSourceF0Filter(FASST):
         spec = [lead]
         for j in range(1, nbComps):
             spec.append(init_nmf_comp(keys[2 + j], self.F, self.N,
-                                      nbNMFComps, spat_ind=j))
+                                      nbNMFComps, spat_ind=j,
+                                      dtype=self.dtype))
         self.params = FasstParams(spat=spat, spec=tuple(spec))

@@ -108,8 +108,12 @@ std::string parse_header(FILE* f, WavInfo* wi) {
   } else {
     wi->data_bytes = 0;
   }
-  if (wi->block_align == 0)
-    wi->block_align = (uint16_t)(wi->channels * (wi->bits / 8));
+  // block_align is attacker-controlled: decode() consumes
+  // frames*channels*(bits/8) bytes, so a too-small declared block_align
+  // would over-count frames and read past the raw buffer. Never trust it;
+  // derive from channels/bits (the only layout decode() supports).
+  wi->block_align = (uint16_t)(wi->channels * ((wi->bits + 7) / 8));
+  if (wi->block_align == 0) return "malformed fmt chunk (zero block align)";
   if (wi->format == 1) {
     if (wi->bits != 8 && wi->bits != 16 && wi->bits != 24 && wi->bits != 32)
       return "unsupported PCM bit depth";

@@ -110,4 +110,4 @@ def posterior_psd_masks(params: FasstParams, X: jnp.ndarray,
 
 
 __all__ = ["separate_sources", "separate_spatial_filter",
-           "posterior_psd_masks", "observed_covariance"]
+           "posterior_psd_masks"]

@@ -10,6 +10,7 @@ scatter-add (Pallas kernel swap-in later).
 
 from pyfasst_tpu.tf.stft import STFT, stft, istft
 from pyfasst_tpu.tf.filterbank import ERBTransform, MelBank, erb_filterbank, mel_filterbank
+from pyfasst_tpu.tf.erblet import ERBLetTransform
 
-__all__ = ["STFT", "stft", "istft", "ERBTransform", "MelBank",
-           "erb_filterbank", "mel_filterbank"]
+__all__ = ["STFT", "stft", "istft", "ERBTransform", "ERBLetTransform",
+           "MelBank", "erb_filterbank", "mel_filterbank"]

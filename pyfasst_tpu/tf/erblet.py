@@ -1,0 +1,179 @@
+"""Perfect-reconstruction ERBlet transform (uniform-hop, static shapes).
+
+Reference parity: pyfasst vendors Grill's NSGT (pyfasst/tftransforms/nsgt/,
+UNVERIFIED; mount empty) for an ERB-scale *invertible* transform. The NSGT
+samples each band at its own rate (ragged shapes -- hostile to XLA). This
+module keeps the NSGT's "painless" frame construction but samples EVERY band
+at the SAME rate N = ceil(T / hop), chosen so the widest band still satisfies
+the painless condition (support <= N DFT bins). The price is time-domain
+oversampling of the narrow bands; the payoff is a dense (B, N) coefficient
+array, batched FFTs, and an EXACT closed-form dual -- true perfect
+reconstruction, not the band-limited projection of tf/filterbank.ERBTransform.
+
+Construction (finite, circular over the padded length Tp = N * hop):
+
+    analysis:  C_b = fold_N( rfft(x) * W_b ),    c_b = ifft_N(C_b)
+    synthesis: X^[k] = sum_b unfold_b( fft_N(c_b) )[k] * W_b[k] / S[k],
+               S[k] = sum_b W_b[k]^2,            x = irfft(X^)
+
+Each band's support is a contiguous run of <= N rfft bins, so fold_N (alias
+the support into N bins) is INVERTIBLE per band: every output bin m receives
+exactly one support bin k. Unfolding therefore recovers rfft(x)[k] * W_b[k]
+exactly, and the diagonal division by S finishes exact PR for any signal with
+S[k] > 0 everywhere (guaranteed by shelf-extended edge bands). No matrix
+inverse, no pinv truncation; the dual is computed once on host in O(K).
+
+Windows are Hann-profile bumps on ERB-spaced centers (Glasberg & Moore),
+first/last extended flat to DC/Nyquist. All shapes are static per signal
+length; geometry is cached per (Tp,).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfasst_tpu.tf.filterbank import erb_to_hz, hz_to_erb
+
+
+class ERBLetTransform:
+    """Invertible ERB-scale transform: computeTransform / invertTransform.
+
+    Parameters
+    ----------
+    fs : sample rate.
+    n_bands : number of ERB-spaced bands covering [0, fs/2].
+    hop : subband sample period in signal samples; None picks the largest
+        hop that keeps the painless condition (widest band support <= N)
+        with a safety factor of 2 for typical signal lengths.
+    fmin : lowest band center (Hz); below it the first band is a shelf.
+    """
+
+    name = "erblet"
+
+    def __init__(self, fs: int = 44100, n_bands: int = 64,
+                 hop: Optional[int] = None, fmin: float = 50.0):
+        self.fs = int(fs)
+        self.n_bands = int(n_bands)
+        self.fmin = float(fmin)
+        # ERB-spaced centers; spacing sets each Hann's half-width
+        e_lo, e_hi = hz_to_erb(fmin), hz_to_erb(fs / 2)
+        self.centers_hz = np.concatenate(
+            [[0.0], erb_to_hz(np.linspace(e_lo, e_hi, n_bands - 1))])
+        self.centers_hz[-1] = fs / 2
+        if hop is None:
+            # widest band: last interior band, half-width = center gap
+            max_bw_hz = 2.0 * (self.centers_hz[-1] - self.centers_hz[-2])
+            hop = max(int(self.fs / (2.0 * max_bw_hz)), 1)
+        self.hop = int(hop)
+        self._cache: dict = {}
+        self._nsamples: Optional[int] = None
+
+    # -- geometry (host, cached per padded length) ---------------------------
+    def _geometry(self, T: int):
+        N = -(-T // self.hop)                 # subband samples (frames)
+        Tp = N * self.hop
+        key = Tp
+        if key in self._cache:
+            return self._cache[key]
+        K = Tp // 2 + 1                        # rfft bins
+        df = self.fs / Tp
+        c = self.centers_hz
+        B = self.n_bands
+        # Hann bumps: band b spans (c[b-1], c[b+1]); edges become shelves
+        lo_hz = np.concatenate([[0.0], c[:-1]])
+        hi_hz = np.concatenate([c[1:], [self.fs / 2]])
+        lo = np.floor(lo_hz / df).astype(np.int64)
+        hi = np.minimum(np.ceil(hi_hz / df).astype(np.int64) + 1, K)
+        Lmax = int((hi - lo).max())
+        if Lmax > N:
+            raise ValueError(
+                f"hop={self.hop} too large for perfect reconstruction: "
+                f"widest band needs {Lmax} bins > N={N} subband samples; "
+                f"use hop <= {self.hop * N // Lmax}")
+        j = np.arange(Lmax)
+        idx = lo[:, None] + j[None, :]                     # (B, Lmax)
+        valid = idx < hi[:, None]
+        idx = np.minimum(idx, K - 1)
+        freqs = idx * df
+        W = np.zeros((B, Lmax))
+        for b in range(B):
+            f = freqs[b]
+            up = (f - lo_hz[b]) / max(c[b] - lo_hz[b], 1e-9)
+            down = (hi_hz[b] - f) / max(hi_hz[b] - c[b], 1e-9)
+            if b == 0:
+                up = np.ones_like(f)                        # DC shelf
+            if b == B - 1:
+                down = np.ones_like(f)                      # Nyquist shelf
+            r = np.clip(np.minimum(up, down), 0.0, 1.0)
+            W[b] = np.sin(0.5 * np.pi * r) ** 2             # Hann profile
+        W *= valid
+        # diagonal frame operator S[k] = sum_b W_b[k]^2 over the full grid
+        S = np.zeros(K)
+        np.add.at(S, idx.ravel(), (W ** 2).ravel())
+        assert S.min() > 1e-6, "ERBlet coverage hole (frame not invertible)"
+        Wd = W / S[np.minimum(idx, K - 1)]                  # dual windows
+        geo = dict(
+            N=N, Tp=Tp, K=K,
+            idx=jnp.asarray(idx), m=jnp.asarray(idx % N),
+            W=jnp.asarray(W, jnp.float32),
+            Wd=jnp.asarray(Wd, jnp.float32),
+            b_idx=jnp.asarray(np.broadcast_to(np.arange(B)[:, None],
+                                              idx.shape)),
+        )
+        self._cache[key] = geo
+        return geo
+
+    # -- transform -----------------------------------------------------------
+    def computeTransform(self, data) -> jnp.ndarray:
+        """(T[, I]) real -> complex subband coefficients (B, N[, I])."""
+        x = jnp.asarray(np.asarray(data, np.float32))
+        T = int(x.shape[0])
+        self._nsamples = T
+        g = self._geometry(T)
+        xp = jnp.pad(x, ((0, g["Tp"] - T),) + ((0, 0),) * (x.ndim - 1))
+        X = jnp.fft.rfft(xp, axis=0)                       # (K[, I])
+        vals = X[g["idx"]] * (g["W"][..., None] if x.ndim == 2
+                              else g["W"])                 # (B, Lmax[, I])
+        shape = (self.n_bands, g["N"]) + x.shape[1:]
+        C = jnp.zeros(shape, vals.dtype).at[g["b_idx"], g["m"]].add(vals)
+        return jnp.fft.ifft(C, axis=1)                     # (B, N[, I])
+
+    def invertTransform(self, Cb, nsamples: Optional[int] = None
+                        ) -> jnp.ndarray:
+        """Exact dual synthesis: (B, N[, I]) -> (nsamples[, I]) real."""
+        n = nsamples if nsamples is not None else self._nsamples
+        if n is None:
+            raise ValueError("call computeTransform first or pass nsamples")
+        from pyfasst_tpu.utils.misc import to_device_complex
+        Cb = to_device_complex(Cb) if isinstance(Cb, np.ndarray) \
+            else jnp.asarray(Cb)
+        g = self._geometry(n)
+        C = jnp.fft.fft(Cb, axis=1)                        # (B, N[, I])
+        vals = C[g["b_idx"], g["m"]]                       # (B, Lmax[, I])
+        vals = vals * (g["Wd"][..., None] if Cb.ndim == 3 else g["Wd"])
+        Kshape = (g["K"],) + Cb.shape[2:]
+        X = jnp.zeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
+        y = jnp.fft.irfft(X, n=g["Tp"], axis=0)
+        return y[:n]
+
+    forward = computeTransform
+    inverse = invertTransform
+
+    # -- conveniences --------------------------------------------------------
+    def band_centers(self) -> np.ndarray:
+        """Band center frequencies in Hz, (n_bands,)."""
+        return self.centers_hz.copy()
+
+    def frame_bounds(self, T: int) -> Tuple[float, float]:
+        """(A, B) frame bounds of the analysis system for length T:
+        A = min_k S[k] / hop-normalization, B = max_k. Ratio B/A near 1
+        means a snug frame (well-conditioned even without the dual)."""
+        g = self._geometry(T)
+        W = np.asarray(g["W"])
+        idx = np.asarray(g["idx"])
+        S = np.zeros(g["K"])
+        np.add.at(S, idx.ravel(), (W ** 2).ravel())
+        return float(S.min()), float(S.max())

@@ -48,6 +48,10 @@ class OracleSpectral:
     free: Tuple[bool, bool, bool, bool] = (True, False, True, False)
     constraint: str = "NMF"
     trans: Optional[np.ndarray] = None
+    # multiplicative source-filter chain (SIMM): v = chain1 * (FB2 @ TW2)
+    FB2: Optional[np.ndarray] = None
+    TW2: Optional[np.ndarray] = None
+    free2: Tuple[bool, bool] = (False, False)
 
     def W(self):
         return self.FB if self.FW is None else self.FB @ self.FW
@@ -56,7 +60,10 @@ class OracleSpectral:
         return self.TW if self.TB is None else self.TW @ self.TB
 
     def power(self):
-        return self.W() @ self.H()
+        p = self.W() @ self.H()
+        if self.FB2 is not None:
+            p = p * (self.FB2 @ self.TW2)
+        return p
 
 
 @dataclasses.dataclass
@@ -81,7 +88,10 @@ def params_from_pytree(params) -> OracleParams:
             FW=None if k.FW is None else np.asarray(k.FW, np.float64),
             TB=None if k.TB is None else np.asarray(k.TB, np.float64),
             spat_ind=k.spat_ind, free=tuple(k.free), constraint=k.constraint,
-            trans=None if k.trans is None else np.asarray(k.trans, np.float64)))
+            trans=None if k.trans is None else np.asarray(k.trans, np.float64),
+            FB2=None if k.FB2 is None else np.asarray(k.FB2, np.float64),
+            TW2=None if k.TW2 is None else np.asarray(k.TW2, np.float64),
+            free2=tuple(k.free2)))
     return OracleParams(spat=spat, spec=spec)
 
 
@@ -335,6 +345,55 @@ def _nmf_updates(comp: OracleSpectral, P, V):
     return V
 
 
+def _simm_updates(comp: OracleSpectral, P, V):
+    """Multiplicative source-filter chain (mirrors
+    ops/mstep.py::_simm_factor_updates): chain1 factors with the gradient
+    weighted by the FB2@TW2 envelope, then chain2 factors weighted by
+    chain1's product."""
+    vk = comp.power()
+    v_floor = 1e-12 * np.mean(P) + EPS
+    for idx in range(4):
+        if not comp.free[idx]:
+            continue
+        Vc = np.maximum(V, v_floor)
+        E2 = comp.FB2 @ comp.TW2
+        num = (P / (Vc * Vc)) * E2
+        den = (1.0 / Vc) * E2
+        W, H = comp.W(), comp.H()
+        if idx == 0:
+            rest = H if comp.FW is None else comp.FW @ H
+            comp.FB = _mul_upd(comp.FB, num @ rest.T, den @ rest.T)
+        elif idx == 1:
+            comp.FW = _mul_upd(comp.FW, (comp.FB.T @ num) @ H.T,
+                               (comp.FB.T @ den) @ H.T)
+        elif idx == 2:
+            lhs_n, lhs_d = W.T @ num, W.T @ den
+            if comp.TB is not None:
+                lhs_n, lhs_d = lhs_n @ comp.TB.T, lhs_d @ comp.TB.T
+            comp.TW = _mul_upd(comp.TW, lhs_n, lhs_d)
+        else:
+            G = W @ comp.TW
+            comp.TB = _mul_upd(comp.TB, G.T @ num, G.T @ den)
+        vk_new = comp.power()
+        V = V - vk + vk_new
+        vk = vk_new
+    for idx2 in range(2):
+        if not comp.free2[idx2]:
+            continue
+        Vc = np.maximum(V, v_floor)
+        C1 = comp.W() @ comp.H()
+        num = (P / (Vc * Vc)) * C1
+        den = (1.0 / Vc) * C1
+        if idx2 == 0:
+            comp.FB2 = _mul_upd(comp.FB2, num @ comp.TW2.T, den @ comp.TW2.T)
+        else:
+            comp.TW2 = _mul_upd(comp.TW2, comp.FB2.T @ num, comp.FB2.T @ den)
+        vk_new = comp.power()
+        V = V - vk + vk_new
+        vk = vk_new
+    return V
+
+
 def _state_factor_update(comp: OracleSpectral, P, V):
     """GMM/HMM TW replacement (mirrors ops/hmm.py::state_factor_update)."""
     vk = comp.power()
@@ -395,7 +454,9 @@ def update_spectral(params: OracleParams, xi):
         V = sum(k.power() for k in comps)
         P = xi[j]
         for comp in comps:
-            if comp.constraint == "NMF":
+            if comp.FB2 is not None:
+                V = _simm_updates(comp, P, V)
+            elif comp.constraint == "NMF":
                 V = _nmf_updates(comp, P, V)
             else:
                 if comp.free[0] or comp.free[1]:
@@ -421,6 +482,12 @@ def renormalize(params: OracleParams):
                 if k.free[idx] and getattr(k, name) is not None:
                     setattr(k, name, getattr(k, name) * norm)
                     break
+            else:
+                if k.FB2 is not None:  # SIMM: fall back to the second chain
+                    for idx2, name in enumerate(("FB2", "TW2")):
+                        if k.free2[idx2]:
+                            setattr(k, name, getattr(k, name) * norm)
+                            break
     for k in params.spec:
         chain = [(i, n) for i, n in enumerate(("FB", "FW", "TW", "TB"))
                  if getattr(k, n) is not None]

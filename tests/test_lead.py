@@ -50,6 +50,48 @@ def _vibrato_mixture(rng, fs=16000, dur=3.0):
     return mix.astype(np.float32), lead, acc, fs
 
 
+def test_stereo_simm_panning_and_chirped_atoms(rng):
+    """Reference-scope stereo SIMM (VERDICT r1 #5): per-source panning
+    estimation + chirped glottal WF0 atoms. On a distinctly-panned mixture
+    with strong vibrato (1 semitone at 6 Hz -- F0 glides ~9 Hz within one
+    2048-sample window), the stereo pipeline must (a) recover the lead
+    panning direction, (b) beat the channel-averaged-mask ablation (the
+    round-1 mono-downmix behavior) by a clear margin."""
+    fs, dur = 16000, 3.0
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    f0 = 220 * 2 ** (1.0 / 12 * np.sin(2 * np.pi * 6.0 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    lead = sum((0.5 / h) * np.sin(h * phase) for h in range(1, 8))
+    from scipy.signal import lfilter
+    acc = lfilter([1], [1, -0.95], 0.05 * rng.standard_normal(n))
+    acc += 0.15 * np.sin(2 * np.pi * 110 * t)
+    aT, bT = (0.95, 0.31), (0.31, 0.95)
+    mix = np.stack([aT[0] * lead + bT[0] * acc,
+                    aT[1] * lead + bT[1] * acc], 1).astype(np.float32)
+
+    sep = SeparateLeadStereoTF(audio=mix, fs=fs, wlen=2048, niter=60,
+                               n_f0=100, f0_min=150, f0_max=330,
+                               glottal=True, chirp_per_f0=3)
+    sep.runDecomposition()
+    aL, aR = sep.alpha
+    assert 2.0 < aL / aR < 6.5, (aL, aR)       # true ratio 3.06
+
+    def sdr(est, ref):
+        return 10 * np.log10(np.sum(ref ** 2)
+                             / (np.sum((est - ref) ** 2) + 1e-12))
+
+    y_true = np.stack([aT[0] * lead, aT[1] * lead], 1)
+    lead_est, _ = sep.separated_signals()
+    s_stereo = sdr(lead_est[:n], y_true[:n])
+    mask_avg = np.asarray(sep.lead_mask()).mean(-1, keepdims=True)
+    lead_avg = np.asarray(sep.tft.invertTransform(
+        sep.X * mask_avg, nsamples=sep.audio.nsamples))
+    s_avg = sdr(lead_avg[:n], y_true[:n])
+    assert s_stereo > 14.0, s_stereo           # measured 16.9
+    assert s_stereo > s_avg + 2.0, (s_stereo, s_avg)   # measured +3.6
+
+
 def test_lead_separation_end_to_end(rng, tmp_path):
     mix, lead_true, acc_true, fs = _vibrato_mixture(rng)
     sep = SeparateLeadStereoTF(audio=mix, fs=fs, wlen=1024, niter=40,

@@ -108,6 +108,30 @@ def test_audioobject_uses_same_convention(tmp_path, stereo):
 
 
 @needs_native
+def test_corrupt_block_align_ignored(tmp_path, stereo):
+    """block_align is attacker-controlled and must never be trusted: a
+    stereo 16-bit file claiming block_align=1 would otherwise report 4x
+    the frame count and read out-of-bounds heap as samples."""
+    p = str(tmp_path / "ba.wav")
+    native.write(p, stereo, 16000, bits=16)
+    blob = bytearray(open(p, "rb").read())
+    # standard canonical header: fmt chunk data starts at byte 20;
+    # block_align is at offset 12 within it (byte 32 of the file)
+    assert blob[12:16] == b"fmt "
+    assert int.from_bytes(blob[32:34], "little") == 4  # sanity: 2ch * 2B
+    for bad in (1, 2, 8, 0xFFFF):
+        blob[32:34] = int(bad).to_bytes(2, "little")
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        info = native.info(p)
+        assert info["frames"] == 500 and info["channels"] == 2
+        y, sr = native.read(p)
+        assert y.shape == (500, 2)
+        np.testing.assert_array_equal(
+            y, np.round(stereo * 32767).astype(np.int16) / 32768.0)
+
+
+@needs_native
 def test_fuzzed_headers_never_crash(tmp_path, rng):
     """Mutated/truncated WAV headers must raise clean Python errors (the
     parser is native C++: robustness against malformed input is a safety

@@ -114,6 +114,129 @@ def test_f32_tracks_oracle_loosely(rng):
     np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-2)
 
 
+def test_gem_parity_fullrank_x64(rng):
+    """x64 engine vs oracle for the rank-2 (full-rank) spatial branch
+    (configs[2]): exercises ops/estep.py's rank>=2 T4/posterior path and
+    the per-frequency rank-2 spatial solve."""
+    with enable_x64():
+        F, N, K = 21, 18, 3
+        X = (rng.standard_normal((F, N, 2))
+             + 1j * rng.standard_normal((F, N, 2)))
+        X[:, :, 0] *= np.linspace(0.5, 2.0, F)[:, None]
+        spat, spec = [], []
+        for j in range(2):
+            A = (rng.standard_normal((F, 2, 2))
+                 + 1j * rng.standard_normal((F, 2, 2))) * 0.5
+            spat.append(SpatialComp(A=jnp.asarray(A), mix_type="conv",
+                                    free=True))
+            spec.append(SpectralComp(
+                FB=jnp.asarray(0.5 + rng.random((F, K))),
+                TW=jnp.asarray(0.5 + rng.random((K, N))),
+                spat_ind=j, free=(True, False, True, False)))
+        params = FasstParams(spat=tuple(spat), spec=tuple(spec))
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        for j in range(2):
+            np.testing.assert_allclose(np.asarray(got_params.spat[j].A),
+                                       oparams.spat[j].A, rtol=1e-4,
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(got_params.spec[j].FB),
+                                       oparams.spec[j].FB, rtol=1e-5,
+                                       atol=1e-12)
+
+
+def test_gem_parity_mixed_rank_x64(rng):
+    """Mixed rank-1 + rank-2 sources through the same jitted loop."""
+    with enable_x64():
+        F, N, K = 17, 14, 2
+        X = (rng.standard_normal((F, N, 2))
+             + 1j * rng.standard_normal((F, N, 2)))
+        A1 = (rng.standard_normal((F, 2, 1))
+              + 1j * rng.standard_normal((F, 2, 1))) * 0.5
+        A2 = (rng.standard_normal((F, 2, 2))
+              + 1j * rng.standard_normal((F, 2, 2))) * 0.5
+        spat = (SpatialComp(A=jnp.asarray(A1), mix_type="conv", free=True),
+                SpatialComp(A=jnp.asarray(A2), mix_type="conv", free=True))
+        spec = tuple(SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, K))),
+                                  TW=jnp.asarray(0.5 + rng.random((K, N))),
+                                  spat_ind=j) for j in range(2))
+        params = FasstParams(spat=spat, spec=spec)
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+
+
+def test_gem_parity_simm_x64(rng):
+    """x64 engine vs oracle for the multiplicative source-filter chain
+    (multiChanSourceF0Filter's lead component: fixed WF0/WGAMMA bases,
+    free TW + free TW2 smooth-filter activations)."""
+    with enable_x64():
+        F, N, K0, Kg, Knmf = 25, 20, 5, 4, 3
+        X = (rng.standard_normal((F, N, 2))
+             + 1j * rng.standard_normal((F, N, 2)))
+        X[:, :, 0] *= np.linspace(0.6, 1.8, F)[:, None]
+        spat = (SpatialComp(A=jnp.asarray([[0.9], [0.4]])),
+                SpatialComp(A=jnp.asarray([[0.3], [0.8]])))
+        lead = SpectralComp(
+            FB=jnp.asarray(0.5 + rng.random((F, K0))),
+            TW=jnp.asarray(0.5 + rng.random((K0, N))),
+            FB2=jnp.asarray(0.5 + rng.random((F, Kg))),
+            TW2=jnp.asarray(0.5 + rng.random((Kg, N))),
+            spat_ind=0, free=(False, False, True, False),
+            free2=(False, True))
+        acc = SpectralComp(FB=jnp.asarray(0.5 + rng.random((F, Knmf))),
+                           TW=jnp.asarray(0.5 + rng.random((Knmf, N))),
+                           spat_ind=1)
+        params = FasstParams(spat=spat, spec=(lead, acc))
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_params.spec[0].TW),
+                                   oparams.spec[0].TW, rtol=1e-5, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_params.spec[0].TW2),
+                                   oparams.spec[0].TW2, rtol=1e-5, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_params.spec[1].FB),
+                                   oparams.spec[1].FB, rtol=1e-5, atol=1e-12)
+
+
+def test_gem_parity_simm_free_bases_x64(rng):
+    """SIMM chain with every factor free (exercises the FB and FB2 update
+    rules and the renormalization fallback to the second chain)."""
+    with enable_x64():
+        F, N, K0, Kg = 19, 16, 3, 2
+        X = (rng.standard_normal((F, N, 2))
+             + 1j * rng.standard_normal((F, N, 2)))
+        spat = (SpatialComp(A=jnp.asarray([[0.8], [0.5]])),)
+        lead = SpectralComp(
+            FB=jnp.asarray(0.5 + rng.random((F, K0))),
+            TW=jnp.asarray(0.5 + rng.random((K0, N))),
+            FB2=jnp.asarray(0.5 + rng.random((F, Kg))),
+            TW2=jnp.asarray(0.5 + rng.random((Kg, N))),
+            spat_ind=0, free=(True, False, True, False),
+            free2=(True, True))
+        params = FasstParams(spat=spat, spec=(lead,))
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        for name in ("FB", "TW", "FB2", "TW2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got_params.spec[0], name)),
+                getattr(oparams.spec[0], name), rtol=1e-5, atol=1e-12)
+
+
 @pytest.mark.parametrize("constraint", ["GMM", "HMM"])
 def test_gem_parity_state_models_x64(rng, constraint):
     """x64 engine vs oracle for the GSMM/HMM spectral E-step (configs[3])."""
