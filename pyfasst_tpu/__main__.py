@@ -29,6 +29,9 @@ def _cmd_separate(args) -> int:
         MultiChanHMM, MultiChanNMFConv, MultiChanNMFInst_FASST,
     )
 
+    if args.batch:
+        return _cmd_separate_batch(args)
+
     kw = dict(wlen=args.wlen, iter_num=args.iters, seed=args.seed,
               annealing=args.annealing, verbose=0 if args.quiet else 1)
     basis = None if args.freq_basis == "none" else args.freq_basis
@@ -77,6 +80,34 @@ def _cmd_separate(args) -> int:
         "xrt": round(model.audio.duration / max(wall, 1e-9), 2),
     }
     print(json.dumps(report))
+    return 0
+
+
+def _cmd_separate_batch(args) -> int:
+    """`separate --batch dir/`: bucketed multi-clip separation
+    (BASELINE.json configs[4]) over every WAV in the directory."""
+    import glob
+    import os
+
+    from pyfasst_tpu.parallel.batch import batch_separate_files
+
+    if args.model != "inst":
+        raise ValueError("--batch currently supports the inst model only")
+    if not os.path.isdir(args.audio):
+        raise ValueError(f"--batch expects a directory of WAVs, got "
+                         f"{args.audio!r}")
+    paths = sorted(glob.glob(os.path.join(args.audio, "*.wav")))
+    if not paths:
+        raise ValueError(f"no .wav files in {args.audio!r}")
+    basis = None if args.freq_basis == "none" else args.freq_basis
+    t0 = time.perf_counter()
+    report = batch_separate_files(
+        paths, args.out, nbComps=args.sources, nbNMFComps=args.nmf_comps,
+        wlen=args.wlen, iters=args.iters, freq_basis=basis,
+        n_bands=args.bands, seed=args.seed)
+    print(json.dumps({"clips": len(paths), "iterations": int(args.iters),
+                      "wall_seconds": round(time.perf_counter() - t0, 3),
+                      "results": report}))
     return 0
 
 
@@ -182,6 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bands for --freq-basis")
     p.add_argument("--demix", action="store_true",
                    help="initialize conv mixing from DEMIX directions")
+    p.add_argument("--batch", action="store_true",
+                   help="treat AUDIO as a directory of WAVs and separate "
+                        "them as one bucketed batch (inst model)")
     p.add_argument("--checkpoint", default=None,
                    help="write final parameters to this .npz")
     p.add_argument("--resume", default=None,

@@ -166,30 +166,49 @@ class DEMIX:
     # distances gain-dominated).
     _cluster_scale = np.array([0.15, 1.2])
 
-    def estimate_count(self, K_max: int = 6, drop: float = 0.5) -> int:
+    def estimate_count(self, K_max: int = 6,
+                       var_floor: float = 0.05 ** 2) -> int:
         """Estimate the source count K^ (reference DEMIX estimates it too).
 
-        Elbow rule on the weighted k-means inertia: grow K while adding a
-        cluster still cuts the inertia by more than `drop`; the first K
-        whose improvement falls below it is returned.
-
-        Known bias: a source holding a small fraction of the confident
-        bins (narrowband, or much quieter than the rest) barely moves the
-        global inertia, so K^ comes out LOW on strongly unequal mixtures.
-        Pass K explicitly to comp_parameters when the count is known.
+        BIC over isotropic Gaussian mixtures induced by the weighted
+        k-means labels: for each K, fit per-cluster (mean, variance, mass)
+        and score -2 * weighted log-likelihood + (4K - 1) * log(sum w).
+        Unlike the global-inertia elbow rule this is a PER-POINT criterion:
+        a source holding a small fraction of the confident bins still earns
+        its own component, because its points' likelihood under a far
+        centroid is individually terrible even when their total inertia
+        share is negligible. `var_floor` (in cluster-width units) stops a
+        one-point cluster from collapsing its variance to zero.
         """
         z, w = self._features()
         z = z / self._cluster_scale
-        prev = None
+        W = float(w.sum())
+        best, best_K = np.inf, 1
         for K in range(1, K_max + 1):
-            centers, _ = _weighted_kmeans(z, w, K)
-            inertia = float(np.sum(w * np.min(
-                np.stack([np.sum((z - c) ** 2, axis=1) for c in centers]),
-                axis=0)))
-            if prev is not None and inertia > drop * prev:
-                return K - 1
-            prev = inertia
-        return K_max
+            centers, labels = _weighted_kmeans(z, w, K)
+            pis, vs = [], []
+            for k in range(K):
+                m = labels == k
+                Wk = float(w[m].sum())
+                if Wk <= 0.0:                       # empty cluster: dead
+                    pis.append(1e-12)
+                    vs.append(var_floor)
+                    continue
+                d2 = np.sum((z[m] - centers[k]) ** 2, axis=1)
+                vs.append(max(float(np.average(d2, weights=w[m])) / 2.0,
+                              var_floor))
+                pis.append(Wk / W)
+            pis, vs = np.asarray(pis), np.asarray(vs)
+            d2all = np.stack([np.sum((z - c) ** 2, axis=1) for c in centers])
+            logp = (np.log(pis)[:, None] - np.log(2 * np.pi * vs)[:, None]
+                    - d2all / (2 * vs[:, None]))
+            mx = logp.max(axis=0)
+            ll = float(np.sum(
+                w * (mx + np.log(np.sum(np.exp(logp - mx), axis=0)))))
+            bic = -2.0 * ll + (4 * K - 1) * np.log(W)
+            if bic < best:
+                best, best_K = bic, K
+        return best_K
 
     def comp_parameters(self, K: Optional[int] = None
                         ) -> Tuple[np.ndarray, np.ndarray]:

@@ -95,3 +95,85 @@ def batch_separate(
             out_imgs[i] = Y_b[slot][:, :, :n_frames[i], :]
             out_lls[i] = lls[slot]
     return out_imgs, out_lls
+
+
+def batch_separate_files(
+    paths: Sequence[str],
+    out_dir: str,
+    nbComps: int = 2,
+    nbNMFComps: int = 4,
+    wlen: int = 1024,
+    iters: int = 200,
+    freq_basis: Optional[str] = None,
+    n_bands: int = 40,
+    seed: int = 0,
+    granularity: int = 128,
+    mesh=None,
+) -> Dict[str, Dict]:
+    """Batch-separate a directory's worth of WAV files (configs[4] user
+    story, reachable from the CLI: `separate --batch dir/`).
+
+    Variable-length clips ride the bucketed batch_separate path
+    (instantaneous multichannel NMF model per clip, per-clip seeds); each
+    clip's stems are written as <out_dir>/<stem>_est_<j>.wav. Returns a
+    per-clip report {stem: {"files": [...], "final_loglik": float}}.
+    """
+    import os
+
+    import jax
+
+    from pyfasst_tpu.audio import AudioObject
+    from pyfasst_tpu.models.components import (
+        FasstParams, SpatialComp, init_inst_mixing, init_nmf_comp,
+    )
+    from pyfasst_tpu.tf.filterbank import spectral_basis
+    from pyfasst_tpu.tf.stft import STFT
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    objs = [AudioObject(p) for p in paths]
+    for p, o in zip(paths, objs):
+        if o.channels != 2:
+            raise ValueError(f"the 2x2 engine expects stereo input: {p} has "
+                             f"{o.channels} channel(s)")
+    tfts = [STFT(wlen=wlen, fs=o.samplerate) for o in objs]
+    Xs, scales = [], []
+    for o, tft in zip(objs, tfts):
+        X = tft.computeTransform(o.data.astype(np.float32))
+        mean_pow = float(jnp.mean(jnp.abs(X) ** 2))
+        scales.append(float(np.sqrt(max(mean_pow, 1e-30))))
+        Xs.append(to_host_complex(X) / scales[-1])
+    F = wlen // 2 + 1
+
+    fixed_FBs = [
+        spectral_basis(freq_basis, n_bands, F, o.samplerate, wlen)
+        if freq_basis in ("erb", "mel") else None for o in objs]
+
+    def make_params(F_, Npad, i):
+        keys = list(jax.random.split(jax.random.PRNGKey(seed + i), nbComps))
+        spat = tuple(SpatialComp(A=a) for a in
+                     init_inst_mixing(None, 2, 1, nbComps))
+        spec = tuple(
+            init_nmf_comp(keys[j], F_, Npad, nbNMFComps, spat_ind=j,
+                          fixed_FB=fixed_FBs[i])
+            for j in range(nbComps))
+        return FasstParams(spat=spat, spec=spec)
+
+    cfg = GEMConfig(niter=int(iters))
+    images, lls = batch_separate(Xs, make_params, cfg, mesh=mesh,
+                                 granularity=granularity)
+
+    os.makedirs(out_dir, exist_ok=True)
+    report: Dict[str, Dict] = {}
+    for p, o, tft, Y, ll, sc in zip(paths, objs, tfts, images, lls, scales):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        files = []
+        for j in range(Y.shape[0]):
+            y = np.asarray(tft.invertTransform(
+                Y[j], nsamples=o.nsamples)) * sc
+            peak = np.max(np.abs(y))
+            out = os.path.join(out_dir, f"{stem}_est_{j}.wav")
+            AudioObject(data=y / peak if peak > 1.0 else y,
+                        samplerate=o.samplerate)._write(out)
+            files.append(out)
+        report[stem] = {"files": files, "final_loglik": float(ll[-1])}
+    return report

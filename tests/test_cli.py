@@ -61,6 +61,37 @@ def test_lead_command(mix_wav, tmp_path, capsys):
     assert len(rep["files"]) == 2
 
 
+def test_separate_batch_directory(tmp_path, rng, capsys):
+    """`separate --batch dir/` separates variable-length clips via the
+    bucketed batch path (VERDICT round-1 item #10 / configs[4] user story)."""
+    fs = 8000
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    for name, dur in (("a", 0.6), ("b", 1.0), ("c", 1.4)):
+        t = np.arange(int(fs * dur)) / fs
+        s1 = 0.5 * np.sin(2 * np.pi * 440 * t)
+        s2 = 0.3 * rng.standard_normal(len(t))
+        mix = np.stack([0.9 * s1 + 0.3 * s2, 0.3 * s1 + 0.9 * s2], 1)
+        wavwrite(mix, fs, str(clip_dir / f"{name}.wav"))
+    out_dir = str(tmp_path / "sep")
+    assert main(["separate", str(clip_dir), "--batch", "-o", out_dir,
+                 "--iters", "6", "--nmf-comps", "3", "--wlen", "256",
+                 "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["clips"] == 3
+    for stem in ("a", "b", "c"):
+        files = rep["results"][stem]["files"]
+        assert len(files) == 2
+        for f in files:
+            assert os.path.exists(f)
+        assert np.isfinite(rep["results"][stem]["final_loglik"])
+    # cropped back to true lengths: stems must match their mixture length
+    from pyfasst_tpu.audio import wavread
+    for stem, dur in (("a", 0.6), ("b", 1.0), ("c", 1.4)):
+        est, _ = wavread(rep["results"][stem]["files"][0])
+        assert est.shape[0] == int(fs * dur)
+
+
 def test_missing_file_is_clean_error(capsys):
     assert main(["separate", "no_such_file.wav", "-q"]) == 2
     assert "error:" in capsys.readouterr().err

@@ -56,3 +56,23 @@ def test_demix_estimates_source_count(rng):
     assert DEMIX(X=X2).estimate_count() == 2
     g, d = DEMIX(X=X2).comp_parameters()    # K=None -> auto
     assert len(g) == 2
+
+
+def test_demix_count_on_unequal_mixtures(rng):
+    """BIC count estimation survives strongly unequal bin shares/loudness
+    (the round-1 elbow rule was documented biased-low here)."""
+    # unequal BIN COUNT: 36 rows vs 10 vs 8
+    Xb = _mixture(rng, gains=(0.4, 1.0, 2.0), delays=(-3.0, 0.5, 2.5),
+                  bands=((2, 38), (42, 52), (55, 63)))
+    assert DEMIX(X=Xb).estimate_count() == 3
+    # unequal LOUDNESS: two sources 10x quieter than the first
+    F, N = 65, 96
+    X = 0
+    for amp, g, d, (lo, hi) in zip(
+            (1.0, 0.1, 0.1), (0.4, 1.0, 2.0), (-3.0, 0.5, 2.5),
+            ((2, 22), (24, 42), (44, 62))):
+        s = np.zeros((F, N), complex)
+        s[lo:hi] = amp * (rng.standard_normal((hi - lo, N))
+                          + 1j * rng.standard_normal((hi - lo, N)))
+        X = X + _anechoic(F, g, d)[:, None, :] * s[..., None]
+    assert DEMIX(X=X).estimate_count() == 3
