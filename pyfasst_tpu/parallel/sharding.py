@@ -67,10 +67,36 @@ def batch_params(params_list) -> FasstParams:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
 
 
-def _param_sharding(params_b: FasstParams, mesh: Mesh):
-    """Batch axis -> 'dp'; everything else replicated within the dp group."""
-    return jax.tree.map(
-        lambda a: NamedSharding(mesh, P("dp")), params_b)
+@functools.lru_cache(maxsize=None)
+def _batched_gem_jit(cfg: GEMConfig, mesh: Mesh, with_endpoints: bool):
+    """One cached jit wrapper per (cfg, mesh[, endpoints-mode]).
+
+    The jitted callable MUST be constructed once and reused: jit's trace
+    cache is keyed on the function object, so wrapping a fresh closure per
+    call re-traces AND re-compiles the whole batched GEM program every
+    time (measured ~6 s per call at configs[4] shapes -- this was the bulk
+    of round 1's "batched xRT 3.0" anomaly; the kernel itself batches
+    2x FASTER than sequential dispatch, see tools/profile_batch.py).
+    in_shardings uses prefix pytrees: one NamedSharding covers the whole
+    params pytree.
+    """
+    x_in = NamedSharding(mesh, P("dp"))
+    x_shard = NamedSharding(mesh, P("dp", "fp"))
+
+    if with_endpoints:
+        def fn(params_b, X_b, se_b):
+            X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+            return jax.vmap(
+                lambda p, X, se: run_gem(p, X, cfg, sigma_endpoints=se)
+            )(params_b, X_b, se_b)
+
+        return jax.jit(fn, in_shardings=(x_in, x_in, (x_in, x_in)))
+
+    def fn(params_b, X_b):
+        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
+        return jax.vmap(functools.partial(run_gem, cfg=cfg))(params_b, X_b)
+
+    return jax.jit(fn, in_shardings=(x_in, x_in))
 
 
 def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
@@ -85,38 +111,25 @@ def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
     frames -- see batch.batch_separate). Returns (params_b,
     logliks (B, niter)).
     """
-    x_in = NamedSharding(mesh, P("dp"))
-    x_shard = NamedSharding(mesh, P("dp", "fp"))
-    p_shard = _param_sharding(params_b, mesh)
-
     if sigma_endpoints_b is None:
-        def fn(params_b, X_b):
-            X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
-            return jax.vmap(functools.partial(run_gem, cfg=cfg))(
-                params_b, X_b)
-
-        return jax.jit(fn, in_shardings=(p_shard, x_in))(params_b, X_b)
-
-    def fn(params_b, X_b, se_b):
-        X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
-        return jax.vmap(
-            lambda p, X, se: run_gem(p, X, cfg, sigma_endpoints=se)
-        )(params_b, X_b, se_b)
-
-    return jax.jit(fn, in_shardings=(p_shard, x_in, (x_in, x_in)))(
+        return _batched_gem_jit(cfg, mesh, False)(params_b, X_b)
+    return _batched_gem_jit(cfg, mesh, True)(
         params_b, X_b, tuple(sigma_endpoints_b))
 
 
-def sharded_batch_separate(params_b: FasstParams, X_b: jnp.ndarray,
-                           sigma_b: jnp.ndarray, mesh: Mesh):
-    """Wiener-separate a batch of clips on the mesh: (B, J, F, N, 2)."""
+@functools.lru_cache(maxsize=None)
+def _batched_separate_jit(mesh: Mesh):
     x_in = NamedSharding(mesh, P("dp"))
     x_shard = NamedSharding(mesh, P("dp", "fp"))
-    p_shard = _param_sharding(params_b, mesh)
 
     def fn(params_b, X_b, sigma_b):
         X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
         return jax.vmap(separate_sources)(params_b, X_b, sigma_b)
 
-    return jax.jit(fn, in_shardings=(p_shard, x_in, x_in))(
-        params_b, X_b, sigma_b)
+    return jax.jit(fn, in_shardings=(x_in, x_in, x_in))
+
+
+def sharded_batch_separate(params_b: FasstParams, X_b: jnp.ndarray,
+                           sigma_b: jnp.ndarray, mesh: Mesh):
+    """Wiener-separate a batch of clips on the mesh: (B, J, F, N, 2)."""
+    return _batched_separate_jit(mesh)(params_b, X_b, sigma_b)
