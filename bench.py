@@ -69,13 +69,20 @@ def build_params(F, N, seed=0):
 
 
 def pipeline(mix, params, cfg, window, nsamples):
-    """Full device pipeline; jitted as one program."""
+    """Full device pipeline; jitted as one program.
+
+    The scalar `probe` depends on both outputs, so ONE tiny host fetch
+    proves the whole executable ran (the axon tunnel's block_until_ready
+    is a no-op and every fetch is a full round-trip -- fetching loglik and
+    a ys sample separately costs two RTTs inside the timed region)."""
     X = _stft_core(mix, window, WLEN, HOP, "fft")        # (F, N, 2)
     params, logliks = run_gem(params, X, cfg)
     _, sigma1 = annealing_endpoints(X, cfg)
     Y = separate_sources(params, X, sigma1)               # (J, F, N, 2)
     ys = [_istft_core(Y[j], window, WLEN, HOP, nsamples) for j in range(J)]
-    return jnp.stack(ys), logliks
+    ys = jnp.stack(ys)
+    probe = logliks[-1] + 1e-12 * ys[0, 0, 0]
+    return ys, logliks, probe
 
 
 def _run_config(mix_d, params, cfg, window, nsamples):
@@ -83,18 +90,32 @@ def _run_config(mix_d, params, cfg, window, nsamples):
     import sys
     run = jax.jit(functools.partial(pipeline, cfg=cfg, window=window,
                                     nsamples=nsamples))
-    # warm-up / compile; host fetches force real completion (the axon
+    # warm-up / compile; the probe fetch forces real completion (the axon
     # tunnel's block_until_ready does not synchronize)
-    ys, logliks = run(mix_d, params)
-    _ = np.asarray(logliks[-1]), np.asarray(ys[0, :1, 0])
+    ys, logliks, probe = run(mix_d, params)
+    _ = np.asarray(probe)
 
+    # Steady-state throughput: R back-to-back dispatches, ONE probe fetch.
+    # Device executions serialize in dispatch order, so the last probe
+    # proves all R ran; the fetch itself costs a full tunnel round-trip
+    # (~30 ms through the axon dev tunnel -- NOT device time; a local host
+    # reads a scalar in ~10 us), so it is amortized over R runs rather
+    # than paid per run. Per-call latency is printed to stderr alongside.
+    R = 5
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        ys, logliks = run(mix_d, params)
-        _ = np.asarray(logliks[-1])
-        _ = np.asarray(ys[0, :1, 0])
-        times.append(time.perf_counter() - t0)
+        for _ in range(R):
+            ys, logliks, probe = run(mix_d, params)
+        _ = np.asarray(probe)
+        times.append((time.perf_counter() - t0) / R)
+    t0 = time.perf_counter()
+    ys, logliks, probe = run(mix_d, params)
+    _ = np.asarray(probe)
+    latency = time.perf_counter() - t0
+    import sys
+    print(f"bench: per-call latency (incl. tunnel round-trip) "
+          f"{latency:.3f}s", file=sys.stderr)
     ll = float(np.asarray(logliks[-1], np.float64))
     if not np.isfinite(ll):
         raise FloatingPointError("non-finite loglik")

@@ -95,7 +95,8 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
         real_cov = all(not jnp.iscomplexobj(c.A) for c in params.spat)
         stats = pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv,
                                   eps=cfg.eps, noise_inject=noise_inject,
-                                  x4=x4, real_cov=real_cov)
+                                  x4=x4, real_cov=real_cov,
+                                  fast_recip=cfg.fast_recip)
     else:
         stats = compute_suff_stats(
             X, v, Rj, sigma, ranks, eps=cfg.eps,

@@ -107,9 +107,21 @@ def _cdot_conj(x, y):
 
 def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                  ns_inj: bool = False, no_ll: bool = False,
-                 real_cov: bool = False):
+                 real_cov: bool = False, fast_recip: bool = False):
     J = len(ranks)
     Rmax = max(ranks)
+
+    def _recip(x):
+        """1/x. With fast_recip, the VPU's approximate-reciprocal estimate
+        (~2^-8 relative) refined by one Newton step r(2 - xr) (~1.5e-5
+        relative -- far inside EM's tolerance and the 0.1 dB SDR budget,
+        verified by the bench SDR gate on hardware). The kernel spends
+        ~5 true divides per (f, n) bin and is VPU-compute-bound
+        (docs/design.md §4), so this is a straight op-count cut."""
+        if not fast_recip:
+            return 1.0 / x
+        r = pl.reciprocal(x, approx=True)
+        return r * (2.0 - x * r)
 
     def kernel(x4_ref, v_ref, A_ref, sig_ref,
                xi_ref, txs_ref, tss_ref, t4_ref, t7_ref, ll_ref):
@@ -208,7 +220,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
         quad = 0.5 * sum(v[j] * v[k] * Xc[(j, k)]
                          for j in range(J) for k in range(J))
         det = sig * sig + sig * lin + quad
-        rinv = 1.0 / det
+        rinv = _recip(det)
 
         def sxi_apply(u0, u1):
             """Sigma_x^-1 @ (u0, u1) via the adjugate [d, -b; -conj(b), a]."""
@@ -253,7 +265,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                               for k in range(J) for l in range(J)
                               if k != j and l != j)
             detS = sig * sig + sig * linS + quadS
-            rinvS = 1.0 / detS
+            rinvS = _recip(detS)
 
             def sji_apply(u0, u1):
                 z0 = _cscale(rinvS, _csub(_cscale(dS, u0), _cmul(bS, u1)))
@@ -270,7 +282,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
 
             if ranks[j] == 1:
                 den = 1.0 + v[j] * M[0][0][0]
-                coef = 1.0 / den
+                coef = _recip(den)
                 accum(t4_ref, j, jnp.concatenate(
                     [jnp.sum(v[j] / den, axis=1, keepdims=True),
                      jnp.zeros((TF, 3), det.dtype)], axis=1))
@@ -280,7 +292,7 @@ def _make_kernel(ranks: Tuple[int, ...], TF: int, TN: int, N_valid: int,
                 g11 = 1.0 + v[j] * M[1][1][0]
                 g01 = _cscale(v[j], M[0][1])
                 dG = jnp.maximum(g00 * g11 - _cabs2(g01), 1.0)
-                rG = 1.0 / dG
+                rG = _recip(dG)
                 coef = (g00 + g11) * rG
                 t4_tile = jnp.concatenate([
                     rsum(v[j] * g11 * rG),
@@ -363,12 +375,13 @@ def pack_x4(X: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("ranks", "ns_inj", "interpret", "tf",
-                                    "no_ll", "real_cov"))
+                                    "no_ll", "real_cov", "fast_recip"))
 def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray,
                  A4: jnp.ndarray, sigma: jnp.ndarray,
                  ranks: Tuple[int, ...], ns_inj: bool = False,
                  interpret: bool = False, tf: int = 32,
-                 no_ll: bool = False, real_cov: bool = False):
+                 no_ll: bool = False, real_cov: bool = False,
+                 fast_recip: bool = False):
     """Run the fused kernel.
 
     x4 (4, F, N) packed mixture (pack_x4); v (J, F, N); A4 (J, F, 4*Rmax)
@@ -431,7 +444,8 @@ def pallas_estep(x4: jnp.ndarray, v: jnp.ndarray,
         jax.ShapeDtypeStruct((F, 1), jnp.float32),
     ]
     kernel = _make_kernel(ranks, TF, TN, N, ns_inj=ns_inj, no_ll=no_ll,
-                          real_cov=real_cov)
+                          real_cov=real_cov,
+                          fast_recip=fast_recip and not interpret)
     xi, txs, tss, t4, t7, llf = pl.pallas_call(
         kernel,
         grid=grid,
@@ -453,7 +467,8 @@ def pallas_available() -> bool:
 
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                       noise_inject: bool = False, interpret: bool = False,
-                      x4=None, real_cov: bool = False):
+                      x4=None, real_cov: bool = False,
+                      fast_recip: bool = False):
     """Drop-in replacement for estep.compute_suff_stats (ranks in {1, 2}).
     Returns an estep.SuffStats. Pass x4=pack_x4(X) (precomputed once) when
     calling inside a loop; X is then ignored. real_cov=True asserts every
@@ -479,7 +494,8 @@ def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
         for j in range(J)])                                   # (J, F, 4*Rmax)
     xi, txs, tss, t4, t7, loglik = pallas_estep(
         x4, v, A4, sigma, ranks=tuple(ranks),
-        ns_inj=noise_inject, interpret=interpret, real_cov=real_cov)
+        ns_inj=noise_inject, interpret=interpret, real_cov=real_cov,
+        fast_recip=fast_recip)
     xi = jnp.maximum(xi, eps)
 
     def c_(re, im):

@@ -59,6 +59,15 @@ class GEMConfig:
     # Use the fused Pallas E-step kernel when eligible (all sources rank-1,
     # no noise injection, TPU backend). Numerics identical to the XLA path.
     use_pallas: bool = True
+    # Newton-refined approximate reciprocals inside the Pallas kernel for
+    # the ~5 per-bin 1/det divides (~1.5e-5 relative vs the exact divide).
+    # MEASURED NO FASTER on v5e (105.5 vs 106.8 us/iter on the flagship --
+    # the VPU's exact f32 divide is already cheap), so the default keeps
+    # the exact divides and their bit-parity with the XLA path; the flag
+    # stays for rank-2-heavy configs where the divide count doubles.
+    # Only affects the hardware Pallas path; interpret-mode parity tests
+    # and the float64 CPU parity mode always divide exactly.
+    fast_recip: bool = False
     # Hold the spatial mixing fixed for the first frac of iterations: early
     # spectral factors are random, and spatial updates driven by their
     # statistics fling the mixing toward the dominant source (source-collapse
