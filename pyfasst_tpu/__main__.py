@@ -41,7 +41,29 @@ def _cmd_separate(args) -> int:
             freq_basis=basis, n_bands=args.bands, **kw)
     elif args.model in ("conv", "fullrank"):
         init_mixing = None
-        if args.demix:
+        profiles = None
+        if args.spatial_init:
+            # consensus spatial-clustering full-rank init (the measured
+            # blind-reverberant recipe; see models/spatial_init.py)
+            import numpy as np
+
+            from pyfasst_tpu.audio import AudioObject
+            from pyfasst_tpu.models.spatial_init import full_rank_init
+            from pyfasst_tpu.tf.stft import STFT
+            from pyfasst_tpu.utils.misc import to_host_complex
+            obj = AudioObject(args.audio)
+            tft = STFT(wlen=args.wlen, fs=obj.samplerate)
+            Xh = to_host_complex(
+                tft.computeTransform(obj.data.astype(np.float32)))
+            rank = 2 if args.model == "fullrank" else 1
+            init_mixing, tw_prof, fb_prof = full_rank_init(
+                Xh, J=args.sources, rank=rank)
+            profiles = (tw_prof, fb_prof)
+            kw["spatial_hold_frac"] = 0.3
+            if not args.quiet:
+                print(f"spatial-cluster init: {args.sources} sources, "
+                      f"rank {rank}")
+        elif args.demix:
             from pyfasst_tpu.models.demix import DEMIX
             dm = DEMIX(args.audio, wlen=args.wlen)
             dm.comp_parameters(K=args.sources)
@@ -53,6 +75,9 @@ def _cmd_separate(args) -> int:
             spatial_rank=2 if args.model == "fullrank" else 1,
             init_mixing=init_mixing, freq_basis=basis, n_bands=args.bands,
             **kw)
+        if profiles is not None:
+            from pyfasst_tpu.models.spatial_init import apply_profiles
+            model.params = apply_profiles(model.params, *profiles)
     else:  # hmm / gsmm
         model = MultiChanHMM(
             args.audio, nbComps=args.sources, nbStates=args.states,
@@ -213,6 +238,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bands for --freq-basis")
     p.add_argument("--demix", action="store_true",
                    help="initialize conv mixing from DEMIX directions")
+    p.add_argument("--spatial-init", dest="spatial_init",
+                   action="store_true",
+                   help="blind consensus spatial-clustering init for "
+                        "reverberant conv/fullrank models (overrides "
+                        "--demix; holds the mixing for the first 30%% of "
+                        "iterations)")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")

@@ -52,7 +52,8 @@ class FASST:
                  verbose: int = 0,
                  tf_method: str = "fft",
                  dtype: str = "float32",
-                 seed: int = 0):
+                 seed: int = 0,
+                 spatial_hold_frac: Optional[float] = None):
         if isinstance(audio, AudioObject):
             self.audio = audio
         elif isinstance(audio, (str, os.PathLike)):
@@ -78,9 +79,16 @@ class FASST:
         self.Cx = None       # (F, N, 4) packed empirical covariance
         self.comp_transf_Cx()
 
+        # spatial_hold_frac: fraction of iterations with the mixing frozen
+        # while the spectra adapt (GEMConfig default 0.1). Raising it to
+        # ~0.3 is the measured robustness lever for hard blind full-rank
+        # inits (models/spatial_init.py): the consensus spatial estimate
+        # must not be dragged off by statistics of still-random spectra.
+        hold = {} if spatial_hold_frac is None else \
+            {"spatial_hold_frac": float(spatial_hold_frac)}
         self.cfg = GEMConfig(niter=iter_num, annealing=annealing,
                              sigma_start_frac=sigma_start_frac,
-                             sigma_end_frac=sigma_end_frac)
+                             sigma_end_frac=sigma_end_frac, **hold)
         self.params: Optional[FasstParams] = None
         self.logliks: Optional[np.ndarray] = None
 

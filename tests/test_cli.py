@@ -116,6 +116,15 @@ def test_separate_fullrank_erb(mix_wav, tmp_path, capsys):
     assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
 
 
+def test_separate_fullrank_spatial_init(mix_wav, tmp_path, capsys):
+    out_dir = str(tmp_path / "si")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--spatial-init", "--iters", "6", "--nmf-comps", "3",
+                 "--wlen", "256", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+
+
 def test_eval_command(mix_wav, tmp_path, capsys):
     """Scoring estimated stems vs references through the CLI."""
     # trivial case: estimates == references -> near-perfect SDR

@@ -1,0 +1,129 @@
+"""Blind full-rank spatial initialization (models/spatial_init.py).
+
+The quality claim (configs[2]: min SDR >= 1, mean >= 3 blind on the
+reverberant 4-source fixture) is validated at full scale by
+tools/validate_hw.py on hardware; these tests pin the mechanism at small
+shapes: dominance recovery, direction recovery, assignment correctness,
+and that the init plugs into the engine.
+"""
+import numpy as np
+import pytest
+
+from pyfasst_tpu.models.spatial_init import (
+    _best_assignment, activity_profiles, apply_profiles, consensus_votes,
+    full_rank_init, mixing_from_votes, tf_covariance_features,
+)
+
+
+def _two_source_stft(F=96, N=120, seed=0, reverb=False):
+    """Synthetic stereo STFT: two sources with distinct directions and
+    alternating activity blocks. Returns (X, dominant (F, N) labels)."""
+    rng = np.random.default_rng(seed)
+    a = np.array([[1.0, 0.25], [0.3, 1.0]], complex)
+    if reverb:
+        # frequency-dependent phase/gain wobble = a mild reverberant part
+        wob = np.exp(1j * 0.6 * np.sin(np.arange(F) / 7.0))
+        a = np.stack([np.stack([a[j, 0] * np.ones(F),
+                                a[j, 1] * wob ** (j + 1)], -1)
+                      for j in range(2)])          # (2, F, 2)
+    else:
+        a = np.stack([np.tile(a[j], (F, 1)) for j in range(2)])
+    # alternating 10-frame activity blocks, 3x louder when "on"
+    on = ((np.arange(N) // 10) % 2 == 0)
+    gain = np.stack([np.where(on, 1.0, 0.1), np.where(on, 0.1, 1.0)])
+    s = (rng.standard_normal((2, F, N)) + 1j * rng.standard_normal((2, F, N)))
+    s *= gain[:, None, :]
+    X = np.einsum('jfi,jfn->fni', a, s)
+    dom = np.argmax(np.abs(s) ** 2, axis=0)        # (F, N)
+    return X, dom
+
+
+def test_best_assignment_matches_hungarian():
+    rng = np.random.default_rng(3)
+    S = rng.standard_normal((17, 4, 4))
+    sel = _best_assignment(S)
+    from scipy.optimize import linear_sum_assignment
+    for f in range(S.shape[0]):
+        rows, cols = linear_sum_assignment(-S[f])
+        ref = np.empty(4, np.int64)
+        ref[cols] = rows
+        got = S[f][sel[f], np.arange(4)].sum()
+        want = S[f][ref, np.arange(4)].sum()
+        assert got == pytest.approx(want)          # equal-score ties OK
+
+
+def test_votes_recover_dominance():
+    X, dom = _two_source_stft()
+    votes = consensus_votes(X, J=2, n_seeds=3, kiter=10)
+    lab = votes.argmax(-1)
+    pw = (np.abs(X) ** 2).sum(-1)
+    loud = pw > np.quantile(pw, 0.5)
+    acc = max((lab == dom)[loud].mean(), (lab == 1 - dom)[loud].mean())
+    assert acc > 0.8, f"dominance recovery {acc:.2f}"
+
+
+def test_mixing_recovers_directions():
+    X, _ = _two_source_stft(seed=1)
+    feat, w, pw, xx = tf_covariance_features(X)
+    votes = consensus_votes(X, J=2, n_seeds=3, kiter=10)
+    A = mixing_from_votes(votes, xx, pw, rank=2)   # (2, F, 2, 2)
+    true_dirs = np.array([[1.0, 0.25], [0.3, 1.0]], complex)
+    true_dirs /= np.linalg.norm(true_dirs, axis=1, keepdims=True)
+    # principal columns, frequency-averaged |cosine| to the true direction
+    # at the best permutation
+    prin = A[:, :, :, 0]
+    prin = prin / np.maximum(np.linalg.norm(prin, axis=-1, keepdims=True),
+                             1e-12)
+    cos = np.abs(np.einsum('jfi,ki->jfk', prin, true_dirs.conj())).mean(1)
+    best = max(min(cos[0, 0], cos[1, 1]), min(cos[0, 1], cos[1, 0]))
+    assert best > 0.9, f"direction recovery |cos| {best:.3f}"
+
+
+def test_jax_and_numpy_backends_agree():
+    X, _ = _two_source_stft(seed=5, reverb=True)
+    vj = consensus_votes(X, J=2, n_seeds=3, kiter=10, backend="jax")
+    vn = consensus_votes(X, J=2, n_seeds=3, kiter=10, backend="numpy")
+    # identical up to argmin/argmax tie-breaking; on this fixture: exact
+    assert (vj.argmax(-1) == vn.argmax(-1)).mean() > 0.99
+    np.testing.assert_allclose(vj, vn, atol=1e-6)
+
+
+def test_full_rank_init_shapes_profiles():
+    X, _ = _two_source_stft(seed=2, reverb=True)
+    F, N = X.shape[:2]
+    A, tw, fb = full_rank_init(X, J=2, n_seeds=2, kiter=8)
+    assert A.shape == (2, F, 2, 2)
+    assert tw.shape == (2, N) and fb.shape == (2, F)
+    assert np.all(tw >= 0.3 - 1e-9) and np.all(tw <= 1.0 + 1e-9)
+    assert np.all(fb >= 0.3 - 1e-9) and np.all(fb <= 1.0 + 1e-9)
+    assert np.all(np.isfinite(A))
+    # R_j = A_j A_j^H is trace-normalized to 2
+    R = np.einsum('jfir,jfkr->jfik', A, A.conj())
+    tr = np.trace(R, axis1=2, axis2=3).real
+    np.testing.assert_allclose(tr, 2.0, rtol=1e-5)
+
+
+def test_init_plugs_into_engine():
+    from pyfasst_tpu.models.variants import MultiChanNMFConv
+    X, _ = _two_source_stft(seed=4, reverb=True)
+    fs, wlen = 8000, 190
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((4000, 2)).astype(np.float32) * 0.1
+    A, tw, fb = full_rank_init(X, J=2, n_seeds=2, kiter=5)
+    # init shapes must match the model's (F, N): build model first, then
+    # re-run the init on ITS transform (the real flow in __main__)
+    model = MultiChanNMFConv(mix, fs=fs, nbComps=2, nbNMFComps=3,
+                             spatial_rank=2, wlen=256, iter_num=12,
+                             spatial_hold_frac=0.3)
+    from pyfasst_tpu.utils.misc import to_host_complex
+    Xm = to_host_complex(model.Xs)
+    A, tw, fb = full_rank_init(Xm, J=2, n_seeds=2, kiter=5)
+    model2 = MultiChanNMFConv(mix, fs=fs, nbComps=2, nbNMFComps=3,
+                              spatial_rank=2, init_mixing=A, wlen=256,
+                              iter_num=12, spatial_hold_frac=0.3)
+    assert model2.cfg.spatial_hold_frac == 0.3
+    model2.params = apply_profiles(model2.params, tw, fb)
+    lls = np.asarray(model2.estim_param_a_posteriori())
+    assert np.all(np.isfinite(lls))
+    ys = np.asarray(model2.separated_images())
+    assert np.all(np.isfinite(ys))

