@@ -45,6 +45,7 @@ import numpy as np
 __all__ = [
     "tf_covariance_features", "consensus_votes", "mixing_from_votes",
     "activity_profiles", "full_rank_init", "apply_profiles",
+    "repair_votes",
 ]
 
 
@@ -335,6 +336,102 @@ def mixing_from_votes(votes: np.ndarray, xx: np.ndarray, pw: np.ndarray,
     return (V * np.sqrt(lam)[..., None, :])[..., :rank]
 
 
+def _nmf_split(M: np.ndarray, iters: int = 80, seed: int = 0,
+               eps: float = 1e-12):
+    """Rank-2 KL-NMF of a masked power plane M (F, N).
+
+    Returns (share (F, N): soft fraction of component 0 per bin,
+    H (2, N): the two temporal activations)."""
+    rng = np.random.default_rng(seed)
+    F, N = M.shape
+    W = 0.5 + rng.random((F, 2))
+    H = 0.5 + rng.random((2, N))
+    for _ in range(iters):
+        V = W @ H + eps
+        W *= ((M / V) @ H.T) / np.maximum(H.sum(1)[None], eps)
+        V = W @ H + eps
+        H *= (W.T @ (M / V)) / np.maximum(W.sum(0)[:, None], eps)
+    P0 = W[:, :1] * H[:1]
+    P1 = W[:, 1:] * H[1:]
+    return P0 / np.maximum(P0 + P1, eps), H
+
+
+def repair_votes(votes: np.ndarray, pw: np.ndarray,
+                 corr_thr: float = 0.6, min_balance: float = 0.05,
+                 max_hcorr: float = 0.9, verbose: bool = False
+                 ) -> np.ndarray:
+    """Fix the two systematic failure modes of blind spatial clustering.
+
+    When sources share a mixing direction (common: two instruments at the
+    same position, or a 4-source mixture over 2 distinct directions), the
+    spatial features cannot tell them apart: the clustering then (a) MERGES
+    the same-direction pair into one cluster and (b) SPLITS some loud
+    source across two clusters to fill the count. Detected and repaired
+    from the votes alone:
+
+    - split-source pair: two clusters whose temporal activity envelopes
+      correlate above `corr_thr` (halves of one source switch on and off
+      together; distinct sources do not) -> merge them;
+    - over-merged cluster: the remaining cluster whose masked power plane
+      best factors into TWO spectro-temporally distinct components
+      (rank-2 KL-NMF; score = activation decorrelation x power balance)
+      -> split its votes by the per-bin component shares.
+
+    Each pass performs one merge+split; passes repeat until no pair
+    crosses `corr_thr` (at most J//2). If no candidate cluster splits
+    acceptably (balance >= `min_balance`, activation correlation <=
+    `max_hcorr`), the merge is NOT performed -- repair never reduces the
+    effective source count. Measured on the configs[2] fixture family:
+    min SDR -1.9 -> +3.7 on the draw where clustering merged the
+    same-direction pair, +1.3 -> +6.7 on an easier draw (means 8.5/11.5),
+    stable across EM seeds.
+    """
+    J = votes.shape[-1]
+    votes = votes.copy()
+    for _ in range(max(J // 2, 1)):
+        wv = votes * pw[..., None]
+        a = np.einsum('fnj->jn', wv)
+        an = a - a.mean(-1, keepdims=True)
+        an /= np.maximum(np.linalg.norm(an, axis=-1, keepdims=True), 1e-12)
+        corr = an @ an.T
+        np.fill_diagonal(corr, -2.0)
+        i, k = np.unravel_index(np.argmax(corr), corr.shape)
+        if corr[i, k] < corr_thr:
+            break
+        merged = votes[..., i] + votes[..., k]
+        best = None
+        for c in range(J):
+            if c == k:
+                continue
+            Mc = (merged if c == i else votes[..., c]) * pw
+            share, H = _nmf_split(Mc)
+            # CENTERED correlation of the two activations: nonnegative
+            # activations share a large DC component, so the raw cosine
+            # is ~0.9 even for unrelated envelopes and would invert the
+            # ranking (two halves of one source must score ~1, two real
+            # sources ~0 -- only the centered correlation does that).
+            h = H - H.mean(axis=1, keepdims=True)
+            h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+            hcorr = abs(float((h[0] * h[1]).sum()))
+            p0 = float((share * Mc).sum())
+            p1 = float(((1.0 - share) * Mc).sum())
+            bal = min(p0, p1) / max(p0 + p1, 1e-12)
+            score = (1.0 - hcorr) * bal
+            if best is None or score > best[0]:
+                best = (score, c, share, hcorr, bal)
+        score, c, share, hcorr, bal = best
+        if bal < min_balance or hcorr > max_hcorr:
+            break                        # no acceptable split: keep as-is
+        if verbose:
+            print(f"repair_votes: merge ({i},{k}) corr={corr[i, k]:.2f}; "
+                  f"split {c} (hcorr={hcorr:.2f}, balance={bal:.2f})")
+        votes[..., i] = merged
+        src = merged if c == i else votes[..., c]
+        votes[..., k] = src * (1.0 - share)
+        votes[..., c] = src * share
+    return votes
+
+
 def activity_profiles(votes: np.ndarray, pw: np.ndarray,
                       floor: float = 0.3):
     """Per-source (time, band) energy profiles from the votes.
@@ -358,7 +455,8 @@ def activity_profiles(votes: np.ndarray, pw: np.ndarray,
 
 
 def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
-                   rank: int = 2, kiter: int = 30, backend: str = "jax"
+                   rank: int = 2, kiter: int = 30, backend: str = "jax",
+                   repair: bool = True
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot blind full-rank initialization.
 
@@ -367,11 +465,15 @@ def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
     `MultiChanNMFConv(spatial_rank=rank, init_mixing=A_init)` and the
     profiles to `apply_profiles`. backend: see consensus_votes (the two
     paths produce identical votes on the configs[2] fixture; 'jax' is
-    ~13x faster warm but pays a one-time per-shape compile).
+    ~13x faster warm but pays a one-time per-shape compile). repair runs
+    the same-direction merge/split pass (repair_votes) -- keep it on
+    unless the sources are known spatially distinct.
     """
     feat, w, pw, xx = tf_covariance_features(X)
     votes = consensus_votes(X, J, n_seeds=n_seeds, kiter=kiter,
                             backend=backend)
+    if repair:
+        votes = repair_votes(votes, pw)
     A = mixing_from_votes(votes, xx, pw, rank=rank)
     tw_prof, fb_prof = activity_profiles(votes, pw)
     return A, tw_prof, fb_prof

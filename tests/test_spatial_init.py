@@ -11,7 +11,7 @@ import pytest
 
 from pyfasst_tpu.models.spatial_init import (
     _best_assignment, activity_profiles, apply_profiles, consensus_votes,
-    full_rank_init, mixing_from_votes, tf_covariance_features,
+    full_rank_init, mixing_from_votes, repair_votes, tf_covariance_features,
 )
 
 
@@ -101,6 +101,62 @@ def test_full_rank_init_shapes_profiles():
     R = np.einsum('jfir,jfkr->jfik', A, A.conj())
     tr = np.trace(R, axis1=2, axis2=3).real
     np.testing.assert_allclose(tr, 2.0, rtol=1e-5)
+
+
+def _repair_fixture(seed=0):
+    """Votes with both clustering failure modes baked in: clusters 0 and 1
+    are random halves of ONE source (a shared on/off envelope), cluster 2
+    holds TWO spectro-temporally distinct sources. Returns (votes, pw,
+    true per-bin source labels 0..2 with 0 = the split source)."""
+    rng = np.random.default_rng(seed)
+    F, N = 64, 120
+    on = ((np.arange(N) // 12) % 2 == 0).astype(float)   # clicks-ish
+    pA = np.outer(np.exp(-np.arange(F) / 30.0), on * (1 + rng.random(N)))
+    envB = 1 + 0.8 * np.sin(2 * np.pi * np.arange(N) / 40.0)
+    pB = np.outer(rng.random(F) * (np.arange(F) < 20), envB)      # low band
+    envC = 1 + 0.8 * np.cos(2 * np.pi * np.arange(N) / 17.0)
+    pC = np.outer(rng.random(F) * (np.arange(F) >= 40), envC)     # high band
+    P = np.stack([pA, pB, pC]) + 1e-6
+    dom = P.argmax(0)
+    pw = P.sum(0)
+    votes = np.zeros((F, N, 3))
+    half = rng.random((F, N)) < 0.5
+    votes[..., 0] = (dom == 0) & half          # split source: two halves
+    votes[..., 1] = (dom == 0) & ~half
+    votes[..., 2] = dom != 0                   # merged pair
+    return votes, pw, dom
+
+
+def test_repair_votes_fixes_merge_and_split():
+    votes, pw, dom = _repair_fixture()
+    rep = repair_votes(votes, pw, verbose=False)
+    lab = rep.argmax(-1)
+    # the split source's bins must land in ONE cluster...
+    src0 = dom == 0
+    main_share = max((lab[src0] == c).mean() for c in range(3))
+    assert main_share > 0.95, f"split source not re-unified ({main_share})"
+    # ...and sources B and C must now live in different clusters
+    from collections import Counter
+    cb = Counter(lab[dom == 1].ravel()).most_common(1)[0][0]
+    cc = Counter(lab[dom == 2].ravel()).most_common(1)[0][0]
+    assert cb != cc, "over-merged cluster was not split"
+    acc_b = (lab[dom == 1] == cb).mean()
+    acc_c = (lab[dom == 2] == cc).mean()
+    assert acc_b > 0.8 and acc_c > 0.8, (acc_b, acc_c)
+
+
+def test_repair_votes_no_false_positive():
+    """Distinct envelopes -> repair must leave the votes untouched."""
+    rng = np.random.default_rng(1)
+    F, N = 48, 90
+    e = np.stack([1 + 0.9 * np.sin(2 * np.pi * np.arange(N) / p)
+                  for p in (13.0, 29.0, 47.0)])
+    P = rng.random((3, F, 1)) * e[:, None, :] + 1e-6
+    dom = P.argmax(0)
+    pw = P.sum(0)
+    votes = np.eye(3)[dom]
+    rep = repair_votes(votes, pw)
+    np.testing.assert_array_equal(rep, votes)
 
 
 def test_init_plugs_into_engine():

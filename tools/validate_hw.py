@@ -335,9 +335,12 @@ def scenario_batch(rng):
 
 def main():
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
-    rng = np.random.default_rng(42)
-    recs = [scenario_inst(rng), scenario_anechoic(rng), scenario_reverb(rng),
-            scenario_hmm(rng), scenario_batch(rng)]
+    # per-scenario deterministic rngs: each fixture is reproducible by
+    # running its scenario standalone (a shared sequential rng made every
+    # fixture depend on every earlier scenario's draw count)
+    scens = [scenario_inst, scenario_anechoic, scenario_reverb,
+             scenario_hmm, scenario_batch]
+    recs = [s(np.random.default_rng(100 + i)) for i, s in enumerate(scens)]
     lines = [
         "# Hardware validation matrix (real TPU)",
         "",
