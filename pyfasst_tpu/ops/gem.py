@@ -102,7 +102,15 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
             X, v, Rj, sigma, ranks, eps=cfg.eps,
             noise_inject=noise_inject, A_conv=A_conv)
     params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
-    params = update_spectral(params, stats, eps=cfg.eps, v=v)
+    if cfg.fuse_spectral and pallas_ok:
+        from pyfasst_tpu.ops import pallas_spectral
+        if pallas_spectral.eligible(params):
+            params = pallas_spectral.fused_spectral_update(
+                params, stats, eps=cfg.eps)
+        else:
+            params = update_spectral(params, stats, eps=cfg.eps, v=v)
+    else:
+        params = update_spectral(params, stats, eps=cfg.eps, v=v)
     if cfg.renormalize:
         params = renormalize(params)
     return params, stats.loglik
