@@ -59,11 +59,13 @@ class GEMConfig:
     # Use the fused Pallas E-step kernel when eligible (all sources rank-1,
     # no noise injection, TPU backend). Numerics identical to the XLA path.
     use_pallas: bool = True
-    # Fused Pallas spectral M-step for plain two-factor NMF chains: the
-    # XLA spectral update is ~45% of the flagship iteration and almost
-    # entirely HBM traffic on (F, N) planes (docs/design.md §4); the
-    # fused kernels rebuild V = FB @ TW in-tile and reduce the update
-    # statistics directly. Identical sequential semantics; parity-tested.
+    # Fused Pallas spectral M-step for plain two-factor NMF chains
+    # (ops/pallas_spectral.py). Identical sequential semantics,
+    # parity-tested, hardware-verified -- and MEASURED SLOWER than the
+    # XLA path on the flagship (xRT 146 vs 170: two extra kernel launches
+    # + K=8-narrow MXU dots cost more than the (F, N) traffic they save;
+    # docs/design.md §4). Default stays off; the flag remains for
+    # larger-K configs where the trade may flip.
     fuse_spectral: bool = False
     # Newton-refined approximate reciprocals inside the Pallas kernel for
     # the ~5 per-bin 1/det divides (~1.5e-5 relative vs the exact divide).
