@@ -34,6 +34,13 @@ def _cmd_separate(args) -> int:
 
     kw = dict(wlen=args.wlen, iter_num=args.iters, seed=args.seed,
               annealing=args.annealing, verbose=0 if args.quiet else 1)
+    if getattr(args, "transform", "stft") != "stft":
+        from pyfasst_tpu.audio import AudioObject
+        from pyfasst_tpu.tf.erblet import ERBLetTransform
+        fs = AudioObject(args.audio).samplerate
+        kw["transform"] = ERBLetTransform(
+            fs=fs, n_bands=args.tf_bands,
+            scale="log" if args.transform == "cqlet" else "erb")
     basis = None if args.freq_basis == "none" else args.freq_basis
     if args.model == "inst":
         model = MultiChanNMFInst_FASST(
@@ -52,7 +59,8 @@ def _cmd_separate(args) -> int:
             from pyfasst_tpu.tf.stft import STFT
             from pyfasst_tpu.utils.misc import to_host_complex
             obj = AudioObject(args.audio)
-            tft = STFT(wlen=args.wlen, fs=obj.samplerate)
+            tft = kw.get("transform") or STFT(wlen=args.wlen,
+                                              fs=obj.samplerate)
             Xh = to_host_complex(
                 tft.computeTransform(obj.data.astype(np.float32)))
             rank = 2 if args.model == "fullrank" else 1
@@ -234,6 +242,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freq-basis", default="none",
                    choices=("none", "erb", "mel"),
                    help="fixed log-frequency spectral basis")
+    p.add_argument("--transform", default="stft",
+                   choices=("stft", "erblet", "cqlet"),
+                   help="analysis/synthesis front-end: linear-frequency "
+                        "STFT, or the perfect-reconstruction ERB / "
+                        "constant-Q subband transforms (separation runs "
+                        "directly in the warped domain)")
+    p.add_argument("--tf-bands", type=int, default=64,
+                   help="subbands for --transform erblet/cqlet")
     p.add_argument("--bands", type=int, default=40,
                    help="bands for --freq-basis")
     p.add_argument("--demix", action="store_true",

@@ -53,7 +53,8 @@ class FASST:
                  tf_method: str = "fft",
                  dtype: str = "float32",
                  seed: int = 0,
-                 spatial_hold_frac: Optional[float] = None):
+                 spatial_hold_frac: Optional[float] = None,
+                 transform: Optional[object] = None):
         if isinstance(audio, AudioObject):
             self.audio = audio
         elif isinstance(audio, (str, os.PathLike)):
@@ -74,7 +75,22 @@ class FASST:
         self.dtype = jnp.float64 if dtype == "float64" else jnp.float32
         self.np_dtype = np.float64 if dtype == "float64" else np.float32
 
-        self.tft = STFT(wlen=wlen, hop=hop, fs=self.fs, method=tf_method)
+        # Pluggable analysis/synthesis front-end, mirroring the reference's
+        # transform choice (pyfasst FASST runs over STFT, MinQT, or the
+        # vendored NSGT/ERBlet -- SURVEY.md §3.1, UNVERIFIED). Any object
+        # with computeTransform((T, I)) -> complex (F, N, I) and
+        # invertTransform(Y, nsamples) works; tf_method='erblet' is the
+        # built-in shortcut to the perfect-reconstruction ERB front-end.
+        # The GEM engine is front-end-agnostic (it sees an (F, N, 2)
+        # complex plane); STFT-bin-specific features (freq_basis, WF0
+        # atoms) guard on `self.tft.wlen` existing.
+        if transform is not None:
+            self.tft = transform
+        elif tf_method == "erblet":
+            from pyfasst_tpu.tf.erblet import ERBLetTransform
+            self.tft = ERBLetTransform(fs=self.fs)
+        else:
+            self.tft = STFT(wlen=wlen, hop=hop, fs=self.fs, method=tf_method)
         self.Xs = None       # (F, N, I) complex device array
         self.Cx = None       # (F, N, 4) packed empirical covariance
         self.comp_transf_Cx()
@@ -104,6 +120,25 @@ class FASST:
     @property
     def nchannels(self) -> int:
         return self.audio.channels
+
+    @property
+    def stft_wlen(self) -> int:
+        """Window length of the STFT front-end.
+
+        Features that map LINEAR rfft bins -- ERB/Mel `freq_basis` factors
+        (tf/filterbank.spectral_basis) and the WF0 comb dictionaries
+        (variants.generate_WF0*) -- are meaningless on an already
+        frequency-warped front-end (erblet/minqt); they guard through this
+        property so the failure is a clear error at construction.
+        """
+        wlen = getattr(self.tft, "wlen", None)
+        if wlen is None:
+            name = getattr(self.tft, "name", type(self.tft).__name__)
+            raise ValueError(
+                "freq_basis / F0-dictionary features map linear STFT bins "
+                f"and require the STFT front-end; the '{name}' transform "
+                "is already frequency-warped")
+        return int(wlen)
 
     def comp_transf_Cx(self) -> None:
         """Analysis transform + packed empirical mixture covariance.

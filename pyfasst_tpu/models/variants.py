@@ -44,7 +44,7 @@ class MultiChanNMFInst_FASST(FASST):
         fixed_FB = None
         if freq_basis in ("erb", "mel"):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
-                                      self.tft.wlen)
+                                      self.stft_wlen)
         A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
                                   nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
@@ -72,7 +72,7 @@ class MultiChanNMFConv(FASST):
         fixed_FB = None
         if freq_basis in ("erb", "mel"):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
-                                      self.tft.wlen)
+                                      self.stft_wlen)
         from pyfasst_tpu.utils.misc import to_device_complex
         if init_mixing is not None:
             init_mixing = np.asarray(init_mixing)
@@ -280,16 +280,16 @@ class multiChanSourceF0Filter(FASST):
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
         if glottal:
-            WF0 = generate_WF0_chirped(self.F, self.fs, self.tft.wlen,
+            WF0 = generate_WF0_chirped(self.F, self.fs, self.stft_wlen,
                                        n_f0=n_f0, f0_min=f0_min,
                                        f0_max=f0_max,
                                        chirp_per_f0=chirp_per_f0)
         else:
-            WF0 = generate_WF0(self.F, self.fs, self.tft.wlen, n_f0=n_f0,
+            WF0 = generate_WF0(self.F, self.fs, self.stft_wlen, n_f0=n_f0,
                                f0_min=f0_min, f0_max=f0_max)
         U = WF0.shape[1]
         WGAMMA = spectral_basis("mel", n_filter_bands, self.F, self.fs,
-                                self.tft.wlen)
+                                self.stft_wlen)
         TW0 = 0.5 + jax.random.uniform(keys[0], (U, self.N), self.dtype)
         TW20 = 0.5 + jax.random.uniform(
             keys[1], (n_filter_bands, self.N), self.dtype)
@@ -300,7 +300,7 @@ class multiChanSourceF0Filter(FASST):
             # dictionaries are built by the same functions and parameters)
             from pyfasst_tpu.models.lead import SeparateLeadStereoTF
             sep = SeparateLeadStereoTF(
-                audio=self.audio.data, fs=self.fs, wlen=self.tft.wlen,
+                audio=self.audio.data, fs=self.fs, wlen=self.stft_wlen,
                 hop=self.tft.hop, n_f0=n_f0, f0_min=f0_min, f0_max=f0_max,
                 n_filter=n_filter_bands, niter=lead_iters,
                 glottal=glottal, chirp_per_f0=chirp_per_f0)

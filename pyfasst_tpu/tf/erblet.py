@@ -49,19 +49,32 @@ class ERBLetTransform:
         hop that keeps the painless condition (widest band support <= N)
         with a safety factor of 2 for typical signal lengths.
     fmin : lowest band center (Hz); below it the first band is a shelf.
+    scale : 'erb' (auditory spacing) or 'log' (geometric spacing = a
+        perfect-reconstruction constant-Q transform).
     """
 
     name = "erblet"
 
     def __init__(self, fs: int = 44100, n_bands: int = 64,
-                 hop: Optional[int] = None, fmin: float = 50.0):
+                 hop: Optional[int] = None, fmin: float = 50.0,
+                 scale: str = "erb"):
         self.fs = int(fs)
         self.n_bands = int(n_bands)
         self.fmin = float(fmin)
-        # ERB-spaced centers; spacing sets each Hann's half-width
-        e_lo, e_hi = hz_to_erb(fmin), hz_to_erb(fs / 2)
-        self.centers_hz = np.concatenate(
-            [[0.0], erb_to_hz(np.linspace(e_lo, e_hi, n_bands - 1))])
+        self.scale = scale
+        # Scaled band centers; spacing sets each Hann's half-width.
+        # 'erb': Glasberg & Moore auditory spacing (the NSGT-ERBlet analog);
+        # 'log': geometric spacing, i.e. a perfect-reconstruction
+        # constant-Q transform (the NSGT-CQ analog -- reference vendors
+        # both scales in pyfasst/tftransforms/nsgt/, UNVERIFIED).
+        if scale == "erb":
+            e_lo, e_hi = hz_to_erb(fmin), hz_to_erb(fs / 2)
+            interior = erb_to_hz(np.linspace(e_lo, e_hi, n_bands - 1))
+        elif scale == "log":
+            interior = np.geomspace(fmin, fs / 2, n_bands - 1)
+        else:
+            raise ValueError(f"scale must be 'erb' or 'log', got {scale!r}")
+        self.centers_hz = np.concatenate([[0.0], interior])
         self.centers_hz[-1] = fs / 2
         if hop is None:
             # widest band: last interior band, half-width = center gap

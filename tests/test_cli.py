@@ -38,6 +38,19 @@ def test_separate_inst(mix_wav, tmp_path, capsys):
     assert np.isfinite(rep["final_loglik"])
 
 
+@pytest.mark.parametrize("front_end", ["erblet", "cqlet"])
+def test_separate_warped_transform(mix_wav, tmp_path, capsys, front_end):
+    out_dir = str(tmp_path / "sep")
+    assert main(["separate", mix_wav, "-o", out_dir, "--iters", "8",
+                 "--nmf-comps", "3", "--transform", front_end,
+                 "--tf-bands", "24", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2
+    for f in rep["files"]:
+        assert os.path.exists(f)
+    assert np.isfinite(rep["final_loglik"])
+
+
 def test_separate_checkpoint(mix_wav, tmp_path, capsys):
     ck = str(tmp_path / "ck.npz")
     assert main(["separate", mix_wav, "-o", str(tmp_path / "s"),

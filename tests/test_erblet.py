@@ -67,6 +67,66 @@ def test_tone_band_localization(rng):
         assert abs(b_peak - b_true) <= 1, (f0, b_peak, b_true)
 
 
+def test_perfect_reconstruction_log_scale(rng):
+    """scale='log' = perfect-reconstruction constant-Q (NSGT-CQ analog)."""
+    t = ERBLetTransform(fs=16000, n_bands=56, scale="log", fmin=60.0)
+    # geometric spacing: constant ratio between interior centers
+    c = t.band_centers()[1:]
+    ratios = c[1:] / c[:-1]
+    assert np.allclose(ratios[:-1], ratios[0], rtol=1e-6)
+    x = rng.standard_normal(12000).astype(np.float32)
+    y = np.asarray(t.invertTransform(t.computeTransform(x)))
+    rel = np.abs(y - x).max() / np.abs(x).max()
+    assert rel < 1e-5, rel
+
+
+def test_bad_scale_rejected():
+    with pytest.raises(ValueError, match="scale"):
+        ERBLetTransform(fs=16000, scale="linear")
+
+
+def test_fasst_over_erblet_front_end(rng):
+    """The GEM engine runs directly in the warped subband domain (the
+    reference runs FASST over its NSGT coefficients -- SURVEY.md §3.1)."""
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+
+    fs, T = 8000, 8000
+    time = np.arange(T) / fs
+    s1 = np.sin(2 * np.pi * 320 * time) * (1 + 0.5 * np.sin(
+        2 * np.pi * 2 * time))
+    s2 = rng.standard_normal(T) * (np.sin(2 * np.pi * 1.1 * time) > 0)
+    y1 = np.outer(s1, [0.95, 0.31]).astype(np.float32)
+    y2 = np.outer(s2, [0.31, 0.95]).astype(np.float32)
+    tft = ERBLetTransform(fs=fs, n_bands=40)
+    model = MultiChanNMFInst_FASST(y1 + y2, fs=fs, nbComps=2, nbNMFComps=4,
+                                   iter_num=60, transform=tft)
+    assert model.F == 40                      # engine sees the band axis
+    lls = model.estim_param_a_posteriori()
+    assert np.all(np.isfinite(lls))
+    ys = model.separated_images()             # (J, T, 2) via the exact dual
+    assert ys.shape == (2, T, 2) and np.all(np.isfinite(ys))
+
+    def sdr(e, r):
+        return 10 * np.log10(np.sum(r ** 2)
+                             / max(np.sum((e - r) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[p[0]], y1), sdr(ys[p[1]], y2))
+               for p in [(0, 1), (1, 0)])
+    assert best > 5.0, best                   # genuinely separates
+    # posterior Wiener images conserve the mixture as sigma_b -> 0
+    rel = np.abs(ys.sum(0) - (y1 + y2)).max() / np.abs(y1 + y2).max()
+    assert rel < 0.15, rel
+
+
+def test_freq_basis_guard_on_warped_front_end():
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+
+    tft = ERBLetTransform(fs=8000, n_bands=32)
+    with pytest.raises(ValueError, match="STFT front-end"):
+        MultiChanNMFInst_FASST(np.zeros((4000, 2), np.float32), fs=8000,
+                               freq_basis="erb", transform=tft)
+
+
 def test_frame_bounds_and_hop_guard():
     t = ERBLetTransform(fs=16000, n_bands=64)
     A, B = t.frame_bounds(16000)
