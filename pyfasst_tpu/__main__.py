@@ -36,11 +36,16 @@ def _cmd_separate(args) -> int:
               annealing=args.annealing, verbose=0 if args.quiet else 1)
     if getattr(args, "transform", "stft") != "stft":
         from pyfasst_tpu.audio import AudioObject
-        from pyfasst_tpu.tf.erblet import ERBLetTransform
         fs = AudioObject(args.audio).samplerate
-        kw["transform"] = ERBLetTransform(
-            fs=fs, n_bands=args.tf_bands,
-            scale="log" if args.transform == "cqlet" else "erb")
+        if args.transform == "minqt":
+            from pyfasst_tpu.tf.minqt import MinQTransfo
+            kw["transform"] = MinQTransfo(fs=fs, wlen=args.wlen * 4,
+                                          n_bins=args.tf_bands)
+        else:
+            from pyfasst_tpu.tf.erblet import ERBLetTransform
+            kw["transform"] = ERBLetTransform(
+                fs=fs, n_bands=args.tf_bands,
+                scale="log" if args.transform == "cqlet" else "erb")
     basis = None if args.freq_basis == "none" else args.freq_basis
     if args.model == "inst":
         model = MultiChanNMFInst_FASST(
@@ -243,11 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("none", "erb", "mel"),
                    help="fixed log-frequency spectral basis")
     p.add_argument("--transform", default="stft",
-                   choices=("stft", "erblet", "cqlet"),
+                   choices=("stft", "erblet", "cqlet", "minqt"),
                    help="analysis/synthesis front-end: linear-frequency "
-                        "STFT, or the perfect-reconstruction ERB / "
-                        "constant-Q subband transforms (separation runs "
-                        "directly in the warped domain)")
+                        "STFT, the perfect-reconstruction ERB / constant-Q "
+                        "subband transforms, or the Min-Q log-frequency "
+                        "transform (separation runs directly in the warped "
+                        "domain)")
     p.add_argument("--tf-bands", type=int, default=64,
                    help="subbands for --transform erblet/cqlet")
     p.add_argument("--bands", type=int, default=40,

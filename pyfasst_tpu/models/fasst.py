@@ -132,7 +132,7 @@ class FASST:
         property so the failure is a clear error at construction.
         """
         wlen = getattr(self.tft, "wlen", None)
-        if wlen is None:
+        if wlen is None or getattr(self.tft, "name", "stft") != "stft":
             name = getattr(self.tft, "name", type(self.tft).__name__)
             raise ValueError(
                 "freq_basis / F0-dictionary features map linear STFT bins "

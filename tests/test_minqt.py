@@ -44,3 +44,38 @@ def test_minqt_stereo_shapes(rng):
     assert Xb.shape[0] == 48 and Xb.shape[2] == 2
     y = np.asarray(tr.invertTransform(Xb))
     assert y.shape == (5000, 2)
+
+
+def test_fasst_over_minqt_front_end(rng):
+    """MinQT plugs in as the model front-end (reference runs FASST over
+    MinQT coefficients -- SURVEY.md §3.1); its inverse is a band-limited
+    projection, so the bar is a finite, improving run, not exact PR."""
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+
+    fs, T = 8000, 6000
+    t = np.arange(T) / fs
+    s1 = np.sin(2 * np.pi * 440 * t)
+    s2 = rng.standard_normal(T)
+    mix = (np.outer(s1, [0.9, 0.3]) + np.outer(s2, [0.3, 0.9])).astype(
+        np.float32)
+    tr = MinQTransfo(fs=fs, wlen=1024, n_bins=36, fmin=60, fmax=3500)
+    model = MultiChanNMFInst_FASST(mix, fs=fs, nbComps=2, nbNMFComps=3,
+                                   iter_num=12, transform=tr)
+    assert model.F == 36
+    lls = model.estim_param_a_posteriori()
+    assert np.all(np.isfinite(lls)) and lls[-1] > lls[0]
+    ys = model.separated_images()
+    assert ys.shape == (2, T, 2) and np.all(np.isfinite(ys))
+
+
+def test_freq_basis_rejected_over_minqt():
+    """MinQT HAS a wlen attribute but its bins are log-spaced; the
+    freq_basis guard must still reject it (keys on name, not wlen)."""
+    import pytest as _pytest
+
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+
+    tr = MinQTransfo(fs=8000, wlen=1024, n_bins=24, fmin=60, fmax=3500)
+    with _pytest.raises(ValueError, match="STFT front-end"):
+        MultiChanNMFInst_FASST(np.zeros((4000, 2), np.float32), fs=8000,
+                               freq_basis="erb", transform=tr)
