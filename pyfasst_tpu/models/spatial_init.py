@@ -45,7 +45,7 @@ import numpy as np
 __all__ = [
     "tf_covariance_features", "consensus_votes", "mixing_from_votes",
     "activity_profiles", "full_rank_init", "apply_profiles",
-    "repair_votes",
+    "repair_votes", "candidate_votes", "select_init_by_likelihood",
 ]
 
 
@@ -354,6 +354,127 @@ def _nmf_split(M: np.ndarray, iters: int = 80, seed: int = 0,
     P0 = W[:, :1] * H[:1]
     P1 = W[:, 1:] * H[1:]
     return P0 / np.maximum(P0 + P1, eps), H
+
+
+def _merge_split(votes: np.ndarray, pw: np.ndarray, i: int, k: int, c: int,
+                 min_balance: float = 0.05, max_hcorr: float = 0.9):
+    """One structural repair hypothesis: merge clusters (i, k), then split
+    cluster c (c != k; c == i splits the merged cluster) by rank-2 KL-NMF
+    of its masked power plane. Returns (votes', hcorr, balance) or None if
+    the split is unacceptable (too unbalanced, or the two NMF activations
+    are near-copies -- halves of one source, not two sources)."""
+    J = votes.shape[-1]
+    assert i != k and c != k and 0 <= min(i, k, c) < max(i, k, c) < J
+    merged = votes[..., i] + votes[..., k]
+    Mc = (merged if c == i else votes[..., c]) * pw
+    share, H = _nmf_split(Mc)
+    # CENTERED correlation of the two activations: nonnegative activations
+    # share a large DC component, so the raw cosine is ~0.9 even for
+    # unrelated envelopes and would invert the ranking.
+    h = H - H.mean(axis=1, keepdims=True)
+    h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+    hcorr = abs(float((h[0] * h[1]).sum()))
+    p0 = float((share * Mc).sum())
+    p1 = float(((1.0 - share) * Mc).sum())
+    bal = min(p0, p1) / max(p0 + p1, 1e-12)
+    if bal < min_balance or hcorr > max_hcorr:
+        return None
+    out = votes.copy()
+    out[..., i] = merged
+    src = merged if c == i else votes[..., c]
+    out[..., k] = src * (1.0 - share)
+    out[..., c] = src * share
+    return out, hcorr, bal
+
+
+def candidate_votes(votes: np.ndarray, pw: np.ndarray,
+                    corr_floor: float = 0.25, max_pairs: int = 3):
+    """Enumerate structural repair hypotheses of the blind clustering.
+
+    The single-shot `repair_votes` heuristic picks ONE merge pair (highest
+    envelope correlation) and ONE split target (best NMF score) -- on hard
+    draws (a weak source sharing its mixing direction with the loudest
+    one) the top correlation often flags the WRONG pair, and the weak
+    source stays buried. This enumerates instead: for each of the
+    `max_pairs` most-envelope-correlated cluster pairs (above
+    `corr_floor`) and every acceptable split target, emit the repaired
+    vote array. Always includes the unrepaired votes first. The caller
+    disambiguates by model evidence (select_init_by_likelihood) rather
+    than by heuristic -- measured to recover the weak-source draws that
+    single-shot repair misses.
+    """
+    J = votes.shape[-1]
+    cands = [("raw", votes)]
+    wv = votes * pw[..., None]
+    a = np.einsum('fnj->jn', wv)
+    an = a - a.mean(-1, keepdims=True)
+    an /= np.maximum(np.linalg.norm(an, axis=-1, keepdims=True), 1e-12)
+    corr = an @ an.T
+    iu = np.triu_indices(J, 1)
+    order = np.argsort(-corr[iu])
+    for r in order[:max_pairs]:
+        i, k = int(iu[0][r]), int(iu[1][r])
+        if corr[i, k] < corr_floor:
+            break
+        for c in range(J):
+            if c == k:
+                continue
+            res = _merge_split(votes, pw, i, k, c)
+            if res is not None:
+                cands.append((f"merge({i},{k})+split({c})", res[0]))
+    return cands
+
+
+def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
+                              rank: int = 2, probe_iters: int = 60,
+                              nmf_comps: int = 6, fs: int = 16000,
+                              verbose: bool = False):
+    """Pick the repair hypothesis by model evidence.
+
+    Each candidate vote array seeds a full-rank model (mixing + activity
+    profiles); a short `probe_iters` GEM run scores it by final
+    log-likelihood (same data, identical parameter counts -- directly
+    comparable). Returns (A_init, tw_prof, fb_prof, best_name).
+
+    The probe runs reuse one compiled executable (identical shapes), so
+    the whole selection costs ~n_candidates * probe wall on device.
+    """
+    import jax
+
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, init_nmf_comp,
+    )
+    from pyfasst_tpu.ops.gem import run_gem
+    from pyfasst_tpu.utils.config import GEMConfig
+    from pyfasst_tpu.utils.misc import to_device_complex
+
+    J = cands[0][1].shape[-1]
+    Xd = to_device_complex(np.ascontiguousarray(X))
+    scale = float(np.sqrt(np.mean(np.abs(X) ** 2)))
+    Xd = Xd / scale
+    cfg = GEMConfig(niter=probe_iters, spatial_hold_frac=0.3)
+    key = jax.random.PRNGKey(0)
+    keys = list(jax.random.split(key, J))
+    F, N = X.shape[:2]
+
+    best = None
+    for name, v in cands:
+        A = mixing_from_votes(v, xx, pw, rank=rank)
+        twp, fbp = activity_profiles(v, pw)
+        spat = tuple(SpatialComp(A=to_device_complex(A[j]), mix_type=CONV)
+                     for j in range(J))
+        spec = tuple(init_nmf_comp(keys[j], F, N, nmf_comps, spat_ind=j)
+                     for j in range(J))
+        params = FasstParams(spat=spat, spec=spec)
+        params = apply_profiles(params, twp, fbp)
+        _, lls = run_gem(params, Xd, cfg)
+        ll = float(np.asarray(lls[-1], np.float64))
+        if verbose:
+            print(f"select_init: {name}: probe loglik {ll:.1f}")
+        if best is None or ll > best[0]:
+            best = (ll, name, A, twp, fbp)
+    _, name, A, twp, fbp = best
+    return A, twp, fbp, name
 
 
 def repair_votes(votes: np.ndarray, pw: np.ndarray,

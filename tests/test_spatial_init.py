@@ -183,3 +183,37 @@ def test_init_plugs_into_engine():
     assert np.all(np.isfinite(lls))
     ys = np.asarray(model2.separated_images())
     assert np.all(np.isfinite(ys))
+
+
+def test_candidate_votes_enumeration():
+    """Candidates include the raw votes and every acceptable merge+split
+    of correlated pairs; each candidate keeps votes summing to ~1."""
+    from pyfasst_tpu.models.spatial_init import candidate_votes
+
+    votes, pw, dom = _repair_fixture()
+    cands = candidate_votes(votes, pw)
+    names = [n for n, _ in cands]
+    assert names[0] == "raw"
+    assert len(cands) > 1, "correlated halves must produce hypotheses"
+    for name, v in cands:
+        assert v.shape == votes.shape
+        np.testing.assert_allclose(v.sum(-1), votes.sum(-1), atol=1e-9,
+                                   err_msg=name)
+        assert (v >= -1e-12).all(), name
+
+
+def test_select_init_by_likelihood_smoke():
+    """Selection runs every hypothesis through a short GEM probe and
+    returns a usable init (the exact pick is fixture-dependent)."""
+    from pyfasst_tpu.models.spatial_init import (
+        candidate_votes, select_init_by_likelihood)
+
+    X, _ = _two_source_stft(F=64, N=96, seed=2, reverb=True)
+    feat, w, pw, xx = tf_covariance_features(X)
+    votes = consensus_votes(X, 2, n_seeds=2, kiter=8)
+    cands = candidate_votes(votes, pw)
+    A, twp, fbp, name = select_init_by_likelihood(
+        X, cands, xx, pw, rank=2, probe_iters=8, nmf_comps=3)
+    assert A.shape == (2, 64, 2, 2)
+    assert twp.shape == (2, 96) and fbp.shape == (2, 64)
+    assert name in [n for n, _ in cands]
