@@ -25,6 +25,19 @@ per-frequency clustering + permutation alignment):
    two alignment-and-revote rounds make the votes seed-consistent. Single
    seeds are brittle (one bad clustering flips a whole band); the vote
    average is what makes the init robust.
+4b. STRUCTURAL REPAIR BY VETOED MODEL EVIDENCE (default): when sources
+   share a mixing direction the J-way spatial clustering cannot isolate
+   them. Two candidate families fix this -- merge+split hypotheses over
+   envelope-correlated cluster pairs (candidate_votes) and
+   direction-first hypotheses (cluster into D < J direction groups, then
+   split each group's power by KL-NMF over all source allocations --
+   direction_split_candidates). Each candidate is probed by a short
+   batched GEM run; candidates whose probe separation contains a
+   duplicated source (stem-envelope correlation > 0.6) are vetoed, and
+   the best remaining log-likelihood wins (select_init_by_likelihood).
+   Measured on the configs[2] fixture family over draws 102-104: min SDR
+   {3.8, 2.0, 5.6} vs {4.7, -0.8, 0.1} for the single-shot heuristic
+   (repair_votes, kept as repair=True).
 5. Full-rank R_j(f) = vote-and-power-weighted average of the rank-1 bin
    covariances; its eigendecomposition gives rank-R mixing columns for
    `MultiChanNMFConv(spatial_rank=2, init_mixing=...)`.
@@ -336,24 +349,44 @@ def mixing_from_votes(votes: np.ndarray, xx: np.ndarray, pw: np.ndarray,
     return (V * np.sqrt(lam)[..., None, :])[..., :rank]
 
 
+def _nmf_shares(M: np.ndarray, r: int, iters: int = 80, seed: int = 0,
+                eps: float = 1e-12, inner_rank: int = 1):
+    """Rank-r KL-NMF split of a masked power plane M (F, N).
+
+    inner_rank atoms per component; measured on the configs[2] fixture
+    family: inner_rank=1 splits CLEANEST (oracle-direction groups +
+    rank-2 split: min SDR 4.7 at inner_rank=1 vs -0.5 at 2 -- extra
+    atoms let one component leak onto both sources). Returns (shares
+    (F, N, r): soft per-bin fraction of each component, H (r, N):
+    per-component temporal activations, summed over inner atoms)."""
+    rng = np.random.default_rng(seed)
+    F, N = M.shape
+    K = r * inner_rank
+    W = 0.5 + rng.random((F, K))
+    H = 0.5 + rng.random((K, N))
+    for _ in range(iters):
+        V = W @ H + eps
+        W *= ((M / V) @ H.T) / np.maximum(H.sum(1)[None], eps)
+        V = W @ H + eps
+        H *= (W.T @ (M / V)) / np.maximum(W.sum(0)[:, None], eps)
+    P = np.stack([W[:, i::r] @ H[i::r] for i in range(r)], -1) \
+        if inner_rank > 1 else np.stack(
+            [W[:, i:i + 1] * H[i:i + 1] for i in range(r)], -1)
+    # interleaved atom grouping (i::r) keeps init symmetry across comps
+    shares = P / np.maximum(P.sum(-1, keepdims=True), eps)
+    Hc = np.stack([H[i::r].sum(0) for i in range(r)])
+    return shares, Hc
+
+
 def _nmf_split(M: np.ndarray, iters: int = 80, seed: int = 0,
                eps: float = 1e-12):
     """Rank-2 KL-NMF of a masked power plane M (F, N).
 
     Returns (share (F, N): soft fraction of component 0 per bin,
     H (2, N): the two temporal activations)."""
-    rng = np.random.default_rng(seed)
-    F, N = M.shape
-    W = 0.5 + rng.random((F, 2))
-    H = 0.5 + rng.random((2, N))
-    for _ in range(iters):
-        V = W @ H + eps
-        W *= ((M / V) @ H.T) / np.maximum(H.sum(1)[None], eps)
-        V = W @ H + eps
-        H *= (W.T @ (M / V)) / np.maximum(W.sum(0)[:, None], eps)
-    P0 = W[:, :1] * H[:1]
-    P1 = W[:, 1:] * H[1:]
-    return P0 / np.maximum(P0 + P1, eps), H
+    shares, H = _nmf_shares(M, 2, iters=iters, seed=seed, eps=eps,
+                            inner_rank=1)
+    return shares[..., 0], H
 
 
 def _merge_split(votes: np.ndarray, pw: np.ndarray, i: int, k: int, c: int,
@@ -385,6 +418,53 @@ def _merge_split(votes: np.ndarray, pw: np.ndarray, i: int, k: int, c: int,
     out[..., k] = src * (1.0 - share)
     out[..., c] = src * share
     return out, hcorr, bal
+
+
+def _compositions(J: int, D: int):
+    """All ways to allocate J sources over D direction groups, each >= 1."""
+    if D == 1:
+        yield (J,)
+        return
+    for first in range(1, J - D + 2):
+        for rest in _compositions(J - first, D - 1):
+            yield (first,) + rest
+
+
+def direction_split_candidates(X: np.ndarray, J: int, pw: np.ndarray,
+                               n_seeds: int = 8, kiter: int = 30,
+                               backend: str = "jax", max_alloc: int = 8):
+    """Direction-first repair hypotheses for same-direction mixtures.
+
+    When several sources share a mixing direction (the systematic hard
+    case: J sources over D < J distinct positions), J-way spatial
+    clustering CANNOT produce per-source clusters -- no amount of vote
+    repair fixes that, because the information separating the pair is
+    spectro-temporal, not spatial. This generates candidates the other
+    way around: cluster the spatial features into D < J DIRECTION groups
+    (reliable -- the directions are genuinely distinct), then split each
+    group's masked power plane into its allocated number of sources by
+    rank-k KL-NMF. Every allocation of J over D groups (each >= 1)
+    yields one candidate vote array, e.g. J=4, D=2 -> (1,3), (2,2),
+    (3,1). The caller disambiguates D and the allocation by model
+    evidence (select_init_by_likelihood).
+    """
+    cands = []
+    for D in range(2, J):
+        dvotes = consensus_votes(X, D, n_seeds=n_seeds, kiter=kiter,
+                                 backend=backend)
+        allocs = list(_compositions(J, D))[:max_alloc]
+        for alloc in allocs:
+            v = np.empty(pw.shape + (J,))
+            j0 = 0
+            for d, k in enumerate(alloc):
+                if k == 1:
+                    v[..., j0] = dvotes[..., d]
+                else:
+                    shares, _ = _nmf_shares(dvotes[..., d] * pw, k)
+                    v[..., j0:j0 + k] = dvotes[..., d, None] * shares
+                j0 += k
+            cands.append((f"dirs{D}+alloc{alloc}", v))
+    return cands
 
 
 def candidate_votes(votes: np.ndarray, pw: np.ndarray,
@@ -425,26 +505,60 @@ def candidate_votes(votes: np.ndarray, pw: np.ndarray,
     return cands
 
 
+def _max_env_corr(Y):
+    """Max pairwise centered correlation of per-source log power envelopes.
+
+    Y (J, F, N, 2) complex separated spectra. Two estimated sources that
+    are really HALVES OF ONE source switch on and off together -> their
+    envelopes correlate near 1; genuinely distinct sources do not. This
+    is the blind degeneracy signal used to veto repair hypotheses (the
+    likelihood alone cannot: a fit that models the loud sources finely
+    while burying a weak one can out-score a correct 4-source fit).
+    """
+    import jax.numpy as jnp
+
+    e = jnp.sum(jnp.abs(Y) ** 2, axis=(1, 3))            # (J, N)
+    e = jnp.log1p(e / jnp.maximum(e.mean(-1, keepdims=True), 1e-20))
+    e = e - e.mean(-1, keepdims=True)
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    C = e @ e.T - 2.0 * jnp.eye(e.shape[0], dtype=e.dtype)
+    return jnp.max(C)
+
+
 def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
                               rank: int = 2, probe_iters: int = 60,
                               nmf_comps: int = 6, fs: int = 16000,
+                              env_thr: float = 0.6,
                               verbose: bool = False):
-    """Pick the repair hypothesis by model evidence.
+    """Pick the repair hypothesis by vetoed model evidence.
 
     Each candidate vote array seeds a full-rank model (mixing + activity
-    profiles); a short `probe_iters` GEM run scores it by final
-    log-likelihood (same data, identical parameter counts -- directly
-    comparable). Returns (A_init, tw_prof, fb_prof, best_name).
+    profiles); a short `probe_iters` GEM run scores it. Selection is
+    two-stage, both stages blind:
 
-    The probe runs reuse one compiled executable (identical shapes), so
-    the whole selection costs ~n_candidates * probe wall on device.
+    1. VETO candidates whose probe separation contains a duplicated
+       source (max pairwise stem-envelope correlation > `env_thr`) --
+       measured on the configs[2] fixture family, every candidate with a
+       failed source had envelope corr >= 0.63 and every healthy one
+       <= 0.58 while the probe LOG-LIKELIHOOD ranked several degenerate
+       fits on top (a weak source is cheap to bury).
+    2. Among survivors, pick the max final probe log-likelihood (same
+       data, identical parameter counts -- directly comparable). If
+       nothing survives, fall back to the lowest-correlation candidate.
+
+    Returns (A_init, tw_prof, fb_prof, best_name). All probes and their
+    separations run as ONE batched device program each (identical
+    shapes; the batched-GEM executable is the configs[4] path).
     """
     import jax
+    import jax.numpy as jnp
 
     from pyfasst_tpu.models.components import (
         CONV, FasstParams, SpatialComp, init_nmf_comp,
     )
-    from pyfasst_tpu.ops.gem import run_gem
+    from pyfasst_tpu.parallel.sharding import (
+        batch_params, batched_run_gem, make_mesh,
+    )
     from pyfasst_tpu.utils.config import GEMConfig
     from pyfasst_tpu.utils.misc import to_device_complex
 
@@ -457,7 +571,7 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
     keys = list(jax.random.split(key, J))
     F, N = X.shape[:2]
 
-    best = None
+    inits, plist = [], []
     for name, v in cands:
         A = mixing_from_votes(v, xx, pw, rank=rank)
         twp, fbp = activity_profiles(v, pw)
@@ -465,15 +579,36 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
                      for j in range(J))
         spec = tuple(init_nmf_comp(keys[j], F, N, nmf_comps, spat_ind=j)
                      for j in range(J))
-        params = FasstParams(spat=spat, spec=spec)
-        params = apply_profiles(params, twp, fbp)
-        _, lls = run_gem(params, Xd, cfg)
-        ll = float(np.asarray(lls[-1], np.float64))
-        if verbose:
-            print(f"select_init: {name}: probe loglik {ll:.1f}")
-        if best is None or ll > best[0]:
-            best = (ll, name, A, twp, fbp)
-    _, name, A, twp, fbp = best
+        plist.append(apply_profiles(FasstParams(spat=spat, spec=spec),
+                                    twp, fbp))
+        inits.append((name, A, twp, fbp))
+    # all probes run as ONE batched device program (identical shapes; the
+    # batched-GEM executable is the configs[4] path, cached per cfg)
+    from pyfasst_tpu.ops.gem import annealing_endpoints
+    from pyfasst_tpu.parallel.sharding import sharded_batch_separate
+
+    C = len(plist)
+    mesh = make_mesh(1)
+    params_b = batch_params(plist)
+    X_b = jnp.broadcast_to(Xd, (C,) + Xd.shape)
+    params_out, lls = batched_run_gem(params_b, X_b, cfg, mesh)
+    lls = np.asarray(lls[:, -1], np.float64)
+    _, sigma1 = annealing_endpoints(Xd, cfg)
+    Y_b = sharded_batch_separate(params_out, X_b,
+                                 jnp.broadcast_to(sigma1, (C,)
+                                                  + sigma1.shape), mesh)
+    ec = np.asarray(jax.jit(jax.vmap(_max_env_corr))(Y_b), np.float64)
+    ok = ec <= env_thr
+    if verbose:
+        for (name, *_), ll, e in zip(inits, lls, ec):
+            print(f"select_init: {name}: probe ll {ll:.1f} envcorr {e:.3f}"
+                  f"{'' if e <= env_thr else '  [vetoed]'}")
+    if not ok.any():
+        pick = int(np.argmin(ec))        # least-degenerate fallback
+    else:
+        lls_m = np.where(ok, lls, -np.inf)
+        pick = int(np.argmax(lls_m))
+    name, A, twp, fbp = inits[pick]
     return A, twp, fbp, name
 
 
@@ -577,7 +712,8 @@ def activity_profiles(votes: np.ndarray, pw: np.ndarray,
 
 def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
                    rank: int = 2, kiter: int = 30, backend: str = "jax",
-                   repair: bool = True
+                   repair="select", probe_iters: int = 60,
+                   verbose: bool = False
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot blind full-rank initialization.
 
@@ -586,15 +722,37 @@ def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
     `MultiChanNMFConv(spatial_rank=rank, init_mixing=A_init)` and the
     profiles to `apply_profiles`. backend: see consensus_votes (the two
     paths produce identical votes on the configs[2] fixture; 'jax' is
-    ~13x faster warm but pays a one-time per-shape compile). repair runs
-    the same-direction merge/split pass (repair_votes) -- keep it on
-    unless the sources are known spatially distinct.
+    ~13x faster warm but pays a one-time per-shape compile).
+
+    repair -- how to resolve same-direction cluster merge/split failures:
+      'select' (default): enumerate merge+split hypotheses
+        (candidate_votes) and pick by a `probe_iters`-iteration GEM
+        probe's final log-likelihood -- model evidence instead of a
+        heuristic; costs ~n_candidates probe runs on device.
+      True: single-shot heuristic (repair_votes).
+      False: no repair (sources known spatially distinct).
     """
     feat, w, pw, xx = tf_covariance_features(X)
     votes = consensus_votes(X, J, n_seeds=n_seeds, kiter=kiter,
                             backend=backend)
+    if repair == "select":
+        cands = candidate_votes(votes, pw)
+        if J > 2:
+            cands = cands + direction_split_candidates(
+                X, J, pw, n_seeds=n_seeds, kiter=kiter, backend=backend)
+        if len(cands) == 1:
+            v = cands[0][1]
+            A = mixing_from_votes(v, xx, pw, rank=rank)
+            twp, fbp = activity_profiles(v, pw)
+            return A, twp, fbp
+        A, twp, fbp, name = select_init_by_likelihood(
+            X, cands, xx, pw, rank=rank, probe_iters=probe_iters,
+            verbose=verbose)
+        if verbose:
+            print(f"full_rank_init: selected {name} of {len(cands)}")
+        return A, twp, fbp
     if repair:
-        votes = repair_votes(votes, pw)
+        votes = repair_votes(votes, pw, verbose=verbose)
     A = mixing_from_votes(votes, xx, pw, rank=rank)
     tw_prof, fb_prof = activity_profiles(votes, pw)
     return A, tw_prof, fb_prof

@@ -217,3 +217,30 @@ def test_select_init_by_likelihood_smoke():
     assert A.shape == (2, 64, 2, 2)
     assert twp.shape == (2, 96) and fbp.shape == (2, 64)
     assert name in [n for n, _ in cands]
+
+
+def test_max_env_corr_flags_duplicated_source(rng):
+    """The blind degeneracy veto: duplicated-source stems correlate near
+    1, distinct-envelope stems do not."""
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.models.spatial_init import _max_env_corr
+
+    F, N = 32, 200
+    base = rng.random((F, N)) * (1 + np.sin(2 * np.pi *
+                                            np.arange(N) / 23.0))[None]
+    half = rng.random((F, N)) < 0.5
+    dup0 = np.sqrt(base * half)               # two halves of ONE source
+    dup1 = np.sqrt(base * ~half)
+    other = np.sqrt(rng.random((F, N)) * (1 + np.cos(
+        2 * np.pi * np.arange(N) / 7.0))[None])
+
+    def stems(*mags):
+        Y = np.stack([np.stack([m, m], -1) for m in mags]) \
+            .astype(np.complex64)
+        return jnp.asarray(Y)
+
+    assert float(_max_env_corr(stems(dup0, dup1, other))) > 0.8
+    distinct = [np.sqrt(rng.random((F, N)) * (1 + np.sin(
+        2 * np.pi * np.arange(N) / p))[None]) for p in (11.0, 29.0, 53.0)]
+    assert float(_max_env_corr(stems(*distinct))) < 0.5

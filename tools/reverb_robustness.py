@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_draw(fixture_seed: int, em_seed: int, iters: int):
+def run_draw(fixture_seed: int, em_seed: int, iters: int,
+             repair="select"):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -48,7 +49,7 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int):
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
 
     t0 = time.perf_counter()
-    A0, tw_prof, fb_prof = full_rank_init(X, J=4)
+    A0, tw_prof, fb_prof = full_rank_init(X, J=4, repair=repair)
     model = MultiChanNMFConv(mix, fs=FS, nbComps=4, nbNMFComps=6,
                              spatial_rank=2, init_mixing=A0,
                              wlen=WLEN, iter_num=iters,
@@ -61,7 +62,7 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int):
     return {"fixture_seed": fixture_seed, "em_seed": em_seed,
             "min_sdr_db": round(float(mn), 2),
             "mean_sdr_db": round(float(mean), 2),
-            "wall_s": round(wall, 1)}
+            "repair": str(repair), "wall_s": round(wall, 1)}
 
 
 def main():
@@ -71,12 +72,17 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--base-seed", type=int, default=102,
                     help="first fixture seed (102 = validate_hw's draw)")
+    ap.add_argument("--repair", default="select",
+                    choices=("select", "heuristic", "off"))
     args = ap.parse_args()
 
     recs = []
     for d in range(args.draws):
         for e in range(args.em_seeds):
-            rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters)
+            repair = {"select": "select", "heuristic": True,
+                      "off": False}[args.repair]
+            rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
+                           repair=repair)
             recs.append(rec)
             print(json.dumps(rec), flush=True)
     mins = [r["min_sdr_db"] for r in recs]
