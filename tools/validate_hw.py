@@ -210,13 +210,16 @@ def scenario_reverb(rng):
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     F, N = X.shape[:2]
-    # blind full-rank: consensus spatial-clustering init (full-rank R_j
-    # from aligned TF dominance votes -- models/spatial_init.py) with the
-    # activity profiles modulating the spectral init, and the mixing held
-    # fixed for the first 30% of iterations while the spectra adapt.
-    # Measured robust across EM seeds: min SDR 1.1-1.7, mean 7.6-8.2 dB on
-    # this fixture (DEMIX rank-expansion scored 0.3/1.6 in round 1 -- its
-    # anechoic directions can't represent the late-reverb covariance).
+    # blind full-rank: consensus spatial-clustering init with structural
+    # repair by vetoed model evidence (models/spatial_init.py; candidate
+    # merge/split + direction-first hypotheses, batched short-GEM probes,
+    # duplicated-source envelope veto), activity profiles modulating the
+    # spectral init, and the mixing held fixed for the first 30% of
+    # iterations while the spectra adapt. Measured across 5 fixture
+    # draws: min SDR 2.0-5.6, mean 5.1-8.6 (DEMIX rank-expansion scored
+    # 0.3/1.6 in round 1 -- anechoic directions can't represent the
+    # late-reverb covariance; the one-shot heuristic repair left min < 0
+    # on 2 of 5 draws).
     from pyfasst_tpu.models.spatial_init import (
         apply_profiles, full_rank_init)
     from pyfasst_tpu.models.variants import MultiChanNMFConv
