@@ -21,7 +21,11 @@ the reference mount was empty at build time; see SURVEY.md provenance note):
     pyfasst.audioModel.multiChanSourceF0Filter  -> models.multiChanSourceF0Filter
     pyfasst.audioObject.AudioObject             -> pyfasst_tpu.audio.AudioObject
     pyfasst.tftransforms.tft.TFTransform/STFT   -> pyfasst_tpu.tf.STFT
-    pyfasst.tftransforms.nsgt (ERBlet front-end)-> pyfasst_tpu.tf.ERBTransform
+    pyfasst.tftransforms.nsgt (ERBlet front-end)-> pyfasst_tpu.tf.erblet
+                                                   .ERBLetTransform (exact PR,
+                                                   erb or constant-Q scale;
+                                                   plugs into FASST via
+                                                   transform=)
     pyfasst.tools.utils.inv_herm_mat_2d         -> pyfasst_tpu.ops.herm.inv_herm_2x2
     pyfasst.demixTF.DEMIX                       -> pyfasst_tpu.models.demix.DEMIX
     pyfasst.SeparateLeadStereo                  -> pyfasst_tpu.models.lead

@@ -264,6 +264,21 @@ def _consensus_kernel_impl(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
     import jax
     import jax.numpy as jnp
 
+    # TPU default matmul precision is bf16 passes (CLAUDE.md); the k-means
+    # distance expansion d2 = |z|^2 + |C|^2 - 2 z.C is cancellation-
+    # sensitive, and bf16 products flip argmin labels between near
+    # centroids -- measured on the configs[2] fixtures: unpinned TPU votes
+    # produce a materially different (worse) candidate landscape than CPU
+    # (13/16 hypotheses degenerate vs 8/16). Pin the whole kernel.
+    with jax.default_matmul_precision("highest"):
+        return _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, J=J,
+                                        kiter=kiter, rounds=rounds)
+
+
+def _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
+    import jax
+    import jax.numpy as jnp
+
     S = zc.shape[0]
     F, N = pw.shape
     eye = jnp.eye(J, dtype=jnp.float32)
@@ -515,14 +530,17 @@ def _max_env_corr(Y):
     likelihood alone cannot: a fit that models the loud sources finely
     while burying a weak one can out-score a correct 4-source fit).
     """
+    import jax
     import jax.numpy as jnp
 
-    e = jnp.sum(jnp.abs(Y) ** 2, axis=(1, 3))            # (J, N)
-    e = jnp.log1p(e / jnp.maximum(e.mean(-1, keepdims=True), 1e-20))
-    e = e - e.mean(-1, keepdims=True)
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
-    C = e @ e.T - 2.0 * jnp.eye(e.shape[0], dtype=e.dtype)
-    return jnp.max(C)
+    with jax.default_matmul_precision("highest"):   # bf16 shifts the corr
+        e = jnp.sum(jnp.abs(Y) ** 2, axis=(1, 3))        # (J, N)
+        e = jnp.log1p(e / jnp.maximum(e.mean(-1, keepdims=True), 1e-20))
+        e = e - e.mean(-1, keepdims=True)
+        e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                            1e-12)
+        C = e @ e.T - 2.0 * jnp.eye(e.shape[0], dtype=e.dtype)
+        return jnp.max(C)
 
 
 def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
