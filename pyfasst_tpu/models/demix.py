@@ -210,11 +210,19 @@ class DEMIX:
                 best, best_K = bic, K
         return best_K
 
-    def comp_parameters(self, K: Optional[int] = None
+    def comp_parameters(self, K: Optional[int] = None, refine: bool = True
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Cluster confident bins -> (gains[K], delays[K] in samples).
 
-        K=None estimates the source count first (estimate_count)."""
+        K=None estimates the source count first (estimate_count).
+        refine runs the sub-sample (gain, delay) refinement -- REQUIRED
+        for EM seeding: a conv-mixing EM cannot recover from a ~1-sample
+        delay error in its init (each frequency's solve is local, and a
+        wrong global phase ramp is a per-frequency-consistent local
+        optimum). Measured on the configs[1] fixture: oracle steering
+        with ONE source's delay off by 1.06 samples drops min SDR from
+        17.3 to 2.3 dB; the k-means centroid estimate carries exactly
+        that kind of error."""
         if K is None:
             K = self.estimate_count()
         z, w = self._features()
@@ -222,7 +230,80 @@ class DEMIX:
         centers = centers * self._cluster_scale
         self.gains = np.exp(centers[:, 0])
         self.delays = -centers[:, 1]
+        if refine:
+            self.refine_parameters()
         return self.gains, self.delays
+
+    def refine_parameters(self, n_iter: int = 3, span: float = 2.0,
+                          step: float = 0.02) -> Tuple[np.ndarray,
+                                                       np.ndarray]:
+        """Sub-sample (gain, delay) refinement of the clustered estimates.
+
+        Alternates (a) assigning each confident bin's local direction
+        u(f, n) to the best-fitting anechoic steering vector
+        a_k(f) = [1, g_k e^{-i pi f d_k/(F-1)}], and (b) per-source
+        delay re-fit by a fine grid search maximizing the coherently
+        delay-compensated sum |sum w u1 u0* e^{+i pi f d/(F-1)}| (the
+        classic GCC objective over the cluster's bins) plus a weighted
+        least-squares gain re-fit. Grid step 0.02 samples over +-span
+        around the current estimate; three sweeps converge to ~0.01
+        sample on the validation fixtures."""
+        F = self.F
+        # Two data views, used for different jobs:
+        # - ASSIGNMENT uses the smoothed local-PCA directions u (the
+        #   (wf, wn) covariance smoothing denoises dominance, so the
+        #   per-bin source attribution is reliable);
+        # - the DELAY FIT uses the RAW per-bin cross-spectra of the
+        #   cleanly-assigned bins (the same smoothing mixes adjacent
+        #   bins' phases across source boundaries and biases the fitted
+        #   delay by ~0.3-0.5 samples -- enough to sink the EM seed, see
+        #   comp_parameters; raw phases of dominated bins are unbiased).
+        u, conf, lam1 = self.u, self.conf, self.lam1
+        energy = lam1.ravel()
+        loud = energy >= 1e-3 * energy.mean()
+        w = np.minimum(conf.ravel(), 100.0)[loud]
+        fidx = np.broadcast_to(np.arange(F)[:, None],
+                               lam1.shape).ravel()[loud]
+        u0 = u[..., 0].ravel()[loud]
+        u1 = u[..., 1].ravel()[loud]
+        x0 = self.X[..., 0].ravel()[loud]
+        x1 = self.X[..., 1].ravel()[loud]
+        cross = x1 * np.conj(x0)
+        nrm = (np.abs(u0) ** 2 + np.abs(u1) ** 2)
+        gains, delays = self.gains.copy(), self.delays.copy()
+        K = len(gains)
+        offs = np.arange(-span, span + step / 2, step)
+        phat = cross / np.maximum(np.abs(cross), 1e-20)
+        for _ in range(n_iter):
+            theta = (np.pi * fidx[None, :] / (F - 1)) * delays[:, None]
+            sim = np.abs(u0[None] + gains[:, None] * np.exp(1j * theta)
+                         * u1[None]) ** 2 \
+                / np.maximum(nrm[None] * (1.0 + gains[:, None] ** 2),
+                             1e-20)
+            order = np.sort(sim, axis=0)
+            lab = np.argmax(sim, axis=0)
+            # dominance-margin gate: a bin that fits two steering vectors
+            # almost equally well (cross-source contamination, band
+            # boundaries) pulls the delay fit between sources -- drop it.
+            clean = (order[-1] - order[-2]) > 0.1 * order[-1] if K > 1 \
+                else np.ones(len(lab), bool)
+            for k in range(K):
+                m = (lab == k) & clean
+                if not np.any(m):
+                    continue
+                d_grid = delays[k] + offs
+                ph = np.exp(1j * (np.pi / (F - 1))
+                            * d_grid[:, None] * fidx[None, m])
+                # PHAT weighting: phase-only cross spectra stop loud
+                # contaminated bins from dominating the coherent sum
+                J = np.abs(ph @ (w[m] * phat[m]))
+                delays[k] = d_grid[int(np.argmax(J))]
+                den = float(np.sum(w[m] * np.abs(u0[m]) ** 2))
+                if den > 0:
+                    gains[k] = float(
+                        np.sum(w[m] * np.abs(u0[m]) * np.abs(u1[m]))) / den
+        self.gains, self.delays = gains, delays
+        return gains, delays
 
     def _features(self) -> Tuple[np.ndarray, np.ndarray]:
         """(features z (M, 2), weights w (M,)) of confident loud bins;

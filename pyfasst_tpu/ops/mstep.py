@@ -110,6 +110,22 @@ def update_spatial(params: FasstParams, stats: SuffStats,
             A_new = jnp.linalg.solve(jnp.swapaxes(Rss, 1, 2),
                                      jnp.swapaxes(target, 1, 2))
             A_new = jnp.swapaxes(A_new, 1, 2)
+            # Per-frequency norm floor against the renormalization
+            # ratchet: starved bins sit at the ridge-frozen A_old, which
+            # the global conv renormalization divides by sqrt(norm) every
+            # iteration -- data-rich bins regrow from the solve, frozen
+            # bins decay GEOMETRICALLY to 0 (observed: |A| ~ 1e-27 after
+            # ~120 iters on a band-disjoint mixture), and the spectral
+            # chain seesaws to ~1e8 to compensate until float32 overflow.
+            # Flooring each bin's Frobenius norm at 1e-3 of the source's
+            # rms ties starved bins to the source's global scale; the
+            # affected bins carry ~1e-6 of the spatial power, so in-band
+            # estimates are untouched. (Mirrored in the oracle.)
+            r2 = jnp.sum(jnp.abs(A_new) ** 2, axis=(1, 2))       # (F,)
+            floor2 = 1e-6 * jnp.mean(r2)
+            boost = jnp.sqrt(floor2 / jnp.maximum(r2, 1e-38))
+            boost = jnp.maximum(boost, 1.0).astype(A_new.real.dtype)
+            A_new = A_new * boost[:, None, None]
         A_new = A_new.astype(comp.A.dtype)
         if enabled is not None:
             A_new = jnp.where(enabled, A_new, comp.A)

@@ -301,9 +301,16 @@ def update_spatial(params: OracleParams, Txs, Tss, T4, T7, sigma):
             ridge = SPATIAL_REG * tr + 1e-4 * np.mean(tr) + 1e-30
             target = target + ridge[:, None, None] * A
             Rss = Rss + ridge[:, None, None] * np.eye(R)
-            comp.A = np.swapaxes(
+            A_new = np.swapaxes(
                 np.linalg.solve(np.swapaxes(Rss, 1, 2),
                                 np.swapaxes(target, 1, 2)), 1, 2)
+            # per-frequency norm floor (mirror of ops/mstep.py: stops the
+            # renormalization ratchet on starved bins)
+            r2 = np.sum(np.abs(A_new) ** 2, axis=(1, 2))
+            floor2 = 1e-6 * np.mean(r2)
+            boost = np.maximum(np.sqrt(floor2 / np.maximum(r2, 1e-38)),
+                               1.0)
+            comp.A = A_new * boost[:, None, None]
         A_all[j] = as_conv(comp)
 
 

@@ -76,3 +76,28 @@ def test_demix_count_on_unequal_mixtures(rng):
                           + 1j * rng.standard_normal((hi - lo, N)))
         X = X + _anechoic(F, g, d)[:, None, :] * s[..., None]
     assert DEMIX(X=X).estimate_count() == 3
+
+
+def test_refine_parameters_subsample_accuracy(rng):
+    """The sub-sample refinement must land delays within ~0.15 samples
+    (a ~1-sample error in the EM seed collapses conv separation -- see
+    comp_parameters docstring)."""
+    F, N = 129, 220
+    gains = [0.6, 1.5]
+    delays = [-2.3, 3.7]
+    X = np.zeros((F, N, 2), complex)
+    for j, (g, d) in enumerate(zip(gains, delays)):
+        s = np.zeros((F, N), complex)
+        sl = slice(4 + 50 * j, 54 + 50 * j)         # disjoint-ish bands
+        s[sl] = rng.standard_normal((50, N)) + 1j * rng.standard_normal(
+            (50, N))
+        a = np.stack([np.ones(F), g * np.exp(
+            -1j * np.pi * np.arange(F) * d / (F - 1))], 1)
+        X += a[:, None, :] * s[..., None]
+    dm = DEMIX(X=X)
+    g_est, d_est = dm.comp_parameters(K=2)
+    order = np.argsort(d_est)
+    ref = np.argsort(delays)
+    for i, k in zip(order, ref):
+        assert abs(d_est[i] - delays[k]) < 0.15, (d_est, delays)
+        assert abs(g_est[i] / gains[k] - 1.0) < 0.1, (g_est, gains)
