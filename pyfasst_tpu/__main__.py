@@ -131,6 +131,9 @@ def _cmd_separate_batch(args) -> int:
 
     if args.model != "inst":
         raise ValueError("--batch currently supports the inst model only")
+    if getattr(args, "transform", "stft") != "stft":
+        raise ValueError("--batch currently supports the STFT front-end "
+                         "only (the bucketing is frame-count based)")
     if not os.path.isdir(args.audio):
         raise ValueError(f"--batch expects a directory of WAVs, got "
                          f"{args.audio!r}")

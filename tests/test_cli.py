@@ -158,3 +158,25 @@ def test_eval_command(mix_wav, tmp_path, capsys):
 def test_eval_count_mismatch_is_clean(mix_wav, capsys):
     assert main(["eval", "-e", mix_wav, "-r", mix_wav, mix_wav]) == 2
     assert "estimates vs" in capsys.readouterr().err
+
+
+def test_separate_fullrank_spatial_init_over_erblet(mix_wav, tmp_path,
+                                                    capsys):
+    """Blind spatial-cluster init composed with a warped front-end: the
+    consensus clustering runs on the erblet coefficients and the engine
+    separates in that domain."""
+    out_dir = str(tmp_path / "sep")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--spatial-init", "--transform", "erblet", "--tf-bands",
+                 "24", "--iters", "8", "--nmf-comps", "3", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2
+    assert np.isfinite(rep["final_loglik"])
+
+
+def test_batch_rejects_warped_transform(tmp_path, capsys):
+    d = tmp_path / "clips"
+    d.mkdir()
+    assert main(["separate", str(d), "--batch",
+                 "--transform", "erblet"]) == 2
+    assert "STFT front-end" in capsys.readouterr().err
