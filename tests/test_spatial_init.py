@@ -244,3 +244,25 @@ def test_max_env_corr_flags_duplicated_source(rng):
     distinct = [np.sqrt(rng.random((F, N)) * (1 + np.sin(
         2 * np.pi * np.arange(N) / p))[None]) for p in (11.0, 29.0, 53.0)]
     assert float(_max_env_corr(stems(*distinct))) < 0.5
+
+
+def test_select_warns_when_all_hypotheses_degenerate(rng):
+    """When no repair hypothesis passes the duplicated-source veto, the
+    user gets an explicit warning (the honest 'J sources not supported'
+    verdict) and the least-degenerate candidate as fallback."""
+    import warnings as _warnings
+
+    from pyfasst_tpu.models.spatial_init import (
+        candidate_votes, select_init_by_likelihood)
+
+    X, _ = _two_source_stft(F=64, N=96, seed=2, reverb=True)
+    feat, w, pw, xx = tf_covariance_features(X)
+    votes = consensus_votes(X, 2, n_seeds=2, kiter=8)
+    cands = candidate_votes(votes, pw)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        A, twp, fbp, name = select_init_by_likelihood(
+            X, cands, xx, pw, rank=2, probe_iters=8, nmf_comps=3,
+            env_thr=-1.0)          # force every candidate to fail the veto
+    assert any("duplicated" in str(r.message) for r in rec)
+    assert A.shape == (2, 64, 2, 2)
