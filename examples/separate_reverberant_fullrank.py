@@ -1,9 +1,12 @@
 """Blind reverberant full-rank separation (BASELINE configs[2] flow).
 
 Uses the consensus spatial-clustering initializer (models/spatial_init.py):
-per-frequency covariance clustering + activity alignment + vote repair
-seeds the rank-2 spatial covariances, and the mixing stays frozen for the
-first 30% of iterations while the spectra adapt. Equivalent CLI:
+per-frequency covariance clustering + activity alignment + structural
+repair by vetoed model evidence (batched short-GEM probes over merge/split
+and direction-first hypotheses) seeds the rank-2 spatial covariances, and
+the mixing stays frozen for the first 30% of iterations while the spectra
+adapt. If every hypothesis is vetoed, a warning says the mixture likely
+does not support n_sources separable sources. Equivalent CLI:
 
     pyfasst-tpu separate mix.wav -o out --model fullrank --spatial-init
 
