@@ -270,40 +270,104 @@ class DEMIX:
         x1 = self.X[..., 1].ravel()[loud]
         cross = x1 * np.conj(x0)
         nrm = (np.abs(u0) ** 2 + np.abs(u1) ** 2)
-        gains, delays = self.gains.copy(), self.delays.copy()
-        K = len(gains)
+        K = len(self.gains)
         offs = np.arange(-span, span + step / 2, step)
         phat = cross / np.maximum(np.abs(cross), 1e-20)
-        for _ in range(n_iter):
+
+        def alternate(gains0, delays0):
+            gains, delays = gains0.copy(), delays0.copy()
+            for _ in range(n_iter):
+                theta = (np.pi * fidx[None, :] / (F - 1)) * delays[:, None]
+                sim = np.abs(u0[None] + gains[:, None] * np.exp(1j * theta)
+                             * u1[None]) ** 2 \
+                    / np.maximum(nrm[None] * (1.0 + gains[:, None] ** 2),
+                                 1e-20)
+                order = np.sort(sim, axis=0)
+                lab = np.argmax(sim, axis=0)
+                # dominance-margin gate: a bin that fits two steering
+                # vectors almost equally well (cross-source contamination,
+                # band boundaries) pulls the delay fit between sources
+                clean = (order[-1] - order[-2]) > 0.1 * order[-1] \
+                    if K > 1 else np.ones(len(lab), bool)
+                for k in range(K):
+                    m = (lab == k) & clean
+                    if not np.any(m):
+                        continue
+                    d_grid = delays[k] + offs
+                    ph = np.exp(1j * (np.pi / (F - 1))
+                                * d_grid[:, None] * fidx[None, m])
+                    # PHAT weighting: phase-only cross spectra stop loud
+                    # contaminated bins from dominating the coherent sum
+                    J = np.abs(ph @ (w[m] * phat[m]))
+                    delays[k] = d_grid[int(np.argmax(J))]
+                    den = float(np.sum(w[m] * np.abs(u0[m]) ** 2))
+                    if den > 0:
+                        gains[k] = float(np.sum(
+                            w[m] * np.abs(u0[m]) * np.abs(u1[m]))) / den
+            # Model-fit score: how well the K fitted anechoic steering
+            # vectors explain the smoothed per-bin directions. (Total
+            # PHAT coherence was tried first and misranks: it ignores the
+            # gain axis and rewards piling bins onto fewer delay lobes.)
             theta = (np.pi * fidx[None, :] / (F - 1)) * delays[:, None]
             sim = np.abs(u0[None] + gains[:, None] * np.exp(1j * theta)
                          * u1[None]) ** 2 \
                 / np.maximum(nrm[None] * (1.0 + gains[:, None] ** 2),
                              1e-20)
-            order = np.sort(sim, axis=0)
-            lab = np.argmax(sim, axis=0)
-            # dominance-margin gate: a bin that fits two steering vectors
-            # almost equally well (cross-source contamination, band
-            # boundaries) pulls the delay fit between sources -- drop it.
-            clean = (order[-1] - order[-2]) > 0.1 * order[-1] if K > 1 \
-                else np.ones(len(lab), bool)
-            for k in range(K):
-                m = (lab == k) & clean
-                if not np.any(m):
-                    continue
-                d_grid = delays[k] + offs
-                ph = np.exp(1j * (np.pi / (F - 1))
-                            * d_grid[:, None] * fidx[None, m])
-                # PHAT weighting: phase-only cross spectra stop loud
-                # contaminated bins from dominating the coherent sum
-                J = np.abs(ph @ (w[m] * phat[m]))
-                delays[k] = d_grid[int(np.argmax(J))]
-                den = float(np.sum(w[m] * np.abs(u0[m]) ** 2))
-                if den > 0:
-                    gains[k] = float(
-                        np.sum(w[m] * np.abs(u0[m]) * np.abs(u1[m]))) / den
+            score = float(np.sum(w * sim.max(axis=0)))
+            return gains, delays, score
+
+        # Two seedings, best total PHAT coherence wins. The k-means delay
+        # centroids mis-seed when true delays sit close together (slope-
+        # feature noise merges basins; observed: true {3.3, 0, 1.8} seeded
+        # as {1.8, 4.4, 3.6} and the local grid search cannot escape a
+        # wrong basin). Global GCC-PHAT peaks over ALL bins provide an
+        # independent delay seeding immune to that failure.
+        cands = [alternate(self.gains, self.delays)]
+        peaks = self._gcc_peak_delays(w, phat, fidx, K)
+        if peaks is not None:
+            # pair each peak with the unclaimed k-means gain whose
+            # centroid delay is nearest (keeps approximate (g, d) pairing)
+            g_seed = np.empty(K)
+            used = np.zeros(K, bool)
+            for i, d in enumerate(peaks):
+                dist = np.where(used, np.inf, np.abs(self.delays - d))
+                j = int(np.argmin(dist))
+                used[j] = True
+                g_seed[i] = self.gains[j]
+            cands.append(alternate(g_seed, np.asarray(peaks)))
+        gains, delays, _ = max(cands, key=lambda t: t[2])
         self.gains, self.delays = gains, delays
         return gains, delays
+
+    def _gcc_peak_delays(self, w, phat, fidx, K: int,
+                         coarse_step: float = 0.1,
+                         min_sep: float = 0.75):
+        """Top-K separated peaks of the global weighted GCC-PHAT objective
+        |sum w phat e^{+i pi f d/(F-1)}| over d in [-max_delay, max_delay].
+        Returns None if fewer than K separated peaks exist."""
+        F = self.F
+        d_grid = np.arange(-self.max_delay, self.max_delay + coarse_step / 2,
+                           coarse_step)
+        if len(fidx) > 20000:            # the peak landscape saturates
+            sel = np.random.default_rng(0).choice(
+                len(fidx), 20000, replace=False,
+                p=w / max(w.sum(), 1e-30))
+            w, phat, fidx = w[sel], phat[sel], fidx[sel]
+        wp = w * phat
+        J = np.empty(len(d_grid))
+        for i0 in range(0, len(d_grid), 64):          # chunk the grid
+            dg = d_grid[i0:i0 + 64]
+            ph = np.exp(1j * (np.pi / (F - 1))
+                        * dg[:, None] * fidx[None, :])
+            J[i0:i0 + 64] = np.abs(ph @ wp)
+        peaks = []
+        for i in np.argsort(-J):
+            d = d_grid[i]
+            if all(abs(d - p) > min_sep for p in peaks):
+                peaks.append(float(d))
+            if len(peaks) == K:
+                return peaks
+        return None
 
     def _features(self) -> Tuple[np.ndarray, np.ndarray]:
         """(features z (M, 2), weights w (M,)) of confident loud bins;
