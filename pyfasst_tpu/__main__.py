@@ -301,8 +301,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "permutation is scored)")
     p.add_argument("-r", "--references", nargs="+", required=True,
                    help="ground-truth source WAVs")
-    p.add_argument("--filt-len", type=int, default=128,
-                   help="allowed-distortion filter taps")
+    p.add_argument("--filt-len", type=int, default=512,
+                   help="allowed-distortion filter taps (512 = the BSS-Eval "
+                        "literature operating point)")
     p.set_defaults(fn=_cmd_eval)
 
     p = sub.add_parser("info", help="inspect a WAV file")

@@ -63,6 +63,7 @@ class FASST:
             self.audio = AudioObject(data=np.asarray(audio), samplerate=fs)
         self.fs = self.audio.samplerate
         self.verbose = verbose
+        self.seed = int(seed)
         self.key = jax.random.PRNGKey(seed)
         # dtype='float64' is the CPU bit-parity mode (SURVEY.md §7 hard
         # parts); it requires jax_enable_x64 (else jax silently downcasts).
@@ -92,7 +93,6 @@ class FASST:
         else:
             self.tft = STFT(wlen=wlen, hop=hop, fs=self.fs, method=tf_method)
         self.Xs = None       # (F, N, I) complex device array
-        self.Cx = None       # (F, N, 4) packed empirical covariance
         self.comp_transf_Cx()
 
         # spatial_hold_frac: fraction of iterations with the mixing frozen
@@ -158,7 +158,16 @@ class FASST:
         mean_pow = float(jnp.mean(jnp.abs(X) ** 2))
         self._scale = np.sqrt(max(mean_pow, 1e-30))
         self.Xs = X / self._scale
-        self.Cx = observed_covariance(self.Xs)
+
+    @property
+    def Cx(self) -> jnp.ndarray:
+        """Packed (F, N, 4) empirical mixture covariance, computed on demand.
+
+        The GEM engine consumes Xs directly; Cx is an inspection/parity
+        convenience. It is a property (not stored) so long/streaming clips
+        don't hold an extra F x N x 4 float plane for the model's lifetime.
+        """
+        return observed_covariance(self.Xs)
 
     # -- estimation ----------------------------------------------------------
     def estim_param_a_posteriori(self, niter: Optional[int] = None,

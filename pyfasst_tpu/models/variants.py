@@ -45,7 +45,7 @@ class MultiChanNMFInst_FASST(FASST):
         if freq_basis in ("erb", "mel"):
             fixed_FB = spectral_basis(freq_basis, n_bands, self.F, self.fs,
                                       self.stft_wlen)
-        A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+        A_list = init_inst_mixing(self.seed, self.nchannels, spatial_rank,
                                   nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)
@@ -96,9 +96,10 @@ class MultiChanNMFConv(FASST):
             cdt = np.complex128 if self.dtype == jnp.float64 else np.complex64
             base = np.stack(
                 [np.tile(a[None], (self.F, 1, 1)) for a in
-                 init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
+                 init_inst_mixing(self.seed, self.nchannels, spatial_rank,
+                                  nbComps)]
             ).astype(cdt)
-            rng = np.random.default_rng(0)
+            rng = np.random.default_rng(self.seed)
             base = base * np.exp(
                 1j * 0.05 * rng.standard_normal(base.shape)).astype(cdt)
             A0 = to_device_complex(
@@ -127,7 +128,7 @@ class MultiChanHMM(FASST):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps)
         if mix_type == INST:
-            A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+            A_list = init_inst_mixing(self.seed, self.nchannels, spatial_rank,
                                       nbComps, dtype=self.dtype)
             spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                          for A in A_list)
@@ -135,7 +136,8 @@ class MultiChanHMM(FASST):
             cdt = np.complex128 if self.dtype == jnp.float64 else np.complex64
             base = np.stack(
                 [np.tile(a[None], (self.F, 1, 1)) for a in
-                 init_inst_mixing(None, self.nchannels, spatial_rank, nbComps)]
+                 init_inst_mixing(self.seed, self.nchannels, spatial_rank,
+                                  nbComps)]
             ).astype(cdt)
             from pyfasst_tpu.utils.misc import to_device_complex
             spat = tuple(SpatialComp(A=to_device_complex(base[j]),
@@ -275,7 +277,7 @@ class multiChanSourceF0Filter(FASST):
                  chirp_per_f0: int = 1, **kw):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps + 2)
-        A_list = init_inst_mixing(None, self.nchannels, spatial_rank,
+        A_list = init_inst_mixing(self.seed, self.nchannels, spatial_rank,
                                   nbComps, dtype=self.dtype)
         spat = tuple(SpatialComp(A=A, mix_type=INST, free=True)
                      for A in A_list)

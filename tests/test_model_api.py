@@ -96,6 +96,25 @@ def test_spatial_filter_separation(stereo_audio, tmp_path):
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
 
 
+def test_seed_varies_spatial_init(stereo_audio):
+    """Model-level `seed=` must vary the INST mixing init, not only the
+    spectra (round-2 verdict: init_inst_mixing used to ignore its key)."""
+    mix, fs = stereo_audio
+    m0 = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, seed=0)
+    m1 = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, seed=1)
+    a0 = np.asarray(m0.params.spat[0].A)
+    a1 = np.asarray(m1.params.spat[0].A)
+    assert not np.allclose(a0, a1)
+    # same seed -> identical init (reproducibility)
+    m0b = MultiChanNMFInst_FASST(mix, fs=fs, wlen=512, seed=0)
+    assert np.array_equal(a0, np.asarray(m0b.params.spat[0].A))
+    # conv variant: both the base directions and the phase jitter move
+    c0 = MultiChanNMFConv(mix, fs=fs, wlen=512, seed=0, nbComps=2)
+    c1 = MultiChanNMFConv(mix, fs=fs, wlen=512, seed=1, nbComps=2)
+    assert not np.allclose(np.asarray(c0.params.spat[0].A),
+                           np.asarray(c1.params.spat[0].A))
+
+
 def test_float64_cpu_parity_mode(stereo_audio, tmp_path):
     """SURVEY §7 hard parts: the x64 CPU bit-parity mode through the class."""
     from jax import enable_x64

@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pyfasst_tpu.models.components import (
     FasstParams, SpatialComp, SpectralComp, CONV, HMM,
@@ -84,6 +85,73 @@ def test_bss_eval_interference(rng):
     # ~20 dB SIR on source 0 from the -20 dB leak
     assert 15 < out["sir"][0] < 25
     assert out["sdr"][0] < out["sdr"][1]
+
+
+def _dense_bss_eval(est, ref, L):
+    """Round-2 dense projector (truncated shift matrix), kept here as the
+    ground truth for the FFT/Toeplitz implementation."""
+    import itertools
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    J, T = ref.shape
+    sdr = np.full((J, J), -np.inf)
+    for i in range(J):
+        shifted = np.zeros((J * L, T))
+        for j in range(J):
+            for tau in range(L):
+                shifted[j * L + tau, tau:] = ref[j, :T - tau]
+        G = shifted @ shifted.T
+        D = shifted @ est[i]
+        coef = np.linalg.lstsq(G + 1e-9 * np.trace(G) / len(G)
+                               * np.eye(len(G)), D, rcond=None)[0]
+        proj_all = coef @ shifted
+        artifact = est[i] - proj_all
+        for j in range(J):
+            sl = slice(j * L, (j + 1) * L)
+            cj = np.linalg.lstsq(G[sl, sl] + 1e-9 * np.trace(G[sl, sl]) / L
+                                 * np.eye(L), D[sl], rcond=None)[0]
+            s_target = cj @ shifted[sl]
+            e_interf = proj_all - s_target
+            sdr[i, j] = 10 * np.log10(np.sum(s_target ** 2)
+                                      / max(np.sum((e_interf + artifact) ** 2),
+                                            1e-12))
+    best, best_perm = None, None
+    for perm in itertools.permutations(range(J)):
+        tot = sum(sdr[perm[j], j] for j in range(J))
+        if best is None or tot > best:
+            best, best_perm = tot, perm
+    return np.array([sdr[best_perm[j], j] for j in range(J)])
+
+
+@pytest.mark.parametrize("L", [16, 32, 64])
+def test_bss_eval_fft_matches_dense(rng, L):
+    """The FFT/Toeplitz projector must reproduce the dense round-2 numbers
+    to 0.01 dB at small filter lengths (verdict round-2 item 4)."""
+    T, fs = 16000, 8000
+    t = np.arange(T) / fs
+    s = np.stack([np.sin(2 * np.pi * 220 * t) * (1 + 0.2 * np.sin(7 * t)),
+                  0.7 * rng.standard_normal(T)])
+    est = np.stack([s[0] + 0.05 * s[1] + 0.02 * rng.standard_normal(T),
+                    s[1] + 0.1 * s[0]])
+    got = bss_eval_sources(est, s, filt_len=L)["sdr"]
+    want = _dense_bss_eval(est, s, L)
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+
+def test_bss_eval_literature_operating_point(rng):
+    """filt_len=512 on a 10 s, 44.1 kHz pair runs in seconds (the round-2
+    dense version needed >10 GB here) and behaves sanely."""
+    import time
+    T = 441000
+    s = rng.standard_normal((2, T))
+    est = np.stack([s[0] + 0.1 * s[1], 0.9 * s[1] + 0.05 * s[0]])
+    t0 = time.perf_counter()
+    out = bss_eval_sources(est, s, filt_len=512)
+    dt = time.perf_counter() - t0
+    assert dt < 60.0
+    assert np.all(np.isfinite(out["sdr"]))
+    assert 15 < out["sir"][0] < 25          # the injected -20 dB leak
+    assert list(out["perm"]) == [0, 1]
 
 
 def test_si_sdr_and_xrt():
