@@ -94,7 +94,8 @@ def _cmd_separate(args) -> int:
     else:  # hmm / gsmm
         model = MultiChanHMM(
             args.audio, nbComps=args.sources, nbStates=args.states,
-            sparsity="HMM" if args.model == "hmm" else "GMM", **kw)
+            sparsity="HMM" if args.model == "hmm" else "GMM",
+            decode=args.decode, **kw)
 
     start_iter = 0
     if args.resume:
@@ -245,6 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NMF components per source")
     p.add_argument("--states", type=int, default=8,
                    help="discrete states (hmm/gsmm)")
+    p.add_argument("--decode", choices=("soft", "viterbi"), default="soft",
+                   help="HMM state decode: forward-backward posteriors or "
+                        "hard Viterbi MAP path")
     p.add_argument("--annealing", default="ann",
                    choices=("ann", "no_ann", "ann_ns_inj"))
     p.add_argument("--freq-basis", default="none",

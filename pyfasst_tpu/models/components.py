@@ -94,6 +94,9 @@ class SpectralComp:
     free2: Tuple[bool, bool] = flax.struct.field(
         pytree_node=False, default=(False, True))
     constraint: str = flax.struct.field(pytree_node=False, default=NMF)
+    # HMM state decode: 'soft' (forward-backward posteriors) or 'viterbi'
+    # (hard one-active-state-per-frame MAP path)
+    decode: str = flax.struct.field(pytree_node=False, default="soft")
 
     def freq_pattern(self) -> jnp.ndarray:
         """W_k = FB @ FW, shape (F, K)."""

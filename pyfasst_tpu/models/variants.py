@@ -124,7 +124,8 @@ class MultiChanHMM(FASST):
 
     def __init__(self, audio, nbComps: int = 2, nbStates: int = 8,
                  spatial_rank: int = 1, sparsity: str = "HMM",
-                 self_trans: float = 0.9, mix_type: str = INST, **kw):
+                 self_trans: float = 0.9, mix_type: str = INST,
+                 decode: str = "soft", **kw):
         super().__init__(audio, **kw)
         keys = _split(self.key, nbComps)
         if mix_type == INST:
@@ -158,7 +159,8 @@ class MultiChanHMM(FASST):
                 FB=FB.astype(self.dtype), TW=TW.astype(self.dtype),
                 trans=jnp.asarray(trans, self.dtype), spat_ind=j,
                 free=(True, False, True, False),
-                constraint=(HMM if sparsity == "HMM" else GMM)))
+                constraint=(HMM if sparsity == "HMM" else GMM),
+                decode=decode))
         self.params = FasstParams(spat=spat, spec=tuple(spec))
 
 

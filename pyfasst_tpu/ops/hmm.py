@@ -62,15 +62,47 @@ def _hmm_posteriors(L: jnp.ndarray, log_trans: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(post).T                                    # (Q, N)
 
 
+def viterbi_path(L: jnp.ndarray, log_trans: jnp.ndarray) -> jnp.ndarray:
+    """MAP state sequence, the lax.scan argmax dual of forward-backward.
+
+    L: (Q, N) per-(state, frame) log-likelihoods; log_trans: (Q, Q).
+    Returns the hard path as int32 (N,). Forward pass carries the best
+    log-score per state and records the argmax predecessors; a reverse scan
+    backtracks. Reference parity: the reference's HMM constraint offers a
+    hard (Viterbi) decode of TW states (pyfasst/audioModel.py, UNVERIFIED).
+    """
+    Q, N = L.shape
+    log_pi = jnp.full((Q,), -jnp.log(Q), L.dtype)
+
+    def fwd(delta, logl):
+        scores = delta[:, None] + log_trans           # (from, to)
+        psi = jnp.argmax(scores, axis=0)              # (Q,) best predecessor
+        d = jnp.max(scores, axis=0) + logl
+        return d, (d, psi)
+
+    d0 = log_pi + L[:, 0]
+    dN, (_, psis) = jax.lax.scan(fwd, d0, L.T[1:])    # psis: (N-1, Q)
+
+    def back(q, psi):
+        prev = psi[q]
+        return prev, prev
+
+    qN = jnp.argmax(dN)
+    _, path_rev = jax.lax.scan(back, qN, psis[::-1])
+    return jnp.concatenate([path_rev[::-1], qN[None]]).astype(jnp.int32)
+
+
 def state_factor_update(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
                         eps: float = 1e-30) -> Tuple[SpectralComp, jnp.ndarray]:
     """GMM/HMM replacement for the NMF TW update.
 
     The component's states are the columns of W = FB @ FW (F, Q); TW (Q, N)
     becomes gamma(q,n) * g(q,n) -- posterior-weighted per-frame gains (the
-    soft-EM form of the reference's discrete-state constraint). Free FB/FW
-    factors are updated by their NMF rules in mstep.update_spectral BEFORE
-    this call; TB must be None for state models.
+    soft-EM form of the reference's discrete-state constraint). With
+    comp.decode == 'viterbi' (HMM only) gamma is instead the one-hot MAP
+    path: a hard single-state-per-frame decode. Free FB/FW factors are
+    updated by their NMF rules in mstep.update_spectral BEFORE this call;
+    TB must be None for state models.
     """
     if comp.TB is not None:
         raise ValueError("GMM/HMM spectral components must have TB=None")
@@ -85,7 +117,12 @@ def state_factor_update(comp: SpectralComp, P: jnp.ndarray, V: jnp.ndarray,
         Q = W.shape[1]
         trans = comp.trans if comp.trans is not None else \
             jnp.full((Q, Q), 1.0 / Q, P.dtype)
-        gamma = _hmm_posteriors(L, jnp.log(jnp.maximum(trans, eps)))
+        log_trans = jnp.log(jnp.maximum(trans, eps))
+        if comp.decode == "viterbi":
+            path = viterbi_path(L, log_trans)
+            gamma = jax.nn.one_hot(path, Q, dtype=P.dtype).T  # (Q, N)
+        else:
+            gamma = _hmm_posteriors(L, log_trans)
     else:
         raise ValueError(f"not a state constraint: {comp.constraint}")
     TW = jnp.maximum(gamma * g, eps)                          # (Q, N)

@@ -49,7 +49,8 @@ def save_params(path: str, params: FasstParams,
         meta["spec"].append({
             "spat_ind": c.spat_ind, "free": list(c.free),
             "free2": list(c.free2),
-            "constraint": c.constraint, "present": present,
+            "constraint": c.constraint, "decode": c.decode,
+            "present": present,
         })
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -89,6 +90,7 @@ def load_params(path: str) -> Tuple[FasstParams, int, dict]:
                                      free=tuple(m["free"]),
                                      free2=tuple(m.get("free2",
                                                        (False, True))),
-                                     constraint=m["constraint"], **kw))
+                                     constraint=m["constraint"],
+                                     decode=m.get("decode", "soft"), **kw))
     return (FasstParams(spat=tuple(spat), spec=tuple(spec)),
             meta["iteration"], meta.get("extra", {}))
