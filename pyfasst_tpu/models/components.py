@@ -194,10 +194,15 @@ def init_inst_mixing(key, I: int, R: int, J: int, dtype=jnp.float32):
         if I == 2:
             base = np.array([[np.cos(thetas[j])], [np.sin(thetas[j])]])
         else:
-            # I > 2: smooth deterministic gain taper across the array so
-            # sources start at distinct multichannel directions
-            c = np.cos(thetas[j]) * np.linspace(1.0, 0.4, I) \
-                + np.sin(thetas[j]) * np.linspace(0.4, 1.0, I)
+            # I > 2: exponential gain taper across the array, slope spread
+            # over sources. The previous convex-combination taper left
+            # init directions at cosine similarity ~0.98 for J=2/I=3,
+            # which the EM could not split (measured: 2 dB SDR blind vs
+            # 85 dB from true directions); the log-taper keeps pairwise
+            # similarity ~0.77 at the same positivity constraint.
+            slope = 2.0 * (j + 1.0) / (J + 1.0) - 1.0      # in (-1, 1)
+            t = 16.0 ** slope
+            c = t ** (np.arange(I) / (I - 1.0) - 0.5)
             base = (c / np.linalg.norm(c))[:, None]
         A = np.tile(base, (1, R)) + 0.05 * noise[j]
         mats.append(jnp.asarray(np.abs(A), dtype))

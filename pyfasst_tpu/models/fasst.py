@@ -150,11 +150,12 @@ class FASST:
         recording level.
         """
         data = self.audio.data.astype(self.np_dtype)
-        if data.shape[1] != 2:
-            raise ValueError(
-                f"the 2x2 engine expects stereo input, got {data.shape[1]} "
-                "channels")
-        X = self.tft.computeTransform(data)            # (F, N, 2) complex64
+        if data.shape[1] < 1:
+            raise ValueError("mixture has no channels")
+        # I == 2 runs the packed-Hermitian fast path; any other channel
+        # count dispatches to the general unrolled-Cholesky engine
+        # (ops/engine_general.py) inside the same jitted GEM loop.
+        X = self.tft.computeTransform(data)            # (F, N, I) complex64
         mean_pow = float(jnp.mean(jnp.abs(X) ** 2))
         self._scale = np.sqrt(max(mean_pow, 1e-30))
         self.Xs = X / self._scale
@@ -166,7 +167,11 @@ class FASST:
         The GEM engine consumes Xs directly; Cx is an inspection/parity
         convenience. It is a property (not stored) so long/streaming clips
         don't hold an extra F x N x 4 float plane for the model's lifetime.
+        The packed encoding is stereo-only; for other channel counts use
+        jnp.einsum("fni,fnk->fnik", Xs, Xs.conj()) directly.
         """
+        if self.Xs.shape[-1] != 2:
+            raise ValueError("packed Cx is defined for stereo input only")
         return observed_covariance(self.Xs)
 
     # -- estimation ----------------------------------------------------------

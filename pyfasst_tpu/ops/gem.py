@@ -85,9 +85,21 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     F = X.shape[0]
     ranks = tuple(c.rank for c in params.spat)
     v = params.all_source_powers()                    # (J, F, N)
-    Rj = spatial_covs(params, F)                      # (J, F, 4)
     A_conv = tuple(_as_conv_A(c, F) for c in params.spat)
     noise_inject = cfg.annealing == AnnealingMode.ANN_NS_INJ
+    if X.shape[-1] != 2:
+        # I > 2 channels: the packed-Hermitian 2x2 fast path does not apply;
+        # the general unrolled-Cholesky engine covers any channel count
+        # (trace-time dispatch -- the branch is resolved at compile time).
+        from pyfasst_tpu.ops.engine_general import suff_stats_general
+        stats = suff_stats_general(X, v, A_conv, sigma, ranks, eps=cfg.eps,
+                                   noise_inject=noise_inject)
+        params = update_spatial(params, stats, sigma, enabled=spatial_enabled)
+        params = update_spectral(params, stats, eps=cfg.eps, v=v)
+        if cfg.renormalize:
+            params = renormalize(params)
+        return params, stats.loglik
+    Rj = spatial_covs(params, F)                      # (J, F, 4)
     pallas_ok = cfg.use_pallas and pallas_available()
     if pallas_ok and all(r in (1, 2) for r in ranks):
         # instantaneous models have real mixing (a trace-time dtype fact):
@@ -148,7 +160,9 @@ def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
 
     hold = int(cfg.spatial_hold_frac * cfg.niter)
     # pack the constant mixture plane once, not once per iteration
-    x4 = pack_x4(X) if cfg.use_pallas and pallas_available() else None
+    # (the Pallas kernel is the 2-channel fast path only)
+    x4 = (pack_x4(X) if X.shape[-1] == 2
+          and cfg.use_pallas and pallas_available() else None)
 
     def body(it, carry):
         params, logliks = carry

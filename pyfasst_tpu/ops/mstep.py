@@ -85,7 +85,10 @@ def update_spatial(params: FasstParams, stats: SuffStats,
             block = stats.Tss[k][j] - stats.T7[k][j]   # R^_ss[k, j] (F,Rk,R)
             target = target - jnp.einsum("fik,fkr->fir", A_all[k], block)
         if R >= 2:
-            post = herm.herm_to_complex(stats.T4[j])           # (F, 2, 2)
+            # 2x2 engine packs T4 as Hermitian (F, 4); the general-I engine
+            # (ops/engine_general.py) emits complex (F, R, R) directly.
+            T4j = stats.T4[j]
+            post = T4j if T4j.ndim == 3 else herm.herm_to_complex(T4j)
         else:
             post = stats.T4[j][:, None, None].astype(target.dtype)
         Rss = stats.Tss[j][j] + post                    # (F, R, R)

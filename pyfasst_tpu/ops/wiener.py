@@ -55,6 +55,11 @@ def separate_sources(params: FasstParams, X: jnp.ndarray,
     """
     from pyfasst_tpu.ops.mstep import _as_conv_A
 
+    if X.shape[-1] != 2:
+        # general channel count: unrolled-Cholesky engine (trace-time dispatch)
+        from pyfasst_tpu.ops.engine_general import separate_sources_general
+        return separate_sources_general(params, X, sigma)
+
     F = X.shape[0]
     J = params.n_spat
     v = params.all_source_powers()                 # (J, F, N)
@@ -89,6 +94,11 @@ def separate_spatial_filter(params: FasstParams, X: jnp.ndarray,
     One filter per source per frequency (no time variation) -- the
     'spatial filter' separation variant of the reference.
     """
+    if X.shape[-1] != 2:
+        from pyfasst_tpu.ops.engine_general import (
+            separate_spatial_filter_general,
+        )
+        return separate_spatial_filter_general(params, X, sigma)
     F = X.shape[0]
     Rj = spatial_covs(params, F)                   # (J, F, 4)
     Stot = herm.add_noise_diag(jnp.sum(Rj, axis=0), sigma)

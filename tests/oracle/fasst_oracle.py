@@ -30,11 +30,12 @@ class OracleSpatial:
         return self.A.shape[-1]
 
     def cov(self, F: int) -> np.ndarray:
-        """R_j(f) = A A^H, complex (F, 2, 2)."""
+        """R_j(f) = A A^H, complex (F, I, I)."""
         if self.mix_type == "inst":
             A = self.A.astype(np.complex128)
             R = A @ A.conj().T
-            return np.broadcast_to(R, (F, 2, 2)).copy()
+            I = A.shape[0]
+            return np.broadcast_to(R, (F, I, I)).copy()
         return np.einsum("fir,fkr->fik", self.A, self.A.conj())
 
 
@@ -256,6 +257,94 @@ def estep(X, params: OracleParams, sigma, noise_inject=False):
                 T7[j][k] = np.einsum("fn,fnrs->frs", vv, Mjk)
 
     loglik = -np.sum(np.log(det) + trSxiRxx)
+    return xi, Txs, Tss, T4, T7, loglik
+
+
+def estep_general(X, params: OracleParams, sigma, noise_inject=False):
+    """General-I E-step (mirrors pyfasst_tpu.ops.engine_general).
+
+    X: complex (F, N, I) for any channel count I. Float64 with PD Sigma_x,
+    so plain np.linalg inverses stand in for the engine's unrolled Cholesky
+    (their clamps -- diag floor, rank-1 den >= 1 -- are mirrored where they
+    can bind). Returns the same (xi, Txs, Tss, T4, T7, loglik) tuple as
+    estep, with T4[j] complex (F, R, R) for R >= 2.
+    """
+    F, N, I = X.shape
+    J = len(params.spat)
+    v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])
+    R = np.stack([params.spat[j].cov(F) for j in range(J)])   # (J,F,I,I)
+    eye = np.eye(I)[None, None]
+
+    Sx = np.einsum("jfn,jfik->fnik", v, R)
+    Sx = Sx + sigma[:, None, None, None] * eye
+    Sxi = np.linalg.inv(Sx)
+    _, logdet = np.linalg.slogdet(Sx)                         # (F, N)
+    y = np.einsum("fnab,fnb->fna", Sxi, X)
+    trSxiRxx = np.maximum(np.einsum("fna,fna->fn", X.conj(), y).real, 0.0)
+    if noise_inject:
+        trSxiRxx = trSxiRxx + sigma[:, None] * np.einsum(
+            "fnaa->fn", Sxi).real
+
+    def as_conv(comp):
+        A = comp.A
+        if comp.mix_type == "inst":
+            A = np.broadcast_to(A.astype(np.complex128)[None], (F,) + A.shape)
+        return A
+
+    A_all = [as_conv(c) for c in params.spat]
+    wvecs = [np.einsum("fir,fni->fnr", A_all[j].conj(), y) for j in range(J)]
+    zvecs = ([np.einsum("fnab,fbr->fnar", Sxi, A_all[j]) for j in range(J)]
+             if noise_inject else None)
+
+    xi = np.empty((J, F, N))
+    T4, Txs = [], []
+    for j in range(J):
+        rank = params.spat[j].rank
+        wj = wvecs[j]
+        trCR = np.sum(np.abs(wj) ** 2, axis=-1)
+        if noise_inject:
+            trCR = trCR + sigma[:, None] * np.sum(np.abs(zvecs[j]) ** 2,
+                                                  axis=(2, 3))
+        # leave-one-out Woodbury posterior: G = I_R + v_j A_j^H S_j^-1 A_j
+        Sj = sum(np.einsum("fn,fab->fnab", v[k], R[k])
+                 for k in range(J) if k != j) if J > 1 else \
+            np.zeros((F, N, I, I), np.complex128)
+        Sji = np.linalg.inv(Sj + sigma[:, None, None, None] * eye)
+        M = np.einsum("fra,fnab,fbs->fnrs",
+                      np.swapaxes(A_all[j].conj(), 1, 2), Sji, A_all[j])
+        G = np.eye(rank)[None, None] + v[j][..., None, None] * M
+        if rank == 1:
+            den = np.maximum(G[..., 0, 0].real, 1.0)          # engine clamp
+            trGinv = 1.0 / den
+            T4.append((v[j] / den).sum(axis=-1))              # (F,)
+        else:
+            Ginv = np.linalg.inv(G)
+            trGinv = np.maximum(np.einsum("fnrr->fn", Ginv).real, 0.0)
+            T4.append(np.einsum("fn,fnrs->frs", v[j], Ginv))  # (F, R, R)
+        xi[j] = np.maximum((v[j] ** 2 * trCR + v[j] * trGinv) / rank, EPS)
+        txs = np.einsum("fn,fni,fnr->fir", v[j], X, wj.conj())
+        if noise_inject:
+            txs = txs + sigma[:, None, None] * np.einsum(
+                "fn,fnir->fir", v[j], zvecs[j])
+        Txs.append(txs)
+
+    Tss = [[None] * J for _ in range(J)]
+    T7 = [[None] * J for _ in range(J)]
+    for j in range(J):
+        for k in range(J):
+            vv = v[j] * v[k]
+            Tss[j][k] = np.einsum("fn,fnr,fns->frs", vv, wvecs[j],
+                                  wvecs[k].conj())
+            if noise_inject:
+                Tss[j][k] = Tss[j][k] + np.einsum(
+                    "f,fn,fnir,fnis->frs", sigma, vv,
+                    zvecs[j].conj(), zvecs[k])
+            if k != j:
+                Mjk = np.einsum("fir,fnis->fnrs", A_all[j].conj(),
+                                np.einsum("fnab,fbs->fnas", Sxi, A_all[k]))
+                T7[j][k] = np.einsum("fn,fnrs->frs", vv, Mjk)
+
+    loglik = -np.sum(logdet + trSxiRxx)
     return xi, Txs, Tss, T4, T7, loglik
 
 
@@ -515,9 +604,10 @@ def oracle_gem_run(params: OracleParams, X, niter: int,
     sigma0, sigma1 = annealing_endpoints(X, sigma_start_frac, sigma_end_frac)
     logliks = np.zeros(niter)
     hold = int(spatial_hold_frac * niter)
+    estep_fn = estep if X.shape[-1] == 2 else estep_general
     for it in range(niter):
         sigma = noise_psd(it, niter, sigma0, sigma1, annealing)
-        xi, Txs, Tss, T4, T7, ll = estep(
+        xi, Txs, Tss, T4, T7, ll = estep_fn(
             X, params, sigma, noise_inject=(annealing == "ann_ns_inj"))
         if it >= hold:
             update_spatial(params, Txs, Tss, T4, T7, sigma)
@@ -528,8 +618,26 @@ def oracle_gem_run(params: OracleParams, X, niter: int,
     return params, logliks
 
 
+def oracle_separate_general(params: OracleParams, X, sigma):
+    """Wiener posterior-mean images for any I (mirrors
+    engine_general.separate_sources_general): y^_j = v_j A_j A_j^H Sx^-1 x."""
+    F, N, I = X.shape
+    J = len(params.spat)
+    v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])
+    R = np.stack([params.spat[j].cov(F) for j in range(J)])
+    Sx = np.einsum("jfn,jfik->fnik", v, R)
+    Sx = Sx + sigma[:, None, None, None] * np.eye(I)[None, None]
+    y = np.einsum("fnab,fnb->fna", np.linalg.inv(Sx), X)
+    Y = np.empty((J, F, N, I), np.complex128)
+    for j in range(J):
+        Y[j] = v[j][..., None] * np.einsum("fab,fnb->fna", R[j], y)
+    return Y
+
+
 def oracle_separate(params: OracleParams, X, sigma):
     """Wiener posterior-mean images, (J, F, N, 2)."""
+    if X.shape[-1] != 2:
+        return oracle_separate_general(params, X, sigma)
     F, N = X.shape[:2]
     J = len(params.spat)
     v = np.stack([np.asarray(params.source_power(j)) for j in range(J)])

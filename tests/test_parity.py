@@ -237,6 +237,92 @@ def test_gem_parity_simm_free_bases_x64(rng):
                 getattr(oparams.spec[0], name), rtol=1e-5, atol=1e-12)
 
 
+def _tiny_problem_i3(rng, F=19, N=16, K=2, mix_type="inst", ranks=(1, 1)):
+    """General-I fixture (I=3): exercises ops/engine_general.py."""
+    I = 3
+    X = (rng.standard_normal((F, N, I)) + 1j * rng.standard_normal((F, N, I))
+         ).astype(np.complex128)
+    X[:, :, 0] *= np.linspace(0.5, 2.0, F)[:, None]
+    spat, spec = [], []
+    for j, R in enumerate(ranks):
+        if mix_type == "inst":
+            A = np.abs(rng.standard_normal((I, R))) + 0.3
+        else:
+            A = (rng.standard_normal((F, I, R))
+                 + 1j * rng.standard_normal((F, I, R))) * 0.5
+        spat.append(SpatialComp(A=jnp.asarray(A), mix_type=mix_type,
+                                free=True))
+        spec.append(SpectralComp(
+            FB=jnp.asarray(0.5 + rng.random((F, K))),
+            TW=jnp.asarray(0.5 + rng.random((K, N))),
+            spat_ind=j, free=(True, False, True, False)))
+    return X, FasstParams(spat=tuple(spat), spec=tuple(spec))
+
+
+@pytest.mark.parametrize("annealing", ["ann", "ann_ns_inj"])
+def test_gem_parity_i3_inst_x64(rng, annealing):
+    """x64 engine vs oracle at I=3 channels (instantaneous rank-1 sources):
+    the general unrolled-Cholesky E-step (ops/engine_general.py) against the
+    np.linalg general-I oracle branch, incl. the noise-injection
+    corrections."""
+    with enable_x64():
+        X, params = _tiny_problem_i3(rng)
+        niter = 8
+        cfg = GEMConfig(niter=niter, annealing=annealing)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, niter,
+                                          annealing=annealing)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        for j in range(2):
+            np.testing.assert_allclose(np.asarray(got_params.spat[j].A),
+                                       oparams.spat[j].A, rtol=1e-5,
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(got_params.spec[j].FB),
+                                       oparams.spec[j].FB, rtol=1e-5,
+                                       atol=1e-12)
+
+
+def test_gem_parity_i3_conv_mixed_rank_x64(rng):
+    """I=3 convolutive with mixed ranks incl. a full-rank (R=3) source:
+    exercises the general engine's R x R Woodbury posterior, the (F, R, R)
+    T4 passthrough in ops/mstep.py, and the per-frequency I=3 spatial
+    solve."""
+    with enable_x64():
+        X, params = _tiny_problem_i3(rng, mix_type="conv", ranks=(1, 3))
+        cfg = GEMConfig(niter=8)
+        oparams = params_from_pytree(params)
+        got_params, got_ll = jax.block_until_ready(
+            run_gem(params, jnp.asarray(X), cfg))
+        oparams, want_ll = oracle_gem_run(oparams, X, 8)
+        np.testing.assert_allclose(np.asarray(got_ll), want_ll, rtol=1e-6)
+        for j in range(2):
+            np.testing.assert_allclose(np.asarray(got_params.spat[j].A),
+                                       oparams.spat[j].A, rtol=1e-4,
+                                       atol=1e-8)
+
+
+def test_separation_parity_i3_x64(rng):
+    """Wiener separation at I=3 vs the general-I oracle, plus the
+    mixture-conservation property sum_j y_j ~ x away from the noise floor."""
+    with enable_x64():
+        X, params = _tiny_problem_i3(rng)
+        cfg = GEMConfig(niter=5)
+        Xj = jnp.asarray(X)
+        params2, _ = run_gem(params, Xj, cfg)
+
+        from pyfasst_tpu.ops.gem import annealing_endpoints
+        from pyfasst_tpu.ops.wiener import separate_sources
+        _, sigma1 = annealing_endpoints(Xj, cfg)
+        got = np.asarray(separate_sources(params2, Xj, sigma1))
+
+        oparams, _ = oracle_gem_run(params_from_pytree(params), X, 5)
+        _, osig = np_annealing_endpoints(X, 1e-2, 3e-6)
+        want = oracle_separate(oparams, X, osig)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("constraint", ["GMM", "HMM"])
 def test_gem_parity_state_models_x64(rng, constraint):
     """x64 engine vs oracle for the GSMM/HMM spectral E-step (configs[3])."""
