@@ -42,12 +42,20 @@ def _pad_frames(X: np.ndarray, n_target: int) -> np.ndarray:
     return np.pad(X, ((0, 0), (0, n_target - N), (0, 0)))
 
 
+def _bucket_ckpt_path(checkpoint_dir: str, Npad: int) -> str:
+    import os
+    return os.path.join(checkpoint_dir, f"bucket_{Npad}.npz")
+
+
 def batch_separate(
     Xs: Sequence[np.ndarray],
     make_params: Callable[[int, int, int], FasstParams],
     cfg: GEMConfig,
     mesh=None,
     granularity: int = 128,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    on_checkpoint: Optional[Callable[[int, int], None]] = None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Estimate + separate a set of clips.
 
@@ -60,13 +68,32 @@ def batch_separate(
     annealing endpoints are computed from the UNPADDED frames of each clip
     (padding would dilute the per-frequency mean power and shrink the noise
     floor for heavily padded clips).
+
+    checkpoint_dir + checkpoint_every=K persist each bucket's stacked
+    params every K iterations (one .npz per frame bucket; same compiled
+    executable across chunks -- the loop bounds are traced). A killed run
+    re-invoked with the same arguments resumes each unfinished bucket from
+    its last chunk boundary; the chunked trajectory is exactly the
+    uninterrupted one (the annealing schedule is a pure function of the
+    iteration index). A checkpoint whose clip membership or total
+    iteration count disagrees with the current call is ignored (fresh
+    start), not trusted. Completed buckets delete their checkpoint file.
+    on_checkpoint(Npad, iteration), if given, is called after each chunk's
+    save (progress reporting / test kill-switch).
     """
+    import os
+
     mesh = mesh or make_mesh()
     dp = mesh.shape["dp"]
     F = Xs[0].shape[0]
     n_frames = [x.shape[1] for x in Xs]
     out_imgs: List[Optional[np.ndarray]] = [None] * len(Xs)
     out_lls: List[Optional[np.ndarray]] = [None] * len(Xs)
+    every = int(checkpoint_every or 0)
+    if every and not checkpoint_dir:
+        raise ValueError("checkpoint_every requires checkpoint_dir")
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
 
     for Npad, idxs in sorted(frame_buckets(n_frames, granularity).items()):
         # round the batch up to a multiple of the dp axis with repeats
@@ -85,15 +112,43 @@ def batch_separate(
             for i in batch_idx]).astype(np.float32))
         sig0_b, sig1_b = jax.vmap(
             lambda p: endpoints_from_power(p, cfg))(Pm_true)
-        params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh,
-                                        sigma_endpoints_b=(sig0_b, sig1_b))
+
+        start, lls_acc = 0, np.zeros((len(batch_idx), cfg.niter), np.float32)
+        ckpt = (_bucket_ckpt_path(checkpoint_dir, Npad)
+                if checkpoint_dir else None)
+        bucket_id = {"clips": list(map(int, batch_idx)),
+                     "niter": int(cfg.niter)}
+        if ckpt and os.path.exists(ckpt):
+            from pyfasst_tpu.utils.checkpoint import load_params
+            saved, it, extra = load_params(ckpt)
+            if extra.get("clips") == bucket_id["clips"] \
+                    and extra.get("niter") == bucket_id["niter"]:
+                params_b, start = saved, int(it)
+                lls_acc = np.asarray(extra["logliks"], np.float32)
+
+        while start < cfg.niter:
+            end = min(start + every, cfg.niter) if every else cfg.niter
+            params_b, lls = batched_run_gem(
+                params_b, X_b, cfg, mesh,
+                sigma_endpoints_b=(sig0_b, sig1_b), bounds=(start, end))
+            lls_acc[:, start:end] = np.asarray(lls)[:, start:end]
+            start = end
+            if ckpt and (every and start < cfg.niter):
+                from pyfasst_tpu.utils.checkpoint import save_params
+                save_params(ckpt, params_b, iteration=start,
+                            extra=bucket_id,
+                            extra_arrays={"logliks": lls_acc})
+                if on_checkpoint is not None:
+                    on_checkpoint(Npad, start)
+        if ckpt and os.path.exists(ckpt):
+            os.remove(ckpt)
+
         Y_b = sharded_batch_separate(params_b, X_b, sig1_b, mesh)
         from pyfasst_tpu.utils.misc import to_host_complex
         Y_b = to_host_complex(Y_b)
-        lls = np.asarray(lls)
         for slot, i in enumerate(batch_idx[:len(idxs)]):
             out_imgs[i] = Y_b[slot][:, :, :n_frames[i], :]
-            out_lls[i] = lls[slot]
+            out_lls[i] = lls_acc[slot]
     return out_imgs, out_lls
 
 

@@ -79,28 +79,38 @@ def _batched_gem_jit(cfg: GEMConfig, mesh: Mesh, with_endpoints: bool):
     2x FASTER than sequential dispatch, see tools/profile_batch.py).
     in_shardings uses prefix pytrees: one NamedSharding covers the whole
     params pytree.
+
+    The iteration bounds (it0, it1) are TRACED scalars broadcast over the
+    batch (in_axes=None), so chunked runs -- checkpoint every K
+    iterations, resume a killed bucket -- reuse this one executable,
+    exactly like the single-clip path (ops/gem.run_gem docstring).
     """
     x_in = NamedSharding(mesh, P("dp"))
     x_shard = NamedSharding(mesh, P("dp", "fp"))
+    scalar = NamedSharding(mesh, P())
 
     if with_endpoints:
-        def fn(params_b, X_b, se_b):
+        def fn(params_b, X_b, se_b, it0, it1):
             X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
             return jax.vmap(
-                lambda p, X, se: run_gem(p, X, cfg, sigma_endpoints=se)
+                lambda p, X, se: run_gem(p, X, cfg, sigma_endpoints=se,
+                                         start_iter=it0, end_iter=it1)
             )(params_b, X_b, se_b)
 
-        return jax.jit(fn, in_shardings=(x_in, x_in, (x_in, x_in)))
+        return jax.jit(fn, in_shardings=(x_in, x_in, (x_in, x_in),
+                                         scalar, scalar))
 
-    def fn(params_b, X_b):
+    def fn(params_b, X_b, it0, it1):
         X_b = jax.lax.with_sharding_constraint(X_b, x_shard)
-        return jax.vmap(functools.partial(run_gem, cfg=cfg))(params_b, X_b)
+        return jax.vmap(
+            lambda p, X: run_gem(p, X, cfg, start_iter=it0, end_iter=it1)
+        )(params_b, X_b)
 
-    return jax.jit(fn, in_shardings=(x_in, x_in))
+    return jax.jit(fn, in_shardings=(x_in, x_in, scalar, scalar))
 
 
 def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
-                    mesh: Mesh, sigma_endpoints_b=None):
+                    mesh: Mesh, sigma_endpoints_b=None, bounds=None):
     """Run the GEM loop for a batch of equal-shape clips on a mesh.
 
     params_b: pytree with leading batch axis B; X_b: (B, F, N, 2) complex.
@@ -108,13 +118,17 @@ def batched_run_gem(params_b: FasstParams, X_b: jnp.ndarray, cfg: GEMConfig,
     the frequency sharding is applied as an internal constraint, which GSPMD
     pads. sigma_endpoints_b, if given, is a (sigma0 (B, F), sigma1 (B, F))
     pair of per-clip annealing endpoints (compute them on the UNPADDED
-    frames -- see batch.batch_separate). Returns (params_b,
-    logliks (B, niter)).
+    frames -- see batch.batch_separate). bounds, if given, is a dynamic
+    (start_iter, end_iter) pair: iterations outside the range leave their
+    loglik entries zero (chunked checkpoint/resume; the annealing schedule
+    stays a function of the index against the FULL cfg.niter). Returns
+    (params_b, logliks (B, niter)).
     """
+    it0, it1 = (0, cfg.niter) if bounds is None else bounds
     if sigma_endpoints_b is None:
-        return _batched_gem_jit(cfg, mesh, False)(params_b, X_b)
+        return _batched_gem_jit(cfg, mesh, False)(params_b, X_b, it0, it1)
     return _batched_gem_jit(cfg, mesh, True)(
-        params_b, X_b, tuple(sigma_endpoints_b))
+        params_b, X_b, tuple(sigma_endpoints_b), it0, it1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -30,12 +30,22 @@ _FACTORS = ("FB", "FW", "TW", "TB", "trans", "FB2", "TW2")
 
 
 def save_params(path: str, params: FasstParams,
-                iteration: int = 0, extra: Optional[dict] = None) -> str:
-    """Serialize a FasstParams pytree (+ static structure) to one .npz."""
-    arrays = {}
+                iteration: int = 0, extra: Optional[dict] = None,
+                extra_arrays: Optional[dict] = None) -> str:
+    """Serialize a FasstParams pytree (+ static structure) to one .npz.
+
+    The pytree leaves may carry a leading batch axis (the bucketed
+    configs[4] path checkpoints a whole bucket's stacked params at once).
+    extra: JSON-serializable sidecar metadata. extra_arrays: named numpy
+    arrays stored alongside (e.g. accumulated logliks); load_params
+    returns them merged into the extra dict.
+    """
+    arrays = {f"xtr_{k}": np.asarray(v)
+              for k, v in (extra_arrays or {}).items()}
     meta = {"iteration": int(iteration), "n_spat": params.n_spat,
             "n_spec": len(params.spec), "spat": [], "spec": [],
-            "extra": extra or {}}
+            "extra": extra or {},
+            "extra_array_names": sorted((extra_arrays or {}).keys())}
     for j, c in enumerate(params.spat):
         arrays[f"spat_{j}_A"] = to_host_complex(c.A)
         meta["spat"].append({"mix_type": c.mix_type, "free": bool(c.free)})
@@ -92,5 +102,8 @@ def load_params(path: str) -> Tuple[FasstParams, int, dict]:
                                                        (False, True))),
                                      constraint=m["constraint"],
                                      decode=m.get("decode", "soft"), **kw))
+        extra = meta.get("extra", {})
+        for name in meta.get("extra_array_names", []):
+            extra[name] = np.array(data[f"xtr_{name}"])
     return (FasstParams(spat=tuple(spat), spec=tuple(spec)),
-            meta["iteration"], meta.get("extra", {}))
+            meta["iteration"], extra)

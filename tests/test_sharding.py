@@ -155,6 +155,100 @@ def test_batch_padding_preserves_annealing_endpoints(rng):
     assert not np.allclose(lls[0], np.asarray(ll_diluted), rtol=1e-5)
 
 
+def test_batch_checkpoint_resume(rng, tmp_path):
+    """VERDICT r2 #10: kill a bucket mid-run, resume, and land on the same
+    logliks and images as an uninterrupted run (the single-clip path
+    already proves the chunked math; this proves the bucketed configs[4]
+    path persists and resumes correctly)."""
+    from pyfasst_tpu.parallel.batch import batch_separate
+
+    F = 33
+    lengths = [40, 44, 150]          # two buckets at granularity 64
+    Xs = [rng.standard_normal((F, n, 2)) + 1j * rng.standard_normal((F, n, 2))
+          for n in lengths]
+
+    def make_params(F, Npad, i):
+        r = np.random.default_rng(i)
+        spat = tuple(SpatialComp(A=jnp.asarray(
+            np.abs(r.standard_normal((2, 1))) + 0.4, jnp.float32))
+            for _ in range(2))
+        spec = tuple(SpectralComp(
+            FB=jnp.asarray(0.5 + r.random((F, 3)), jnp.float32),
+            TW=jnp.asarray(0.5 + r.random((3, Npad)), jnp.float32),
+            spat_ind=j) for j in range(2))
+        return FasstParams(spat=spat, spec=spec)
+
+    cfg = GEMConfig(niter=6)
+    mesh = make_mesh(8)
+    ref_imgs, ref_lls = batch_separate(Xs, make_params, cfg, mesh=mesh,
+                                       granularity=64)
+
+    class Killed(RuntimeError):
+        pass
+
+    def kill_first_chunk(Npad, iteration):
+        raise Killed(f"simulated preemption at bucket {Npad} it {iteration}")
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    with pytest.raises(Killed):
+        batch_separate(Xs, make_params, cfg, mesh=mesh, granularity=64,
+                       checkpoint_dir=ckpt_dir, checkpoint_every=2,
+                       on_checkpoint=kill_first_chunk)
+    import os
+    saved = os.listdir(ckpt_dir)
+    assert len(saved) == 1 and saved[0].startswith("bucket_")
+
+    imgs, lls = batch_separate(Xs, make_params, cfg, mesh=mesh,
+                               granularity=64, checkpoint_dir=ckpt_dir,
+                               checkpoint_every=2)
+    assert os.listdir(ckpt_dir) == []       # completed buckets clean up
+    for i in range(len(Xs)):
+        np.testing.assert_allclose(lls[i], ref_lls[i], rtol=1e-6)
+        np.testing.assert_allclose(imgs[i], ref_imgs[i], rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_batch_checkpoint_mismatch_ignored(rng, tmp_path):
+    """A stale bucket checkpoint (different clip set or niter) must be
+    ignored, not resumed from."""
+    from pyfasst_tpu.parallel.batch import batch_separate
+
+    F, n = 33, 40
+    X = rng.standard_normal((F, n, 2)) + 1j * rng.standard_normal((F, n, 2))
+
+    def make_params(F, Npad, i):
+        r = np.random.default_rng(i)
+        spat = tuple(SpatialComp(A=jnp.asarray(
+            np.abs(r.standard_normal((2, 1))) + 0.4, jnp.float32))
+            for _ in range(2))
+        spec = tuple(SpectralComp(
+            FB=jnp.asarray(0.5 + r.random((F, 3)), jnp.float32),
+            TW=jnp.asarray(0.5 + r.random((3, Npad)), jnp.float32),
+            spat_ind=j) for j in range(2))
+        return FasstParams(spat=spat, spec=spec)
+
+    mesh = make_mesh(8)
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    class Killed(RuntimeError):
+        pass
+
+    def kill(Npad, iteration):
+        raise Killed()
+
+    with pytest.raises(Killed):
+        batch_separate([X], make_params, GEMConfig(niter=6), mesh=mesh,
+                       granularity=64, checkpoint_dir=ckpt_dir,
+                       checkpoint_every=2, on_checkpoint=kill)
+    # different niter: stale checkpoint must not poison the run
+    ref, ref_lls = batch_separate([X], make_params, GEMConfig(niter=4),
+                                  mesh=mesh, granularity=64)
+    imgs, lls = batch_separate([X], make_params, GEMConfig(niter=4),
+                               mesh=mesh, granularity=64,
+                               checkpoint_dir=ckpt_dir, checkpoint_every=2)
+    np.testing.assert_allclose(lls[0], ref_lls[0], rtol=1e-6)
+
+
 def test_frame_axis_sharding_sp(rng):
     """SURVEY.md §2 SP row: shard the frame axis N instead of frequencies;
     the suff-stat reductions over n become psums inserted by GSPMD."""

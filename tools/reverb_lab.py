@@ -1,0 +1,252 @@
+"""configs[2] diagnosis lab: every blind-init hypothesis run to FULL
+convergence, scored against ground truth, with the blind selection
+statistics recorded alongside.
+
+The round-2 verdict's top item is the blind reverberant full-rank gap:
+median blind min-SDR 2.4 dB vs ~13.5 dB from oracle spatial init. The
+production pipeline (models/spatial_init.py) probes candidates for 60
+iterations and picks by vetoed likelihood, then re-runs the winner from a
+fresh spectral seed. This lab separates the two failure hypotheses:
+
+  (a) CANDIDATE quality: does ANY hypothesis in the pool reach a good
+      min-SDR when run to full convergence? (oracle-selection ceiling)
+  (b) SELECTION quality: do the blind statistics (final loglik, stem
+      envelope correlation) identify that hypothesis?
+
+Method: build the full candidate pool (raw + merge/split + direction-first
+splits), replicate each under `--em-seeds` spectral seeds, run ALL of them
+to `--iters` in ONE batched device program (the configs[4] executable),
+Wiener-separate, and score (c, J, J) pairwise STFT-domain errors against
+the true source-image STFTs ON DEVICE -- only (C, J, J) scalars cross the
+axon tunnel, not C full separations. Prints one JSON line per run and an
+oracle-vs-blind summary per draw.
+
+Usage: python tools/reverb_lab.py --draws 102 103 104 105 106 --iters 400
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_fixture(fixture_seed: int):
+    """The reverb_robustness / validate_hw::scenario_reverb fixture family."""
+    from tools.validate_hw import FS, WLEN, _sources
+    from pyfasst_tpu.tf.stft import STFT
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    rng = np.random.default_rng(fixture_seed)
+    n = int(FS * 6.0)
+    srcs = _sources(rng, n, ["harm", "noise_lo", "noise_hi", "clicks"])
+    ys_true = []
+    for j, s in enumerate(srcs):
+        chs = []
+        for ch in range(2):
+            h = rng.standard_normal(100) * np.exp(-np.arange(100) / 20.0)
+            h[0] += 1.5 if ch == (j % 2) else 0.4
+            chs.append(np.convolve(s, h, "same"))
+        ys_true.append(np.stack(chs, 1))
+    ys_true = np.stack(ys_true)
+    mix = ys_true.sum(0)
+    tft = STFT(wlen=WLEN, fs=FS)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    Yt = np.stack([to_host_complex(tft.computeTransform(
+        ys_true[j].astype(np.float32))) for j in range(4)])
+    return X, Yt, ys_true, mix, tft, n
+
+
+def candidate_pool(X: np.ndarray, J: int):
+    """The production pool: raw votes + merge/split + direction-first."""
+    from pyfasst_tpu.models.spatial_init import (
+        candidate_votes, direction_split_candidates, tf_covariance_features,
+        consensus_votes,
+    )
+    feat, w, pw, xx = tf_covariance_features(X)
+    votes = consensus_votes(X, J)
+    cands = candidate_votes(votes, pw)
+    cands += direction_split_candidates(X, J, pw)
+    return cands, pw, xx
+
+
+def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
+             nmf_comps: int = 6, align_at=None):
+    """Run every (candidate, seed) to `iters` in one batched program.
+
+    Returns a list of records with blind stats (final ll, envcorr) and
+    oracle stats (min/mean STFT-domain image SDR at best permutation).
+    align_at: optional fraction in (0, 1) -- run to align_at*iters, apply
+    host-side per-frequency permutation re-alignment of the mixing planes
+    (Duong-style), then continue to iters (uses the chunked bounds path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, init_nmf_comp,
+    )
+    from pyfasst_tpu.models.spatial_init import (
+        _max_env_corr, activity_profiles, apply_profiles, mixing_from_votes,
+    )
+    from pyfasst_tpu.ops.gem import annealing_endpoints
+    from pyfasst_tpu.parallel.sharding import (
+        batch_params, batched_run_gem, make_mesh, sharded_batch_separate,
+    )
+    from pyfasst_tpu.utils.config import GEMConfig
+    from pyfasst_tpu.utils.misc import to_device_complex
+
+    J = cands[0][1].shape[-1]
+    F, N = X.shape[:2]
+    scale = float(np.sqrt(np.mean(np.abs(X) ** 2)))
+    Xd = to_device_complex(np.ascontiguousarray(X)) / scale
+    Yt_d = to_device_complex(np.ascontiguousarray(
+        np.transpose(Yt, (0, 1, 2, 3)))) / scale      # (J, F, N, 2)
+    cfg = GEMConfig(niter=iters, spatial_hold_frac=0.3)
+
+    names, plist = [], []
+    for name, v in cands:
+        A = mixing_from_votes(v, xx, pw, rank=2)
+        twp, fbp = activity_profiles(v, pw)
+        for s in range(em_seeds):
+            keys = list(jax.random.split(jax.random.PRNGKey(s), J))
+            spat = tuple(SpatialComp(A=to_device_complex(A[j]),
+                                     mix_type=CONV) for j in range(J))
+            spec = tuple(init_nmf_comp(keys[j], F, N, nmf_comps, spat_ind=j)
+                         for j in range(J))
+            plist.append(apply_profiles(FasstParams(spat=spat, spec=spec),
+                                        twp, fbp))
+            names.append(f"{name}|s{s}")
+
+    C = len(plist)
+    mesh = make_mesh(1)
+    params_b = batch_params(plist)
+    X_b = jnp.broadcast_to(Xd, (C,) + Xd.shape)
+    t0 = time.perf_counter()
+    if align_at:
+        mid = int(align_at * iters)
+        params_b, lls1 = batched_run_gem(params_b, X_b, cfg, mesh,
+                                         bounds=(0, mid))
+        params_b = realign_mixing(params_b)
+        params_b, lls2 = batched_run_gem(params_b, X_b, cfg, mesh,
+                                         bounds=(mid, iters))
+        lls = np.concatenate([np.asarray(lls1)[:, :mid],
+                              np.asarray(lls2)[:, mid:]], axis=1)
+    else:
+        params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh)
+        lls = np.asarray(lls)
+    _, sigma1 = annealing_endpoints(Xd, cfg)
+    Y_b = sharded_batch_separate(params_b, X_b,
+                                 jnp.broadcast_to(sigma1, (C,)
+                                                  + sigma1.shape), mesh)
+    ec = np.asarray(jax.jit(jax.vmap(_max_env_corr))(Y_b), np.float64)
+
+    # (C, J_est, J_true) squared errors + per-true reference powers,
+    # computed ON device -- the only fetch is (C, J, J) + (J,) scalars.
+    @jax.jit
+    def pair_errors(Y_b):
+        d = Y_b[:, :, None] - Yt_d[None, None]          # (C, Je, Jt, F, N, 2)
+        E = jnp.sum(jnp.abs(d) ** 2, axis=(3, 4, 5))
+        R = jnp.sum(jnp.abs(Yt_d) ** 2, axis=(1, 2, 3))
+        return E, R
+
+    E, R = pair_errors(Y_b)
+    E = np.asarray(E, np.float64)
+    R = np.asarray(R, np.float64)
+    wall = time.perf_counter() - t0
+
+    recs = []
+    for c in range(C):
+        sdr = 10 * np.log10(np.maximum(R[None, :], 1e-12)
+                            / np.maximum(E[c], 1e-12))
+        best, bp = None, None
+        for p in itertools.permutations(range(J)):
+            tot = sum(sdr[p[j], j] for j in range(J))
+            if best is None or tot > best:
+                best, bp = tot, p
+        per = [float(sdr[bp[j], j]) for j in range(J)]
+        recs.append({
+            "name": names[c],
+            "final_ll": float(lls[c, -1]),
+            "envcorr": round(float(ec[c]), 4),
+            "min_sdr_db": round(min(per), 2),
+            "mean_sdr_db": round(float(np.mean(per)), 2),
+            "per_src": [round(x, 2) for x in per],
+        })
+    return recs, wall
+
+
+def realign_mixing(params_b):
+    """Host-side per-frequency permutation re-alignment of conv mixing
+    planes by source activity envelopes (Duong-style repair hook).
+
+    Placeholder identity until the mid-EM experiment wires it up."""
+    return params_b
+
+
+def summarize(draw: int, recs, env_thr: float = 0.6):
+    mins = np.array([r["min_sdr_db"] for r in recs])
+    lls = np.array([r["final_ll"] for r in recs])
+    ecs = np.array([r["envcorr"] for r in recs])
+    oracle = int(np.argmax(mins))
+    ok = ecs <= env_thr
+    if ok.any():
+        blind = int(np.argmax(np.where(ok, lls, -np.inf)))
+    else:
+        blind = int(np.argmin(ecs))
+    blind_minenv = int(np.argmin(ecs))
+    return {
+        "draw": draw, "pool": len(recs),
+        "oracle": {"name": recs[oracle]["name"],
+                   "min_sdr": recs[oracle]["min_sdr_db"],
+                   "mean_sdr": recs[oracle]["mean_sdr_db"]},
+        "blind_ll_veto": {"name": recs[blind]["name"],
+                          "min_sdr": recs[blind]["min_sdr_db"],
+                          "envcorr": recs[blind]["envcorr"],
+                          "survivors": int(ok.sum())},
+        "blind_min_envcorr": {"name": recs[blind_minenv]["name"],
+                              "min_sdr": recs[blind_minenv]["min_sdr_db"]},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--draws", type=int, nargs="+",
+                    default=[102, 103, 104, 105, 106])
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--em-seeds", type=int, default=2)
+    ap.add_argument("--align-at", type=float, default=None)
+    ap.add_argument("--dump", default=None,
+                    help="JSONL path for per-run records")
+    args = ap.parse_args()
+
+    dump = open(args.dump, "a") if args.dump else None
+    for draw in args.draws:
+        X, Yt, ys_true, mix, tft, n = make_fixture(draw)
+        t0 = time.perf_counter()
+        cands, pw, xx = candidate_pool(X, J=4)
+        t_pool = time.perf_counter() - t0
+        recs, wall = run_pool(X, cands, pw, xx, Yt, args.iters,
+                              args.em_seeds, align_at=args.align_at)
+        for r in recs:
+            r["draw"] = draw
+            if dump:
+                dump.write(json.dumps(r) + "\n")
+        if dump:
+            dump.flush()
+        s = summarize(draw, recs)
+        s["pool_wall_s"] = round(t_pool, 1)
+        s["em_wall_s"] = round(wall, 1)
+        print(json.dumps(s), flush=True)
+    if dump:
+        dump.close()
+
+
+if __name__ == "__main__":
+    main()
