@@ -124,6 +124,46 @@ def bss_eval_sources(est: np.ndarray, ref: np.ndarray, filt_len: int = 128
     }
 
 
+def bss_eval_images(est: np.ndarray, ref: np.ndarray, filt_len: int = 512
+                    ) -> Dict[str, np.ndarray]:
+    """BSS-Eval SDR for multichannel source IMAGES at the best permutation.
+
+    est, ref: (J, T, I) source images (the Wiener estimates target images,
+    SURVEY.md §A separation). Per-channel variant of bss_eval_images
+    (Vincent et al. 2007): channel i of estimate j is projected onto the
+    filt_len-shift subspace of ALL references' channel i; distortion power
+    is summed over channels before the log. Default filt_len=512 is the
+    literature operating point (tractable here because the projector is
+    FFT/Toeplitz -- the round-2 dense version was >10 GB at this setting).
+    Returns {'sdr' (J,), 'perm'}.
+    """
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    J, T, I = ref.shape
+    num = np.zeros((J, J))          # target power, est i vs ref j
+    den = np.zeros((J, J))          # distortion power
+    for ch in range(I):
+        refs_ch = ref[:, :, ch]
+        for i in range(J):
+            est_pad, proj_all, proj_each = _shifted_gram_projection(
+                est[i, :, ch], refs_ch, filt_len)
+            artifact = est_pad - proj_all
+            for j in range(J):
+                s_target = proj_each[j]
+                e_interf = proj_all - s_target
+                num[i, j] += np.sum(s_target ** 2)
+                den[i, j] += np.sum((e_interf + artifact) ** 2)
+    sdr = 10 * np.log10(np.maximum(num, 1e-12) / np.maximum(den, 1e-12))
+    best, best_perm = None, None
+    for perm in itertools.permutations(range(J)):
+        tot = sum(sdr[perm[j], j] for j in range(J))
+        if best is None or tot > best:
+            best, best_perm = tot, perm
+    p = list(best_perm)
+    return {"sdr": np.array([sdr[p[j], j] for j in range(J)]),
+            "perm": np.array(p)}
+
+
 def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     """Scale-invariant SDR of one estimate against one reference (T,)."""
     est = np.asarray(est, np.float64).ravel()

@@ -154,6 +154,29 @@ def test_bss_eval_literature_operating_point(rng):
     assert list(out["perm"]) == [0, 1]
 
 
+def test_bss_eval_images(rng):
+    """Stereo image variant: perfect images score high, permutation is
+    recovered, and a convolved (allowed-distortion) image still scores
+    high at filt_len covering the filter."""
+    from pyfasst_tpu.utils.metrics import bss_eval_images
+    T = 8000
+    s = rng.standard_normal((2, T))
+    imgs = np.stack([np.stack([s[0], 0.4 * s[0]], -1),
+                     np.stack([0.3 * s[1], s[1]], -1)])   # (J, T, 2)
+    out = bss_eval_images(imgs, imgs, filt_len=16)
+    assert np.all(out["sdr"] > 60)
+    out2 = bss_eval_images(imgs[::-1], imgs, filt_len=16)
+    assert list(out2["perm"]) == [1, 0] and np.all(out2["sdr"] > 60)
+    # a short FIR on the estimate is allowed distortion, not error
+    h = np.array([0.8, 0.15, 0.05])
+    est = imgs.copy()
+    for j in range(2):
+        for ch in range(2):
+            est[j, :, ch] = np.convolve(imgs[j, :, ch], h, "full")[:T]
+    out3 = bss_eval_images(est, imgs, filt_len=16)
+    assert np.all(out3["sdr"] > 40), out3["sdr"]
+
+
 def test_si_sdr_and_xrt():
     t = np.linspace(0, 1, 1000)
     s = np.sin(2 * np.pi * 5 * t)

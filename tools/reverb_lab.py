@@ -77,8 +77,10 @@ def candidate_pool(X: np.ndarray, J: int):
 
 
 def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
-             nmf_comps: int = 6, align_at=None):
-    """Run every (candidate, seed) to `iters` in one batched program.
+             nmf_comps: int = 6, align_at=None, chunk: int = 24):
+    """Run every (candidate, seed) to `iters` in batched programs of at
+    most `chunk` runs each (a single 74-wide 400-iter program crashed the
+    TPU worker -- kernel fault; production probes run ~20-40 wide).
 
     Returns a list of records with blind stats (final ll, envcorr) and
     oracle stats (min/mean STFT-domain image SDR at best permutation).
@@ -124,41 +126,57 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
                                         twp, fbp))
             names.append(f"{name}|s{s}")
 
-    C = len(plist)
     mesh = make_mesh(1)
-    params_b = batch_params(plist)
-    X_b = jnp.broadcast_to(Xd, (C,) + Xd.shape)
-    t0 = time.perf_counter()
-    if align_at:
-        mid = int(align_at * iters)
-        params_b, lls1 = batched_run_gem(params_b, X_b, cfg, mesh,
-                                         bounds=(0, mid))
-        params_b = realign_mixing(params_b)
-        params_b, lls2 = batched_run_gem(params_b, X_b, cfg, mesh,
-                                         bounds=(mid, iters))
-        lls = np.concatenate([np.asarray(lls1)[:, :mid],
-                              np.asarray(lls2)[:, mid:]], axis=1)
-    else:
-        params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh)
-        lls = np.asarray(lls)
     _, sigma1 = annealing_endpoints(Xd, cfg)
-    Y_b = sharded_batch_separate(params_b, X_b,
-                                 jnp.broadcast_to(sigma1, (C,)
-                                                  + sigma1.shape), mesh)
-    ec = np.asarray(jax.jit(jax.vmap(_max_env_corr))(Y_b), np.float64)
 
-    # (C, J_est, J_true) squared errors + per-true reference powers,
-    # computed ON device -- the only fetch is (C, J, J) + (J,) scalars.
     @jax.jit
-    def pair_errors(Y_b):
+    def pair_errors(Y_b, Yt_d):
+        # (C, Je, Jt) squared errors + per-true reference powers, computed
+        # ON device -- the only fetch is (C, J, J) + (J,) scalars. Yt_d is
+        # an ARGUMENT, not a closure capture: a complex array captured by
+        # jit is embedded as an mlir constant, which fetches it to host at
+        # trace time -- UNIMPLEMENTED on axon (CLAUDE.md).
         d = Y_b[:, :, None] - Yt_d[None, None]          # (C, Je, Jt, F, N, 2)
         E = jnp.sum(jnp.abs(d) ** 2, axis=(3, 4, 5))
         R = jnp.sum(jnp.abs(Yt_d) ** 2, axis=(1, 2, 3))
         return E, R
 
-    E, R = pair_errors(Y_b)
-    E = np.asarray(E, np.float64)
+    envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
+    t0 = time.perf_counter()                        # per-chunk retrace
+    lls_all, ec_all, E_all = [], [], []
+    for lo in range(0, len(plist), chunk):
+        sub = plist[lo:lo + chunk]
+        valid = len(sub)
+        while len(sub) < min(chunk, len(plist)):   # pad: one executable size
+            sub = sub + [sub[0]]
+        C = len(sub)
+        params_b = batch_params(sub)
+        X_b = jnp.broadcast_to(Xd, (C,) + Xd.shape)
+        if align_at:
+            mid = int(align_at * iters)
+            params_b, lls1 = batched_run_gem(params_b, X_b, cfg, mesh,
+                                             bounds=(0, mid))
+            params_b = realign_mixing(params_b)
+            params_b, lls2 = batched_run_gem(params_b, X_b, cfg, mesh,
+                                             bounds=(mid, iters))
+            lls = np.concatenate([np.asarray(lls1)[:, :mid],
+                                  np.asarray(lls2)[:, mid:]], axis=1)
+        else:
+            params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh)
+            lls = np.asarray(lls)
+        Y_b = sharded_batch_separate(params_b, X_b,
+                                     jnp.broadcast_to(sigma1, (C,)
+                                                      + sigma1.shape), mesh)
+        ec = np.asarray(envcorr_fn(Y_b), np.float64)
+        E, R = pair_errors(Y_b, Yt_d)
+        lls_all.append(lls[:valid])
+        ec_all.append(ec[:valid])
+        E_all.append(np.asarray(E, np.float64)[:valid])
+    lls = np.concatenate(lls_all)
+    ec = np.concatenate(ec_all)
+    E = np.concatenate(E_all)
     R = np.asarray(R, np.float64)
+    C = len(plist)
     wall = time.perf_counter() - t0
 
     recs = []
@@ -182,12 +200,61 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
     return recs, wall
 
 
-def realign_mixing(params_b):
-    """Host-side per-frequency permutation re-alignment of conv mixing
-    planes by source activity envelopes (Duong-style repair hook).
+def realign_mixing(params_b, sweeps: int = 4):
+    """Host-side per-frequency permutation re-alignment (Duong-style).
 
-    Placeholder identity until the mid-EM experiment wires it up."""
-    return params_b
+    Full-rank/conv models estimate R_j(f) independently per frequency; an
+    imperfect init can leave BANDS where the source identities are swapped
+    relative to the rest of the spectrum (the classic per-frequency
+    permutation problem). Mid-EM repair: for each run, correlate each
+    source's per-frequency log activity envelope (model PSD v_j(f, :))
+    with its global (frequency-pooled) envelope, and permute the mixing
+    planes A_j(f) -- and the FB rows, which carry the band energy -- to
+    the best assignment per frequency, iterating a few sweeps. The
+    remaining EM iterations re-learn the spectral detail under the
+    repaired spatial identities.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.models.spatial_init import _best_assignment, _normrows
+    from pyfasst_tpu.utils.misc import to_device_complex, to_host_complex
+
+    J = len(params_b.spat)
+    A = [to_host_complex(c.A) for c in params_b.spat]     # (C, F, 2, R) each
+    FB = [np.asarray(c.FB) for c in params_b.spec]        # (C, F, K)
+    TW = [np.asarray(c.TW) for c in params_b.spec]        # (C, K, N)
+    C, F = FB[0].shape[:2]
+    fidx = np.arange(F)[None, :]
+    for c in range(C):
+        Astk = np.stack([A[j][c] for j in range(J)])      # (J, F, 2, R)
+        FBstk = np.stack([FB[j][c] for j in range(J)])    # (J, F, K)
+        act = np.stack([FB[j][c] @ TW[j][c] for j in range(J)])  # (J, F, N)
+        An = _normrows(np.log1p(
+            act / np.maximum(act.mean(-1, keepdims=True), 1e-20)))
+        Afn = np.transpose(An, (1, 0, 2))                 # (F, J, N)
+        g = Afn.mean(0)                                   # (J, N)
+        for _ in range(sweeps):
+            gn = _normrows(g)
+            S = np.einsum('fjn,kn->fjk', Afn, gn)         # (F, J, J)
+            sel = _best_assignment(S)                     # (F, J)
+            if np.all(sel == np.arange(J)[None, :]):
+                break
+            Afn = np.take_along_axis(Afn, sel[:, :, None], axis=1)
+            Astk = Astk[sel.T, fidx]                      # (J, F, 2, R)
+            FBstk = FBstk[sel.T, fidx]
+            g = Afn.mean(0)
+        for j in range(J):
+            A[j][c] = Astk[j]
+            FB[j][c] = FBstk[j]
+    spat = tuple(dataclasses.replace(
+        comp, A=to_device_complex(np.ascontiguousarray(A[j])))
+        for j, comp in enumerate(params_b.spat))
+    spec = tuple(dataclasses.replace(
+        comp, FB=jnp.asarray(FB[j], comp.FB.dtype))
+        for j, comp in enumerate(params_b.spec))
+    return dataclasses.replace(params_b, spat=spat, spec=spec)
 
 
 def summarize(draw: int, recs, env_thr: float = 0.6):
