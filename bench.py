@@ -9,7 +9,10 @@ numbers -- BASELINE.md).
 The headline is the chip's real steady-state capability (VERDICT r2 #8):
 BATCH clips through the batched GEM + Wiener path at the throughput-optimal
 batch size (single-clip dispatch leaves the chip underutilized -- measured
-169 xRT single vs ~344 aggregate at batch 16, tools/batch_scaling.py). Every
+at flagship shapes: single 169 / batch-4 198 / batch-8 202 / batch-16 182 /
+batch-32 149 xRT, so the optimum is shallow and sits at 8; the earlier 344
+figure from tools/batch_scaling.py was at ~4.5x smaller N where per-dispatch
+overhead dominates). Every
 clip in the batch is a distinct mixture and every clip's separation must
 pass the SDR quality gate. The timed region is the full device pipeline:
 STFT -> 500-iteration GEM fori_loop -> Wiener separation -> ISTFT. WAV I/O
@@ -42,7 +45,7 @@ HOP = 512
 NITER = 500
 J, K = 2, 8
 TARGET_XRT = 50.0
-BATCH = 16          # throughput-optimal on v5e (tools/batch_scaling.py)
+BATCH = 8           # throughput-optimal on v5e at flagship shapes (sweep above)
 
 
 def make_mixture(fs=FS, dur=DUR, seed=0, return_sources=False):

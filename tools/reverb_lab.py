@@ -222,9 +222,11 @@ def realign_mixing(params_b, sweeps: int = 4):
     from pyfasst_tpu.utils.misc import to_device_complex, to_host_complex
 
     J = len(params_b.spat)
-    A = [to_host_complex(c.A) for c in params_b.spat]     # (C, F, 2, R) each
-    FB = [np.asarray(c.FB) for c in params_b.spec]        # (C, F, K)
-    TW = [np.asarray(c.TW) for c in params_b.spec]        # (C, K, N)
+    # np.array copies: device fetches give read-only views, and the loop
+    # below writes rows in place
+    A = [np.array(to_host_complex(c.A)) for c in params_b.spat]  # (C,F,2,R)
+    FB = [np.array(c.FB) for c in params_b.spec]          # (C, F, K)
+    TW = [np.array(c.TW) for c in params_b.spec]          # (C, K, N)
     C, F = FB[0].shape[:2]
     fidx = np.arange(F)[None, :]
     for c in range(C):
