@@ -77,7 +77,8 @@ def candidate_pool(X: np.ndarray, J: int):
 
 
 def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
-             nmf_comps: int = 6, align_at=None, chunk: int = 24):
+             nmf_comps: int = 6, align_at=None, chunk: int = 24,
+             return_Y: bool = False):
     """Run every (candidate, seed) to `iters` in batched programs of at
     most `chunk` runs each (a single 74-wide 400-iter program crashed the
     TPU worker -- kernel fault; production probes run ~20-40 wide).
@@ -143,7 +144,7 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
 
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
     t0 = time.perf_counter()                        # per-chunk retrace
-    lls_all, ec_all, E_all = [], [], []
+    lls_all, ec_all, E_all, Y_all = [], [], [], []
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -172,6 +173,9 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         lls_all.append(lls[:valid])
         ec_all.append(ec[:valid])
         E_all.append(np.asarray(E, np.float64)[:valid])
+        if return_Y:
+            from pyfasst_tpu.utils.misc import to_host_complex
+            Y_all.append(to_host_complex(Y_b)[:valid] * scale)
     lls = np.concatenate(lls_all)
     ec = np.concatenate(ec_all)
     E = np.concatenate(E_all)
@@ -197,6 +201,8 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
             "mean_sdr_db": round(float(np.mean(per)), 2),
             "per_src": [round(x, 2) for x in per],
         })
+        if return_Y:
+            recs[-1]["Y"] = np.concatenate(Y_all)[c]
     return recs, wall
 
 
