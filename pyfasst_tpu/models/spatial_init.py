@@ -143,6 +143,67 @@ def _cluster_per_frequency(feat, w, J: int, seed: int,
     return lab
 
 
+def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
+    """Per-frequency permutation alignment by SPECTRAL CLUSTERING of the
+    (frequency, cluster) activity-envelope correlation graph.
+
+    `_align_by_activity` is a mean-field method: every frequency's clusters
+    are matched to ONE global envelope template per source. That
+    systematically buries narrowband sources -- a source occupying a few
+    bins never resembles a global mean envelope dominated by the broadband
+    sources, so its bins get permuted into whichever loud source is nearby.
+    Measured on the configs[2] fixture family (draws 102-106): activity
+    alignment leaves 53-81% of frequencies off the reference permutation
+    and blind EM at -2..+1.3 dB min SDR, while this method reaches
+    +3.5..+5.9 dB blind (oracle per-frequency alignment: ~8-11 dB).
+
+    Method: each (f, j) cluster is a node with a normalized log activity
+    envelope (over frames); affinity = thresholded envelope correlation
+    (within-frequency edges removed -- those J nodes are distinct sources
+    by construction), power-scaled so loud nodes anchor the partition.
+    Normalized-Laplacian eigenvectors (top J) + power-weighted spherical
+    k-means give a soft community score per node; the per-frequency
+    permutation is the best assignment of that frequency's J nodes to the
+    J communities. Transitive envelope-correlation chains connect
+    narrowband regions to their source without requiring any single
+    global template -- the structural fix over the mean-field anchor.
+    """
+    F, N = lab.shape
+    oh = np.eye(J)[lab]
+    act = np.einsum('fnj,fn->fjn', oh, pw)
+    E = _normrows(np.log1p(
+        act / np.maximum(act.mean(-1, keepdims=True), 1e-20)))
+    nodes = E.reshape(F * J, N)
+    npow = act.sum(-1).reshape(F * J)
+    W = np.maximum(nodes @ nodes.T, 0.0)
+    idx = np.arange(F * J).reshape(F, J)
+    for f in range(F):
+        W[np.ix_(idx[f], idx[f])] = 0.0
+    if pweight:
+        sw = np.sqrt(npow / max(npow.mean(), 1e-20))
+        W = W * np.minimum(sw[:, None], 3) * np.minimum(sw[None, :], 3)
+    d = W.sum(1) + 1e-9
+    Dm = 1.0 / np.sqrt(d)
+    L = Dm[:, None] * W * Dm[None, :]
+    _, vecs = np.linalg.eigh(L)
+    U = vecs[:, -J:]
+    U = U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    wts = npow / max(npow.sum(), 1e-20)
+    cent = U[rng.choice(len(U), J, replace=False, p=wts)]
+    for _ in range(25):
+        a = np.argmax(U @ cent.T, 1)
+        for k in range(J):
+            m = a == k
+            if m.any():
+                c = np.average(U[m], axis=0, weights=npow[m] + 1e-12)
+                cent[k] = c / max(np.linalg.norm(c), 1e-12)
+    S = (U @ cent.T).reshape(F, J, J)
+    sel = _best_assignment(S)
+    inv = np.argsort(sel, axis=1)
+    return np.take_along_axis(inv, lab, axis=1)
+
+
 def _align_by_activity(lab, pw, J: int, sweeps: int = 6):
     """Resolve the per-frequency cluster-order ambiguity.
 
@@ -167,39 +228,80 @@ def _align_by_activity(lab, pw, J: int, sweeps: int = 6):
     return lab
 
 
-def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
-                    kiter: int = 30, rounds: int = 2,
-                    backend: str = "jax") -> np.ndarray:
-    """Soft source-dominance votes (F, N, J) from n_seeds clusterings.
-
-    Each seed clusters and activity-aligns independently; votes are then
-    permutation-matched to a power-weighted consensus and averaged, with
-    `rounds` re-vote passes (the first pass's consensus is seed-0 biased).
-
-    backend='jax' runs the whole pipeline (all seeds vmapped together) as
-    one jitted device program -- on TPU this turns a ~40 s host init into
-    ~1 s, which matters because the EM it feeds runs in ~0.05 s there.
-    backend='numpy' is the loop-free host reference (and the only path
-    for J > 6, where the device permutation enumeration would not fit).
-    """
-    feat, w, pw, _ = tf_covariance_features(X)
-    F, N = pw.shape
-    if backend == "jax" and J <= 6:
-        return _consensus_votes_jax(feat, w, pw, J, n_seeds, kiter, rounds)
-    labs = [_align_by_activity(
-        _cluster_per_frequency(feat, w, J, seed=s, kiter=kiter), pw, J)
-        for s in range(n_seeds)]
+def _vote_consensus(labs, pw, J: int, rounds: int = 2) -> np.ndarray:
+    """Permutation-match each seed's labels to a power-weighted consensus
+    and average; `rounds` re-vote passes de-bias the seed-0 start."""
     cons = np.eye(J)[labs[0]] * pw[..., None]
-    votes = np.zeros((F, N, J))
+    votes = np.zeros(pw.shape + (J,))
     for _ in range(rounds):
-        votes = np.zeros((F, N, J))
+        votes = np.zeros(pw.shape + (J,))
         for L in labs:
             oh = np.eye(J)[L]
             T = np.einsum('fna,fnb->fab', oh, cons)
             sel = _best_assignment(T)
             votes += np.take_along_axis(oh, sel[:, None, :], axis=2)
         cons = votes * pw[..., None]
-    return votes / n_seeds
+    return votes / len(labs)
+
+
+def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
+                    kiter: int = 30, rounds: int = 2,
+                    backend: str = "jax",
+                    align: str = "spectral") -> np.ndarray:
+    """Soft source-dominance votes (F, N, J) from n_seeds clusterings.
+
+    Each seed clusters and permutation-aligns independently; votes are then
+    permutation-matched to a power-weighted consensus and averaged, with
+    `rounds` re-vote passes (the first pass's consensus is seed-0 biased).
+
+    align='spectral' (default) resolves each seed's per-frequency cluster
+    order by spectral clustering of the envelope-correlation graph
+    (`_align_spectral` -- measured +4..+6 dB min SDR over 'activity' on
+    the configs[2] family); 'activity' is the older mean-field anchor.
+
+    backend='jax' runs the clustering (all seeds vmapped together) as one
+    jitted device program -- on TPU this turns a ~40 s host init into ~1 s
+    for 'activity'; for 'spectral' the alignment itself stays on host
+    (one (F*J)^2 eigendecomposition per seed, ~1 s total) with the
+    k-means on device. backend='numpy' is the loop-free host reference
+    (and the only path for J > 6, where the device permutation
+    enumeration would not fit).
+    """
+    feat, w, pw, _ = tf_covariance_features(X)
+    F, N = pw.shape
+    if align == "spectral":
+        if backend == "jax" and J <= 6:
+            labs_all = _cluster_labels_jax(feat, w, J, n_seeds, kiter)
+            labs = [np.asarray(labs_all[s]) for s in range(n_seeds)]
+        else:
+            labs = [_cluster_per_frequency(feat, w, J, seed=s, kiter=kiter)
+                    for s in range(n_seeds)]
+        labs = [_align_spectral(L, pw, J) for L in labs]
+        return _vote_consensus(labs, pw, J, rounds)
+    if backend == "jax" and J <= 6:
+        return _consensus_votes_jax(feat, w, pw, J, n_seeds, kiter, rounds)
+    labs = [_align_by_activity(
+        _cluster_per_frequency(feat, w, J, seed=s, kiter=kiter), pw, J)
+        for s in range(n_seeds)]
+    return _vote_consensus(labs, pw, J, rounds)
+
+
+def _prep_seeds(feat, w, n_seeds: int, J: int, M: int = 8000):
+    """Per-seed warm-start subsamples and initial centroids (host RNG)."""
+    import jax.numpy as jnp
+
+    zs = feat.reshape(-1, 4).astype(np.float32)
+    ws = w.reshape(-1).astype(np.float32)
+    zc, wc, C0 = [], [], []
+    for s in range(n_seeds):
+        rng = np.random.default_rng(s)
+        sel = rng.choice(len(zs), min(M, len(zs)), replace=False)
+        zc.append(zs[sel])
+        wc.append(ws[sel])
+        C0.append(zc[-1][rng.choice(len(sel), J, replace=False)])
+    return (jnp.asarray(np.stack(zc)),                # (S, M, 4)
+            jnp.asarray(np.stack(wc)),                # (S, M)
+            jnp.asarray(np.stack(C0)))                # (S, J, 4)
 
 
 def _consensus_votes_jax(feat, w, pw, J: int, n_seeds: int,
@@ -214,28 +316,39 @@ def _consensus_votes_jax(feat, w, pw, J: int, n_seeds: int,
     path only at argmin/argmax ties (measure: identical votes on the
     configs[2] fixture).
     """
-    import jax
     import jax.numpy as jnp
 
-    M = 8000
-    F, N = pw.shape
-    zs = feat.reshape(-1, 4).astype(np.float32)
-    ws = w.reshape(-1).astype(np.float32)
-    zc, wc, C0 = [], [], []
-    for s in range(n_seeds):
-        rng = np.random.default_rng(s)
-        sel = rng.choice(len(zs), min(M, len(zs)), replace=False)
-        zc.append(zs[sel])
-        wc.append(ws[sel])
-        C0.append(zc[-1][rng.choice(len(sel), J, replace=False)])
-    zc = jnp.asarray(np.stack(zc))                    # (S, M, 4)
-    wc = jnp.asarray(np.stack(wc))                    # (S, M)
-    C0 = jnp.asarray(np.stack(C0))                    # (S, J, 4)
+    zc, wc, C0 = _prep_seeds(feat, w, n_seeds, J)
     votes = _consensus_kernel_jax(
         jnp.asarray(feat, jnp.float32), jnp.asarray(w, jnp.float32),
         jnp.asarray(pw, jnp.float32), zc, wc, C0,
         J=J, kiter=kiter, rounds=rounds)
     return np.asarray(votes, np.float64)
+
+
+_JITTED_LABELS = None
+
+
+def _cluster_labels_jax(feat, w, J: int, n_seeds: int,
+                        kiter: int) -> np.ndarray:
+    """All n_seeds warm-started per-frequency k-means label planes as one
+    jitted device program -> (S, F, N) int labels on host. The alignment
+    stage (host, `_align_spectral`) consumes these; clustering is the
+    expensive part and stays on device."""
+    global _JITTED_LABELS
+    import jax
+    import jax.numpy as jnp
+
+    if _JITTED_LABELS is None:
+        def impl(feat, w, zc, wc, C0, *, J, kiter):
+            with jax.default_matmul_precision("highest"):  # see consensus
+                return _kmeans_labels(feat, w, zc, wc, C0, J, kiter)
+        _JITTED_LABELS = jax.jit(impl, static_argnames=("J", "kiter"))
+    zc, wc, C0 = _prep_seeds(feat, w, n_seeds, J)
+    lab = _JITTED_LABELS(jnp.asarray(feat, jnp.float32),
+                         jnp.asarray(w, jnp.float32), zc, wc, C0,
+                         J=J, kiter=kiter)
+    return np.asarray(lab)
 
 
 def _labels_from_centroids(feat2, C):
@@ -275,15 +388,16 @@ def _consensus_kernel_impl(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
                                         kiter=kiter, rounds=rounds)
 
 
-def _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
+def _kmeans_labels(feat, w, zc, wc, C0, J, kiter):
+    """Traced body: warm-started per-frequency weighted k-means over all
+    seeds -> labels (S, F, N). Shared by the consensus kernel and the
+    labels-only kernel (spectral alignment path)."""
     import jax
     import jax.numpy as jnp
 
     S = zc.shape[0]
-    F, N = pw.shape
+    F, N = feat.shape[:2]
     eye = jnp.eye(J, dtype=jnp.float32)
-    P, _ = _perm_tables(J)
-    P = jnp.asarray(P)                                 # (J!, J)
 
     def warm_body(_, C):
         lab = _labels_from_centroids(zc, C)            # (S, M)
@@ -307,7 +421,20 @@ def _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
                          num / jnp.maximum(den, 1e-8)[..., None], Cf)
 
     Cf = jax.lax.fori_loop(0, kiter, freq_body, Cf0)
-    lab = _labels_from_centroids(feat[None], Cf)       # (S, F, N)
+    return _labels_from_centroids(feat[None], Cf)      # (S, F, N)
+
+
+def _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
+    import jax
+    import jax.numpy as jnp
+
+    S = zc.shape[0]
+    F, N = pw.shape
+    eye = jnp.eye(J, dtype=jnp.float32)
+    P, _ = _perm_tables(J)
+    P = jnp.asarray(P)                                 # (J!, J)
+
+    lab = _kmeans_labels(feat, w, zc, wc, C0, J, kiter)
 
     def normrows(a):
         a = a - a.mean(-1, keepdims=True)
