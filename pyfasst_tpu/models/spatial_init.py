@@ -143,34 +143,15 @@ def _cluster_per_frequency(feat, w, J: int, seed: int,
     return lab
 
 
-def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
-    """Per-frequency permutation alignment by SPECTRAL CLUSTERING of the
-    (frequency, cluster) activity-envelope correlation graph.
+def _embed_nodes(act, pw, pweight: bool = True):
+    """(F, J, N) per-(frequency, cluster) activity -> eigen-embedding.
 
-    `_align_by_activity` is a mean-field method: every frequency's clusters
-    are matched to ONE global envelope template per source. That
-    systematically buries narrowband sources -- a source occupying a few
-    bins never resembles a global mean envelope dominated by the broadband
-    sources, so its bins get permuted into whichever loud source is nearby.
-    Measured on the configs[2] fixture family (draws 102-106): activity
-    alignment leaves 53-81% of frequencies off the reference permutation
-    and blind EM at -2..+1.3 dB min SDR, while this method reaches
-    +3.5..+5.9 dB blind (oracle per-frequency alignment: ~8-11 dB).
-
-    Method: each (f, j) cluster is a node with a normalized log activity
-    envelope (over frames); affinity = thresholded envelope correlation
+    Builds the envelope-correlation affinity graph over the F*J nodes
     (within-frequency edges removed -- those J nodes are distinct sources
-    by construction), power-scaled so loud nodes anchor the partition.
-    Normalized-Laplacian eigenvectors (top J) + power-weighted spherical
-    k-means give a soft community score per node; the per-frequency
-    permutation is the best assignment of that frequency's J nodes to the
-    J communities. Transitive envelope-correlation chains connect
-    narrowband regions to their source without requiring any single
-    global template -- the structural fix over the mean-field anchor.
-    """
-    F, N = lab.shape
-    oh = np.eye(J)[lab]
-    act = np.einsum('fnj,fn->fjn', oh, pw)
+    by construction; power-scaled so loud nodes anchor the partition) and
+    returns (U (F*J, J): row-normalized top-J normalized-Laplacian
+    eigenvectors, npow (F*J,): node powers)."""
+    F, J, N = act.shape
     E = _normrows(np.log1p(
         act / np.maximum(act.mean(-1, keepdims=True), 1e-20)))
     nodes = E.reshape(F * J, N)
@@ -187,21 +168,83 @@ def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
     L = Dm[:, None] * W * Dm[None, :]
     _, vecs = np.linalg.eigh(L)
     U = vecs[:, -J:]
-    U = U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
+    return (U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True),
+                           1e-12), npow)
+
+
+def _spherical_kmeans(U, npow, J: int, seed: int = 0, iters: int = 25):
+    """Power-weighted spherical k-means on embedding rows -> (J, dim)."""
     rng = np.random.default_rng(seed)
     wts = npow / max(npow.sum(), 1e-20)
     cent = U[rng.choice(len(U), J, replace=False, p=wts)]
-    for _ in range(25):
+    for _ in range(iters):
         a = np.argmax(U @ cent.T, 1)
         for k in range(J):
             m = a == k
             if m.any():
                 c = np.average(U[m], axis=0, weights=npow[m] + 1e-12)
                 cent[k] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def _assignment_from_embedding(U, cent, F: int, J: int):
+    """Per-frequency best assignment of that frequency's J nodes to the J
+    communities -> sel (F, J)."""
     S = (U @ cent.T).reshape(F, J, J)
-    sel = _best_assignment(S)
+    return _best_assignment(S)
+
+
+def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
+    """Per-frequency permutation alignment by SPECTRAL CLUSTERING of the
+    (frequency, cluster) activity-envelope correlation graph.
+
+    `_align_by_activity` is a mean-field method: every frequency's clusters
+    are matched to ONE global envelope template per source. That
+    systematically buries narrowband sources -- a source occupying a few
+    bins never resembles a global mean envelope dominated by the broadband
+    sources, so its bins get permuted into whichever loud source is nearby.
+    Measured on the configs[2] fixture family (draws 102-106): activity
+    alignment leaves 53-81% of frequencies off the reference permutation
+    and blind EM at -2..+1.3 dB min SDR, while this method reaches
+    +3.5..+5.9 dB blind (oracle per-frequency alignment: ~8-11 dB).
+
+    Method: each (f, j) cluster is a node with a normalized log activity
+    envelope (over frames); affinity = thresholded envelope correlation.
+    Normalized-Laplacian eigenvectors (top J) + power-weighted spherical
+    k-means give a soft community score per node; the per-frequency
+    permutation is the best assignment of that frequency's J nodes to the
+    J communities. Transitive envelope-correlation chains connect
+    narrowband regions to their source without requiring any single
+    global template -- the structural fix over the mean-field anchor.
+    """
+    F, N = lab.shape
+    oh = np.eye(J)[lab]
+    act = np.einsum('fnj,fn->fjn', oh, pw)
+    U, npow = _embed_nodes(act, pw, pweight)
+    cent = _spherical_kmeans(U, npow, J, seed=seed)
+    sel = _assignment_from_embedding(U, cent, F, J)
     inv = np.argsort(sel, axis=1)
     return np.take_along_axis(inv, lab, axis=1)
+
+
+def realign_votes(votes: np.ndarray, pw: np.ndarray, J: int,
+                  seed: int = 0) -> np.ndarray:
+    """One more spectral-alignment pass over SOFT consensus votes.
+
+    Re-embeds the per-(frequency, source) soft vote activity (instead of a
+    hard label plane) and re-permutes the votes per frequency. This is a
+    DIFFERENT estimate, not a refinement: on the configs[2] family it
+    rescues draws where the per-seed alignment buried a narrowband source
+    (draw 102: min SDR -0.1 -> +3.8..4.1 dB) but can hurt others (draw
+    104: 5.0 -> 1.8), so it enters the candidate pool for model-evidence
+    selection rather than replacing the per-seed path.
+    """
+    act = np.einsum('fnj,fn->fjn', votes, pw)
+    F = pw.shape[0]
+    U, npow = _embed_nodes(act, pw)
+    cent = _spherical_kmeans(U, npow, J, seed=seed)
+    sel = _assignment_from_embedding(U, cent, F, J)
+    return np.take_along_axis(votes, sel[:, None, :], axis=2)
 
 
 def _align_by_activity(lab, pw, J: int, sweeps: int = 6):

@@ -142,9 +142,17 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         R = jnp.sum(jnp.abs(Yt_d) ** 2, axis=(1, 2, 3))
         return E, R
 
+    @jax.jit
+    def stem_shares(Y_b):
+        # per-run fraction of total separated energy in each stem (C, J):
+        # a blind health statistic -- a buried source shows up as a
+        # near-zero share (selection rules use the min share)
+        p = jnp.sum(jnp.abs(Y_b) ** 2, axis=(2, 3, 4))   # (C, J)
+        return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
+
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
     t0 = time.perf_counter()                        # per-chunk retrace
-    lls_all, ec_all, E_all, Y_all = [], [], [], []
+    lls_all, ec_all, sh_all, E_all, Y_all = [], [], [], [], []
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -169,15 +177,18 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
                                      jnp.broadcast_to(sigma1, (C,)
                                                       + sigma1.shape), mesh)
         ec = np.asarray(envcorr_fn(Y_b), np.float64)
+        sh = np.asarray(stem_shares(Y_b), np.float64)
         E, R = pair_errors(Y_b, Yt_d)
         lls_all.append(lls[:valid])
         ec_all.append(ec[:valid])
+        sh_all.append(sh[:valid])
         E_all.append(np.asarray(E, np.float64)[:valid])
         if return_Y:
             from pyfasst_tpu.utils.misc import to_host_complex
             Y_all.append(to_host_complex(Y_b)[:valid] * scale)
     lls = np.concatenate(lls_all)
     ec = np.concatenate(ec_all)
+    sh = np.concatenate(sh_all)
     E = np.concatenate(E_all)
     R = np.asarray(R, np.float64)
     C = len(plist)
@@ -197,6 +208,8 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
             "name": names[c],
             "final_ll": float(lls[c, -1]),
             "envcorr": round(float(ec[c]), 4),
+            "min_share": round(float(sh[c].min()), 4),
+            "shares": [round(float(x), 4) for x in sh[c]],
             "min_sdr_db": round(min(per), 2),
             "mean_sdr_db": round(float(np.mean(per)), 2),
             "per_src": [round(x, 2) for x in per],
