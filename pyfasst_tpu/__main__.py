@@ -54,6 +54,29 @@ def _cmd_separate(args) -> int:
     elif args.model in ("conv", "fullrank"):
         init_mixing = None
         profiles = None
+        if args.spatial_init and args.reseed > 0:
+            if getattr(args, "transform", "stft") != "stft":
+                raise ValueError("--reseed pipeline supports the STFT "
+                                 "front-end only")
+            model = MultiChanNMFConv(
+                args.audio, nbComps=args.sources,
+                nbNMFComps=args.nmf_comps,
+                spatial_rank=2 if args.model == "fullrank" else 1,
+                freq_basis=basis, n_bands=args.bands, **kw)
+            t0 = time.perf_counter()
+            info = model.estim_param_blind_reverb(
+                reseed_rounds=args.reseed, verbose=not args.quiet)
+            paths = model.separate_spat_comps(args.out)
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "files": paths, "iterations": int(args.iters),
+                "picked": info["picked"],
+                "stages": [h["picked"] for h in info["history"]],
+                "final_loglik": float(info["final_ll"]),
+                "wall_seconds": round(wall, 3),
+                "xrt": round(model.audio.duration / max(wall, 1e-9), 2),
+            }))
+            return 0
         if args.spatial_init:
             # consensus spatial-clustering full-rank init (the measured
             # blind-reverberant recipe; see models/spatial_init.py)
@@ -273,6 +296,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reverberant conv/fullrank models (overrides "
                         "--demix; holds the mixing for the first 30%% of "
                         "iterations)")
+    p.add_argument("--reseed", type=int, default=0, metavar="N",
+                   help="with --spatial-init on conv/fullrank: run the "
+                        "full blind reverberant pipeline (candidate pool "
+                        "at full convergence, degeneracy-statistics "
+                        "selection, N rounds of EM posterior reseeding) "
+                        "instead of a single init+fit; stereo STFT only")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")

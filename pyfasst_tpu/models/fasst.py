@@ -238,6 +238,40 @@ class FASST:
         _, sigma1 = annealing_endpoints(self.Xs, self.cfg)
         return sigma1
 
+    def estim_param_blind_reverb(self, reseed_rounds: int = 2,
+                                 em_seeds: int = 2, verbose: bool = False,
+                                 **kw) -> dict:
+        """Blind reverberant estimation via the models/reverb.py pipeline.
+
+        Replaces `estim_param_a_posteriori` for reverberant mixtures with
+        unknown spatial structure: runs the full candidate pool (consensus
+        spatial clustering + structural repairs) to convergence in batched
+        device programs, selects by blind degeneracy statistics, applies
+        `reseed_rounds` of EM-in-the-loop posterior reseeding, and installs
+        the winning run's parameters on the model -- separation and
+        checkpointing then behave as after a normal fit. The model's own
+        spectral/spatial init is ignored. Stereo-only (the clustering
+        features are pairwise covariance signatures). Returns the pipeline
+        info dict (winner name, blind statistics, stage history).
+        """
+        from pyfasst_tpu.models.reverb import blind_reverb_separate
+        from pyfasst_tpu.utils.misc import to_host_complex
+
+        if self.Xs.shape[-1] != 2:
+            raise ValueError("the blind reverberant pipeline is "
+                             "stereo-only (spatial-clustering features)")
+        J = len(self.params.spat)
+        rank = self.params.spat[0].A.shape[-1]
+        nmf_comps = self.params.spec[0].FB.shape[1]
+        # Xs is already unit-mean-power; the pipeline re-normalizes by its
+        # own RMS (== 1 here), so the returned parameters match Xs' scale
+        _, info = blind_reverb_separate(
+            to_host_complex(self.Xs), J, iters=self.cfg.niter,
+            em_seeds=em_seeds, reseed_rounds=reseed_rounds, rank=rank,
+            nmf_comps=nmf_comps, verbose=verbose, **kw)
+        self.params = info["params"]
+        return info
+
     def separated_images(self) -> np.ndarray:
         """Posterior-mean source images, time domain: (J, nsamples, I)."""
         Y = wiener.separate_sources(self.params, self.Xs, self._final_sigma())

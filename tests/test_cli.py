@@ -138,6 +138,24 @@ def test_separate_fullrank_spatial_init(mix_wav, tmp_path, capsys):
     assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
 
 
+def test_separate_reseed_pipeline(mix_wav, tmp_path, capsys):
+    """--spatial-init --reseed N runs the blind reverberant pipeline."""
+    out_dir = str(tmp_path / "rp")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--spatial-init", "--reseed", "1", "--iters", "8",
+                 "--nmf-comps", "3", "--wlen", "256", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+    assert rep["stages"] and isinstance(rep["picked"], str)
+
+
+def test_reseed_rejects_warped_transform(mix_wav, tmp_path, capsys):
+    assert main(["separate", mix_wav, "-o", str(tmp_path / "x"),
+                 "--model", "fullrank", "--spatial-init", "--reseed", "1",
+                 "--transform", "erblet", "--iters", "4", "-q"]) == 2
+    assert "STFT front-end" in capsys.readouterr().err
+
+
 def test_eval_command(mix_wav, tmp_path, capsys):
     """Scoring estimated stems vs references through the CLI."""
     # trivial case: estimates == references -> near-perfect SDR

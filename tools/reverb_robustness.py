@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
-             repair="select"):
+             repair="select", mode="pipeline"):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -49,6 +49,22 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
 
     t0 = time.perf_counter()
+    if mode == "pipeline":
+        # the full production recipe: pooled candidates at full
+        # convergence, degeneracy-statistics selection, EM reseeding
+        from pyfasst_tpu.models.reverb import blind_reverb_separate
+        Y, info = blind_reverb_separate(X, J=4, iters=iters,
+                                        em_seeds=max(2, em_seed + 1))
+        ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
+                       for j in range(4)])
+        wall = time.perf_counter() - t0
+        mn, mean = _best_perm_sdr(ys, ys_true)
+        return {"fixture_seed": fixture_seed, "em_seed": em_seed,
+                "min_sdr_db": round(float(mn), 2),
+                "mean_sdr_db": round(float(mean), 2),
+                "picked": info["picked"],
+                "stages": [h["picked"] for h in info["history"]],
+                "wall_s": round(wall, 1)}
     A0, tw_prof, fb_prof = full_rank_init(X, J=4, repair=repair)
     model = MultiChanNMFConv(mix, fs=FS, nbComps=4, nbNMFComps=6,
                              spatial_rank=2, init_mixing=A0,
@@ -74,6 +90,10 @@ def main():
                     help="first fixture seed (102 = validate_hw's draw)")
     ap.add_argument("--repair", default="select",
                     choices=("select", "heuristic", "off"))
+    ap.add_argument("--mode", default="pipeline",
+                    choices=("pipeline", "init"),
+                    help="pipeline: models/reverb.py full recipe; "
+                         "init: legacy full_rank_init + single EM")
     args = ap.parse_args()
 
     recs = []
@@ -82,7 +102,7 @@ def main():
             repair = {"select": "select", "heuristic": True,
                       "off": False}[args.repair]
             rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
-                           repair=repair)
+                           repair=repair, mode=args.mode)
             recs.append(rec)
             print(json.dumps(rec), flush=True)
     mins = [r["min_sdr_db"] for r in recs]
