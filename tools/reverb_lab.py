@@ -279,6 +279,8 @@ def realign_mixing(params_b, sweeps: int = 4):
 
 
 def summarize(draw: int, recs, env_thr: float = 0.6):
+    from pyfasst_tpu.models.reverb import selection_key
+
     mins = np.array([r["min_sdr_db"] for r in recs])
     lls = np.array([r["final_ll"] for r in recs])
     ecs = np.array([r["envcorr"] for r in recs])
@@ -288,7 +290,7 @@ def summarize(draw: int, recs, env_thr: float = 0.6):
         blind = int(np.argmax(np.where(ok, lls, -np.inf)))
     else:
         blind = int(np.argmin(ecs))
-    blind_minenv = int(np.argmin(ecs))
+    prod = min(range(len(recs)), key=lambda i: selection_key(recs[i]))
     return {
         "draw": draw, "pool": len(recs),
         "oracle": {"name": recs[oracle]["name"],
@@ -298,8 +300,10 @@ def summarize(draw: int, recs, env_thr: float = 0.6):
                           "min_sdr": recs[blind]["min_sdr_db"],
                           "envcorr": recs[blind]["envcorr"],
                           "survivors": int(ok.sum())},
-        "blind_min_envcorr": {"name": recs[blind_minenv]["name"],
-                              "min_sdr": recs[blind_minenv]["min_sdr_db"]},
+        "selection_key": {"name": recs[prod]["name"],
+                          "min_sdr": recs[prod]["min_sdr_db"],
+                          "envcorr": recs[prod]["envcorr"],
+                          "min_share": recs[prod].get("min_share")},
     }
 
 
