@@ -78,7 +78,8 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
         CONV, FasstParams, SpatialComp, init_nmf_comp,
     )
     from pyfasst_tpu.models.spatial_init import (
-        _max_env_corr, activity_profiles, apply_profiles, mixing_from_votes,
+        _max_env_corr, _min_band_coherence, activity_profiles,
+        apply_profiles, mixing_from_votes,
     )
     from pyfasst_tpu.parallel.sharding import (
         batch_params, batched_run_gem, sharded_batch_separate,
@@ -102,6 +103,7 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
             names.append(f"{name}|s{s}")
 
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))
+    coh_fn = jax.jit(jax.vmap(_min_band_coherence))
 
     @jax.jit
     def shares_fn(Y_b):
@@ -122,11 +124,13 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
             params_b, X_b, jnp.broadcast_to(sigma1, (C,) + sigma1.shape),
             mesh)
         ec = np.asarray(envcorr_fn(Y_b), np.float64)
+        coh = np.asarray(coh_fn(Y_b), np.float64)
         sh = np.asarray(shares_fn(Y_b), np.float64)
         ll = np.asarray(lls[:, -1], np.float64)
         for i in range(valid):
             rec = {"name": names[lo + i], "final_ll": float(ll[i]),
                    "envcorr": round(float(ec[i]), 4),
+                   "band_coh": round(float(coh[i]), 4),
                    "min_share": round(float(sh[i].min()), 4)}
             records.append(rec)
             if verbose:

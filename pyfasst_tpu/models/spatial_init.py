@@ -732,6 +732,45 @@ def _max_env_corr(Y):
         return jnp.max(C)
 
 
+def _min_band_coherence(Y, n_bands: int = 8):
+    """Min over stems of the power-weighted mean cross-band envelope
+    correlation -- a blind FREQUENCY-INTERLEAVING detector.
+
+    Y (J, F, N, I) complex separated spectra. A real source's bands
+    co-modulate (one physical excitation drives every band it occupies);
+    a stem assembled from per-frequency permutation errors interleaves
+    DIFFERENT sources across bands, whose band envelopes do not correlate.
+    Complements `_max_env_corr`: duplication raises cross-stem envelope
+    correlation, interleaving lowers WITHIN-stem band coherence -- and
+    interleaved stems can have beautifully decorrelated time envelopes
+    (measured: direction-split candidates on the configs[2] family EM to
+    min SDR ~2.5 dB with the LOWEST pool envcorr; their band coherence
+    exposes them). Bands are n_bands equal-F slices; correlations are of
+    centered log band envelopes; each stem's pairwise correlations are
+    weighted by the geometric mean of the two bands' powers so empty
+    bands (narrowband sources) don't dilute the score.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("highest"):   # decision-feeding stat
+        J, F, N, I = Y.shape
+        Fb = F - F % n_bands
+        p = jnp.sum(jnp.abs(Y[:, :Fb]) ** 2, axis=3)       # (J, Fb, N)
+        pb = p.reshape(J, n_bands, Fb // n_bands, N).sum(2)  # (J, B, N)
+        w = pb.sum(-1)                                      # (J, B)
+        e = jnp.log1p(pb / jnp.maximum(pb.mean(-1, keepdims=True), 1e-20))
+        e = e - e.mean(-1, keepdims=True)
+        e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                            1e-12)
+        C = jnp.einsum('jbn,jcn->jbc', e, e)                # (J, B, B)
+        wgm = jnp.sqrt(w[:, :, None] * w[:, None, :])
+        off = 1.0 - jnp.eye(n_bands, dtype=e.dtype)
+        num = jnp.sum(C * wgm * off, axis=(1, 2))
+        den = jnp.maximum(jnp.sum(wgm * off, axis=(1, 2)), 1e-20)
+        return jnp.min(num / den)
+
+
 def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
                               rank: int = 2, probe_iters: int = 60,
                               nmf_comps: int = 6, fs: int = 16000,

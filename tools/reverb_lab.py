@@ -150,9 +150,11 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         p = jnp.sum(jnp.abs(Y_b) ** 2, axis=(2, 3, 4))   # (C, J)
         return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
 
+    from pyfasst_tpu.models.spatial_init import _min_band_coherence
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
+    coh_fn = jax.jit(jax.vmap(_min_band_coherence))
     t0 = time.perf_counter()                        # per-chunk retrace
-    lls_all, ec_all, sh_all, E_all, Y_all = [], [], [], [], []
+    lls_all, ec_all, coh_all, sh_all, E_all, Y_all = [], [], [], [], [], []
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -177,10 +179,12 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
                                      jnp.broadcast_to(sigma1, (C,)
                                                       + sigma1.shape), mesh)
         ec = np.asarray(envcorr_fn(Y_b), np.float64)
+        coh = np.asarray(coh_fn(Y_b), np.float64)
         sh = np.asarray(stem_shares(Y_b), np.float64)
         E, R = pair_errors(Y_b, Yt_d)
         lls_all.append(lls[:valid])
         ec_all.append(ec[:valid])
+        coh_all.append(coh[:valid])
         sh_all.append(sh[:valid])
         E_all.append(np.asarray(E, np.float64)[:valid])
         if return_Y:
@@ -188,6 +192,7 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
             Y_all.append(to_host_complex(Y_b)[:valid] * scale)
     lls = np.concatenate(lls_all)
     ec = np.concatenate(ec_all)
+    coh = np.concatenate(coh_all)
     sh = np.concatenate(sh_all)
     E = np.concatenate(E_all)
     R = np.asarray(R, np.float64)
@@ -208,6 +213,7 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
             "name": names[c],
             "final_ll": float(lls[c, -1]),
             "envcorr": round(float(ec[c]), 4),
+            "band_coh": round(float(coh[c]), 4),
             "min_share": round(float(sh[c].min()), 4),
             "shares": [round(float(x), 4) for x in sh[c]],
             "min_sdr_db": round(min(per), 2),
