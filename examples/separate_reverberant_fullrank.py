@@ -37,3 +37,14 @@ model = MultiChanNMFConv(obj, nbComps=J, nbNMFComps=6, spatial_rank=2,
 model.params = apply_profiles(model.params, tw_prof, fb_prof)
 model.estim_param_a_posteriori()
 print("wrote:", *model.separate_spat_comps(out_dir), sep="\n  ")
+
+# Higher-quality (and costlier) alternative: the full blind pipeline --
+# every candidate hypothesis run to convergence in batched device
+# programs, winner picked by blind degeneracy statistics, plus
+# EM-in-the-loop posterior reseeding. Equivalent CLI: add `--reseed 2`.
+#
+#   model = MultiChanNMFConv(obj, nbComps=J, nbNMFComps=6,
+#                            spatial_rank=2, wlen=WLEN, iter_num=400)
+#   info = model.estim_param_blind_reverb(reseed_rounds=2)
+#   print("picked:", info["picked"])
+#   model.separate_spat_comps(out_dir)
