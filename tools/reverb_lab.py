@@ -150,11 +150,14 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         p = jnp.sum(jnp.abs(Y_b) ** 2, axis=(2, 3, 4))   # (C, J)
         return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
 
-    from pyfasst_tpu.models.spatial_init import _min_band_coherence
+    from pyfasst_tpu.models.spatial_init import (
+        _band_coherence_stats, _min_band_coherence)
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
     coh_fn = jax.jit(jax.vmap(_min_band_coherence))
+    cohstats_fn = jax.jit(jax.vmap(_band_coherence_stats))
     t0 = time.perf_counter()                        # per-chunk retrace
     lls_all, ec_all, coh_all, sh_all, E_all, Y_all = [], [], [], [], [], []
+    cohj_all, prj_all = [], []
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -180,11 +183,14 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
                                                       + sigma1.shape), mesh)
         ec = np.asarray(envcorr_fn(Y_b), np.float64)
         coh = np.asarray(coh_fn(Y_b), np.float64)
+        cohj, prj = cohstats_fn(Y_b)
         sh = np.asarray(stem_shares(Y_b), np.float64)
         E, R = pair_errors(Y_b, Yt_d)
         lls_all.append(lls[:valid])
         ec_all.append(ec[:valid])
         coh_all.append(coh[:valid])
+        cohj_all.append(np.asarray(cohj, np.float64)[:valid])
+        prj_all.append(np.asarray(prj, np.float64)[:valid])
         sh_all.append(sh[:valid])
         E_all.append(np.asarray(E, np.float64)[:valid])
         if return_Y:
@@ -193,6 +199,8 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
     lls = np.concatenate(lls_all)
     ec = np.concatenate(ec_all)
     coh = np.concatenate(coh_all)
+    cohj = np.concatenate(cohj_all)
+    prj = np.concatenate(prj_all)
     sh = np.concatenate(sh_all)
     E = np.concatenate(E_all)
     R = np.asarray(R, np.float64)
@@ -214,6 +222,8 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
             "final_ll": float(lls[c, -1]),
             "envcorr": round(float(ec[c]), 4),
             "band_coh": round(float(coh[c]), 4),
+            "coh_j": [round(float(x), 4) for x in cohj[c]],
+            "pr_j": [round(float(x), 4) for x in prj[c]],
             "min_share": round(float(sh[c].min()), 4),
             "shares": [round(float(x), 4) for x in sh[c]],
             "min_sdr_db": round(min(per), 2),
