@@ -41,14 +41,29 @@ def selection_key(rec: dict, env_thr: float = 0.6,
                   share_floor: float = 0.02):
     """Total order over run records; smaller is better.
 
-    Primary: veto flag (stem-envelope correlation above `env_thr` OR a
-    stem holding less than `share_floor` of the separated energy -- both
-    blind degeneracy signals). Secondary: the envelope correlation itself
-    (measured the best single blind ranking statistic at convergence --
-    see module docstring). Tertiary: final log-likelihood, descending.
+    Components, in order:
+    1. veto flag: stem-envelope correlation above `env_thr` OR a stem
+       holding less than `share_floor` of the separated energy -- both
+       blind degeneracy signals.
+    2. candidate TIER: 0 for clustering-derived candidates (raw,
+       merge/split, soft-realign, reseeds), 1 for direction-first NMF
+       splits. Measured over 10 configs[2] draws at full convergence:
+       within tier 0 the envelope correlation is a near-perfect selector
+       (median pick 6.97 dB vs tier-0 oracle 7.58, identical worst), but
+       tier-1 runs systematically GAME it -- their NMF-split inits
+       converge to frequency-interleaved stems whose time envelopes
+       decorrelate beautifully (pool-lowest envcorr at ~2 dB true SDR),
+       and their own family oracle (median 4.88) almost never beats tier
+       0 (once, by 0.12 dB). So tier-1 competes only when every tier-0
+       run is vetoed -- the regime it was built for (same-direction
+       mixtures where no clustering split isolates the sources).
+    3. the envelope correlation itself.
+    4. final log-likelihood, descending (tiebreak only -- measured
+       actively misleading as a primary criterion, see module docstring).
     """
     vetoed = rec["envcorr"] > env_thr or rec["min_share"] < share_floor
-    return (vetoed, rec["envcorr"], -rec["final_ll"])
+    tier = rec.get("tier", 1 if rec["name"].startswith("dirs") else 0)
+    return (vetoed, tier, rec["envcorr"], -rec["final_ll"])
 
 
 def _hard_votes_from_sep(Y, J: int) -> np.ndarray:

@@ -15,18 +15,32 @@ from pyfasst_tpu.models.reverb import (
 
 
 def test_selection_key_order():
-    healthy = {"envcorr": 0.3, "min_share": 0.2, "final_ll": 10.0}
-    healthier = {"envcorr": 0.2, "min_share": 0.2, "final_ll": 5.0}
-    dup = {"envcorr": 0.9, "min_share": 0.2, "final_ll": 100.0}
-    vanished = {"envcorr": 0.1, "min_share": 0.001, "final_ll": 100.0}
+    healthy = {"name": "raw", "envcorr": 0.3, "min_share": 0.2,
+               "final_ll": 10.0}
+    healthier = {"name": "merge(0,1)+split(0)", "envcorr": 0.2,
+                 "min_share": 0.2, "final_ll": 5.0}
+    dup = {"name": "raw", "envcorr": 0.9, "min_share": 0.2,
+           "final_ll": 100.0}
+    vanished = {"name": "raw", "envcorr": 0.1, "min_share": 0.001,
+                "final_ll": 100.0}
     # lower envcorr beats higher ll (the measured ranking); any veto loses
     order = sorted([dup, vanished, healthy, healthier], key=selection_key)
     assert order[0] is healthier and order[1] is healthy
     assert selection_key(dup)[0] and selection_key(vanished)[0]
     # ll breaks exact envcorr ties
-    a = {"envcorr": 0.3, "min_share": 0.2, "final_ll": 10.0}
-    b = {"envcorr": 0.3, "min_share": 0.2, "final_ll": 20.0}
+    a = {"name": "raw", "envcorr": 0.3, "min_share": 0.2, "final_ll": 10.0}
+    b = {"name": "raw", "envcorr": 0.3, "min_share": 0.2, "final_ll": 20.0}
     assert selection_key(b) < selection_key(a)
+    # tier: an unvetoed direction-split run loses to ANY unvetoed tier-0
+    # run (measured: dirs candidates game the envelope statistic via
+    # frequency interleaving), but still beats vetoed runs
+    decoy = {"name": "dirs3+alloc(2, 1, 1)#s0", "envcorr": 0.01,
+             "min_share": 0.1, "final_ll": 100.0}
+    assert selection_key(healthy) < selection_key(decoy)
+    assert selection_key(decoy) < selection_key(dup)
+    explicit = {"name": "whatever", "tier": 1, "envcorr": 0.01,
+                "min_share": 0.1, "final_ll": 100.0}
+    assert selection_key(explicit)[1] == 1
 
 
 def test_hard_votes_from_sep():
