@@ -328,24 +328,10 @@ def scenario_reverb(rng):
                    images=(ys, ys_true))
 
 
-def scenario_music(rng):
-    """Stretch scenario (no BASELINE config): 20 s, 44.1 kHz music-like
-    4-stem mixture under 0.25 s-T60 reverberation, blind pipeline.
-
-    Harder in every axis than configs[2]: 3 tonal stems share harmonic
-    series, the drum stem is broadband, RIRs are ~11k taps (vs 100), and
-    the spectrogram is 4x larger. Report-only (documents the honest
-    capability boundary on music-like material)."""
+def _music_mix(rng, srcs, n, fs, t60, pans):
     from scipy.signal import fftconvolve
 
-    from pyfasst_tpu.models.reverb import blind_reverb_separate
-
-    fs = 44100
-    n = int(fs * 20.0)
-    srcs = _music_sources(rng, n, fs)
-    t60 = 0.25
     taps = int(fs * t60)
-    pans = [(0.0, 1.3), (0.8, 0.5), (-0.8, 0.5), (0.0, 0.9)]
     ys_true = []
     for j, s in enumerate(srcs):
         az, g = pans[j]
@@ -358,19 +344,48 @@ def scenario_music(rng):
             h[d] += g * (1.2 - 0.4 * np.sign(az) * (1 if ch else -1))
             chs.append(fftconvolve(s, h)[:n])
         ys_true.append(np.stack(chs, 1))
-    ys_true = np.stack(ys_true)
+    return np.stack(ys_true)
+
+
+def _music_run(rng, kinds, t60, pans, tag):
+    from pyfasst_tpu.models.reverb import blind_reverb_separate
+
+    fs = 44100
+    n = int(fs * 20.0)
+    srcs = _music_sources(rng, n, fs)
+    srcs = [srcs[k] for k in kinds]
+    ys_true = _music_mix(rng, srcs, n, fs, t60, pans)
     mix = ys_true.sum(0)
-    wlen = 2048
-    tft = STFT(wlen=wlen, fs=fs)
+    tft = STFT(wlen=2048, fs=fs)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     t0 = time.perf_counter()
-    Y, info = blind_reverb_separate(X, J=4, iters=400, em_seeds=2,
-                                    chunk=12)
+    Y, info = blind_reverb_separate(X, J=len(kinds), iters=400,
+                                    em_seeds=2, chunk=12)
     ys = _istft_images(tft, Y, n)
     wall = time.perf_counter() - t0
-    return _report("music 4-stem 20s 44.1kHz T60=0.25s (blind pipeline)",
-                   _best_perm_sdr(ys, ys_true), wall, 400,
+    return _report(tag, _best_perm_sdr(ys, ys_true), wall, 400,
                    {"picked": info["picked"]}, images=(ys, ys_true))
+
+
+def scenario_music(rng):
+    """Stretch scenarios (no BASELINE config): 20 s, 44.1 kHz music-like
+    mixtures, blind pipeline -- a difficulty gradient.
+
+    Both rows are harder than configs[2]: real RIR lengths (0.12-0.25 s
+    T60 = 5k-11k taps vs configs[2]'s 100), shared harmonic series
+    between tonal stems, broadband percussion, 4x the spectrogram.
+    Report-only (documents the honest capability boundary on music-like
+    material); the 4-stem row is expected to fail (3 tonal stems share
+    harmonics under heavy reverb -- beyond blind separation of this
+    model family), the 3-stem row shows the partial-capability regime."""
+    r1 = _music_run(rng, [0, 2, 3], 0.12,
+                    [(0.9, 1.0), (-0.9, 1.0), (0.0, 1.0)],
+                    "music 3-stem (bass/lead/drums) T60=0.12s (blind "
+                    "pipeline)")
+    r2 = _music_run(rng, [0, 1, 2, 3], 0.25,
+                    [(0.0, 1.3), (0.8, 0.5), (-0.8, 0.5), (0.0, 0.9)],
+                    "music 4-stem (+pad) T60=0.25s (blind pipeline)")
+    return [r1, r2]
 
 
 def scenario_hmm(rng):
@@ -479,7 +494,10 @@ def main():
     # fixture depend on every earlier scenario's draw count)
     scens = [scenario_inst, scenario_anechoic, scenario_reverb,
              scenario_hmm, scenario_batch, scenario_music]
-    recs = [s(np.random.default_rng(100 + i)) for i, s in enumerate(scens)]
+    recs = []
+    for i, s in enumerate(scens):
+        r = s(np.random.default_rng(100 + i))
+        recs.extend(r if isinstance(r, list) else [r])
     lines = [
         "# Hardware validation matrix (real TPU)",
         "",
