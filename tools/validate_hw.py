@@ -298,33 +298,23 @@ def scenario_reverb(rng):
     mix = ys_true.sum(0)
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
-    F, N = X.shape[:2]
-    # blind full-rank: consensus spatial-clustering init with structural
-    # repair by vetoed model evidence (models/spatial_init.py; candidate
-    # merge/split + direction-first hypotheses, batched short-GEM probes,
-    # duplicated-source envelope veto), activity profiles modulating the
-    # spectral init, and the mixing held fixed for the first 30% of
-    # iterations while the spectra adapt. Measured across 5 fixture
-    # draws: min SDR 2.0-5.6, mean 5.1-8.6 (DEMIX rank-expansion scored
-    # 0.3/1.6 in round 1 -- anechoic directions can't represent the
-    # late-reverb covariance; the one-shot heuristic repair left min < 0
-    # on 2 of 5 draws).
-    from pyfasst_tpu.models.spatial_init import (
-        apply_profiles, full_rank_init)
-    from pyfasst_tpu.models.variants import MultiChanNMFConv
-    A0, tw_prof, fb_prof = full_rank_init(X, J=4)
-    model = MultiChanNMFConv(mix, fs=FS, nbComps=4, nbNMFComps=6,
-                             spatial_rank=2, init_mixing=A0,
-                             wlen=WLEN, iter_num=400,
-                             spatial_hold_frac=0.3)
-    model.params = apply_profiles(model.params, tw_prof, fb_prof)
+    # the full blind reverberant pipeline (models/reverb.py): candidate
+    # pool (consensus spectral-aligned votes + merge/split + soft realign
+    # + direction-first fallback tier) run to FULL convergence in batched
+    # device programs, tiered degeneracy-statistics selection, EM
+    # posterior reseeding. Measured across 10 fixture draws (round 3,
+    # tools/reverb_robustness.py): min SDR worst/median/best
+    # 5.6 / 7.9 / 11.1 dB (round 2's init+single-fit: 1.9 / 2.4 / 5.4;
+    # round 1's DEMIX rank-expansion: 0.3).
+    from pyfasst_tpu.models.reverb import blind_reverb_separate
     t0 = time.perf_counter()
-    lls = model.estim_param_a_posteriori()
-    ys = model.separated_images()
+    Y, info = blind_reverb_separate(X, J=4, iters=400, em_seeds=2)
+    ys = _istft_images(tft, Y, n)
     wall = time.perf_counter() - t0
-    return _report("configs[2] reverberant full-rank 4src (spatial-cluster "
-                   "init)", _best_perm_sdr(ys, ys_true), wall, 400,
-                   {"final_ll": round(float(lls[-1]), 1)},
+    return _report("configs[2] reverberant full-rank 4src (blind "
+                   "pipeline)", _best_perm_sdr(ys, ys_true), wall, 400,
+                   {"picked": info["picked"],
+                    "final_ll": round(float(info["final_ll"]), 1)},
                    images=(ys, ys_true))
 
 
