@@ -301,7 +301,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "full blind reverberant pipeline (candidate pool "
                         "at full convergence, degeneracy-statistics "
                         "selection, N rounds of EM posterior reseeding) "
-                        "instead of a single init+fit; stereo STFT only")
+                        "instead of a single init+fit; STFT front-end, "
+                        "any channel count")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")

@@ -250,16 +250,14 @@ class FASST:
         `reseed_rounds` of EM-in-the-loop posterior reseeding, and installs
         the winning run's parameters on the model -- separation and
         checkpointing then behave as after a normal fit. The model's own
-        spectral/spatial init is ignored. Stereo-only (the clustering
-        features are pairwise covariance signatures). Returns the pipeline
+        spectral/spatial init is ignored. Any channel count: the clustering
+        features are the I*I normalized covariance entries and the EM
+        dispatches to the general engine for I != 2. Returns the pipeline
         info dict (winner name, blind statistics, stage history).
         """
         from pyfasst_tpu.models.reverb import blind_reverb_separate
         from pyfasst_tpu.utils.misc import to_host_complex
 
-        if self.Xs.shape[-1] != 2:
-            raise ValueError("the blind reverberant pipeline is "
-                             "stereo-only (spatial-clustering features)")
         J = len(self.params.spat)
         rank = self.params.spat[0].A.shape[-1]
         nmf_comps = self.params.spec[0].FB.shape[1]

@@ -63,21 +63,36 @@ __all__ = [
 
 
 def tf_covariance_features(X: np.ndarray):
-    """(F, N, 2) complex STFT -> (feat, w, pw, xx).
+    """(F, N, I) complex STFT -> (feat, w, pw, xx).
 
-    feat (F, N, 4): power-normalized covariance entries (scale-invariant
-    spatial signature); w (F, N): per-frame-normalized power weights;
-    pw (F, N): bin power; xx (F, N, 2, 2): rank-1 bin covariances.
+    feat (F, N, I*I): power-normalized covariance entries (scale-invariant
+    spatial signature; I diagonal powers then Re/Im of each upper
+    off-diagonal); w (F, N): per-frame-normalized power weights;
+    pw (F, N): bin power; xx (F, N, I, I): rank-1 bin covariances.
+    The I == 2 path is kept verbatim (bit-identical features to the
+    measured stereo pipeline); I != 2 takes the general construction.
     """
-    p0 = np.abs(X[..., 0]) ** 2
-    p1 = np.abs(X[..., 1]) ** 2
-    cr = X[..., 0] * np.conj(X[..., 1])
-    pw = p0 + p1
-    feat = np.stack([p0, p1, cr.real, cr.imag], -1) \
-        / np.maximum(pw, 1e-20)[..., None]
+    I = X.shape[-1]
+    if I == 2:
+        p0 = np.abs(X[..., 0]) ** 2
+        p1 = np.abs(X[..., 1]) ** 2
+        cr = X[..., 0] * np.conj(X[..., 1])
+        pw = p0 + p1
+        feat = np.stack([p0, p1, cr.real, cr.imag], -1) \
+            / np.maximum(pw, 1e-20)[..., None]
+        w = pw / np.maximum(pw.mean(axis=1, keepdims=True), 1e-20)
+        xx = np.stack([np.stack([p0, cr], -1),
+                       np.stack([np.conj(cr), p1], -1)], -2)
+        return feat, w, pw, xx
+    xx = X[..., :, None] * np.conj(X[..., None, :])       # (F, N, I, I)
+    pw = np.einsum('...ii->...', xx).real
+    cols = [xx[..., i, i].real for i in range(I)]
+    for i in range(I):
+        for k in range(i + 1, I):
+            cols.append(xx[..., i, k].real)
+            cols.append(xx[..., i, k].imag)
+    feat = np.stack(cols, -1) / np.maximum(pw, 1e-20)[..., None]
     w = pw / np.maximum(pw.mean(axis=1, keepdims=True), 1e-20)
-    xx = np.stack([np.stack([p0, cr], -1),
-                   np.stack([np.conj(cr), p1], -1)], -2)
     return feat, w, pw, xx
 
 
@@ -117,7 +132,7 @@ def _cluster_per_frequency(feat, w, J: int, seed: int,
     """Warm-started per-frequency weighted k-means -> labels (F, N)."""
     F, N = feat.shape[:2]
     rng = np.random.default_rng(seed)
-    zs = feat.reshape(-1, 4)
+    zs = feat.reshape(-1, feat.shape[-1])
     ws = w.reshape(-1)
     sel = rng.choice(len(zs), min(n_warm, len(zs)), replace=False)
     zc, wc = zs[sel], ws[sel]
@@ -333,7 +348,7 @@ def _prep_seeds(feat, w, n_seeds: int, J: int, M: int = 8000):
     """Per-seed warm-start subsamples and initial centroids (host RNG)."""
     import jax.numpy as jnp
 
-    zs = feat.reshape(-1, 4).astype(np.float32)
+    zs = feat.reshape(-1, feat.shape[-1]).astype(np.float32)
     ws = w.reshape(-1).astype(np.float32)
     zc, wc, C0 = [], [], []
     for s in range(n_seeds):
@@ -452,7 +467,7 @@ def _kmeans_labels(feat, w, zc, wc, C0, J, kiter):
 
     C = jax.lax.fori_loop(0, 25, warm_body, C0)        # (S, J, 4)
 
-    Cf0 = jnp.broadcast_to(C[:, None], (S, F, J, 4))
+    Cf0 = jnp.broadcast_to(C[:, None], (S, F, J, C.shape[-1]))
     wf = w[None, ..., None]                            # (1, F, N, 1)
 
     def freq_body(_, Cf):
@@ -517,17 +532,17 @@ def _consensus_kernel_pinned(feat, w, pw, zc, wc, C0, *, J, kiter, rounds):
 
 def mixing_from_votes(votes: np.ndarray, xx: np.ndarray, pw: np.ndarray,
                       rank: int = 2) -> np.ndarray:
-    """Vote-weighted full-rank covariances -> (J, F, 2, rank) mixing columns.
+    """Vote-weighted full-rank covariances -> (J, F, I, rank) mixing columns.
 
-    R_j(f) = sum_n votes * pw * x x^H / sum_n votes * pw, trace-normalized;
-    the mixing columns are eigenvectors scaled by sqrt(eigenvalues)
-    (descending), i.e. R_j = A_j A_j^H exactly at rank 2.
+    R_j(f) = sum_n votes * pw * x x^H / sum_n votes * pw, trace-normalized
+    to I; the mixing columns are eigenvectors scaled by sqrt(eigenvalues)
+    (descending), i.e. R_j = A_j A_j^H exactly at rank = I.
     """
     wv = votes * pw[..., None]
     Rj = np.einsum('fnj,fnab->jfab', wv, xx) / np.maximum(
         wv.sum(1).T[:, :, None, None], 1e-6)
     tr = np.trace(Rj, axis1=2, axis2=3).real
-    Rj = Rj / np.maximum(tr[..., None, None], 1e-12) * 2.0
+    Rj = Rj / np.maximum(tr[..., None, None], 1e-12) * float(xx.shape[-1])
     lam, V = np.linalg.eigh(Rj)                      # ascending
     lam = np.maximum(lam[..., ::-1], 1e-10)          # descending
     V = V[..., ::-1]
@@ -995,7 +1010,7 @@ def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot blind full-rank initialization.
 
-    X (F, N, 2) complex mixture STFT; returns (A_init (J, F, 2, rank),
+    X (F, N, I) complex mixture STFT; returns (A_init (J, F, I, rank),
     tw_prof (J, N), fb_prof (J, F)). Feed A_init to
     `MultiChanNMFConv(spatial_rank=rank, init_mixing=A_init)` and the
     profiles to `apply_profiles`. backend: see consensus_votes (the two

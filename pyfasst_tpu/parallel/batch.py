@@ -186,10 +186,12 @@ def batch_separate_files(
     from pyfasst_tpu.utils.misc import to_host_complex
 
     objs = [AudioObject(p) for p in paths]
-    for p, o in zip(paths, objs):
-        if o.channels != 2:
-            raise ValueError(f"the 2x2 engine expects stereo input: {p} has "
-                             f"{o.channels} channel(s)")
+    n_ch = {o.channels for o in objs}
+    if len(n_ch) != 1:
+        raise ValueError("one batch must share a channel count (one "
+                         f"compiled executable per shape); got {sorted(n_ch)}"
+                         " -- split the directory by channel count")
+    I = n_ch.pop()
     tfts = [STFT(wlen=wlen, fs=o.samplerate) for o in objs]
     Xs, scales = [], []
     for o, tft in zip(objs, tfts):
@@ -206,7 +208,7 @@ def batch_separate_files(
     def make_params(F_, Npad, i):
         keys = list(jax.random.split(jax.random.PRNGKey(seed + i), nbComps))
         spat = tuple(SpatialComp(A=a) for a in
-                     init_inst_mixing(None, 2, 1, nbComps))
+                     init_inst_mixing(None, I, 1, nbComps))
         spec = tuple(
             init_nmf_comp(keys[j], F_, Npad, nbNMFComps, spat_ind=j,
                           fixed_FB=fixed_FBs[i])

@@ -266,3 +266,84 @@ def test_select_warns_when_all_hypotheses_degenerate(rng):
             env_thr=-1.0)          # force every candidate to fail the veto
     assert any("duplicated" in str(r.message) for r in rec)
     assert A.shape == (2, 64, 2, 2)
+
+
+# ---- general channel counts (I != 2) --------------------------------------
+
+def _three_channel_stft(F=64, N=96, seed=0):
+    """Synthetic 3-channel STFT: two sources, distinct directions, mild
+    frequency wobble (reverberant part), alternating activity blocks."""
+    rng = np.random.default_rng(seed)
+    a = np.array([[1.0, 0.4, 0.15], [0.2, 1.0, 0.5]], complex)
+    wob = np.exp(1j * 0.5 * np.sin(np.arange(F) / 6.0))
+    a = np.stack([np.stack([a[j, 0] * np.ones(F), a[j, 1] * wob ** (j + 1),
+                            a[j, 2] * wob ** (2 * j + 1)], -1)
+                  for j in range(2)])               # (2, F, 3)
+    on = ((np.arange(N) // 10) % 2 == 0)
+    gain = np.stack([np.where(on, 1.0, 0.1), np.where(on, 0.1, 1.0)])
+    s = (rng.standard_normal((2, F, N)) + 1j * rng.standard_normal((2, F, N)))
+    s *= gain[:, None, :]
+    X = np.einsum('jfi,jfn->fni', a, s)
+    dom = np.argmax(np.abs(s) ** 2, axis=0)
+    return X, dom, a
+
+
+def test_covariance_features_i3_embed_stereo():
+    """General-I features restricted to a zero third channel reproduce the
+    stereo path's entries (layout: diagonals first, then Re/Im of each
+    upper off-diagonal)."""
+    X2, _ = _two_source_stft(F=32, N=40, seed=3, reverb=True)
+    X3 = np.concatenate([X2, np.zeros(X2.shape[:2] + (1,), complex)], -1)
+    f2, w2, pw2, xx2 = tf_covariance_features(X2)
+    f3, w3, pw3, xx3 = tf_covariance_features(X3)
+    assert f3.shape == X2.shape[:2] + (9,)
+    np.testing.assert_allclose(pw3, pw2, rtol=1e-12)
+    np.testing.assert_allclose(w3, w2, rtol=1e-12)
+    # I=3 order: [p0, p1, p2, Re01, Im01, Re02, Im02, Re12, Im12]
+    np.testing.assert_allclose(f3[..., [0, 1, 3, 4]], f2, rtol=1e-6)
+    np.testing.assert_allclose(f3[..., [2, 5, 6, 7, 8]], 0.0, atol=1e-15)
+    np.testing.assert_allclose(xx3[..., :2, :2], xx2, rtol=1e-12)
+    np.testing.assert_allclose(xx3, np.conj(np.swapaxes(xx3, -1, -2)),
+                               rtol=1e-12)
+
+
+def test_votes_and_mixing_i3():
+    """3-channel clustering recovers dominance; vote-weighted full-rank
+    mixing recovers the true directions (principal columns)."""
+    X, dom, a = _three_channel_stft(seed=1)
+    votes = consensus_votes(X, J=2, n_seeds=3, kiter=10, backend="numpy")
+    lab = votes.argmax(-1)
+    pw = (np.abs(X) ** 2).sum(-1)
+    loud = pw > np.quantile(pw, 0.5)
+    acc = max((lab == dom)[loud].mean(), (lab == 1 - dom)[loud].mean())
+    assert acc > 0.8, f"dominance recovery {acc:.2f}"
+    feat, w, pw, xx = tf_covariance_features(X)
+    A = mixing_from_votes(votes, xx, pw, rank=3)    # (2, F, 3, 3)
+    assert A.shape == (2, X.shape[0], 3, 3)
+    prin = A[:, :, :, 0]
+    prin = prin / np.maximum(np.linalg.norm(prin, axis=-1, keepdims=True),
+                             1e-12)
+    ref = a / np.linalg.norm(a, axis=-1, keepdims=True)   # (2, F, 3)
+    cos = np.abs(np.einsum('jfi,kfi->jfk', prin, ref.conj())).mean(1)
+    best = max(min(cos[0, 0], cos[1, 1]), min(cos[0, 1], cos[1, 0]))
+    assert best > 0.9, f"direction recovery |cos| {best:.3f}"
+
+
+def test_blind_reverb_pipeline_i3_smoke():
+    """The full blind reverberant pipeline at I=3: pool, tiered selection,
+    reseed -- runs the general (square-root) engine end to end and returns
+    finite separated images of the right shape."""
+    from pyfasst_tpu.models.reverb import blind_reverb_separate
+
+    X, _, _ = _three_channel_stft(F=48, N=64, seed=2)
+    Y, info = blind_reverb_separate(X, J=2, iters=8, em_seeds=1,
+                                    reseed_rounds=1, nmf_comps=3, rank=3,
+                                    chunk=4)
+    assert Y.shape == (2, 48, 64, 3)
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    assert np.isfinite(info["final_ll"])
+    assert isinstance(info["picked"], str) and info["picked"]
+    # Wiener conservation: images sum back to ~the mixture
+    rel = (np.abs(Y.sum(0) - X).mean()
+           / max(np.abs(X).mean(), 1e-12))
+    assert rel < 0.35, f"conservation residual {rel:.2f}"
