@@ -181,8 +181,19 @@ def _embed_nodes(act, pw, pweight: bool = True):
     d = W.sum(1) + 1e-9
     Dm = 1.0 / np.sqrt(d)
     L = Dm[:, None] * W * Dm[None, :]
-    _, vecs = np.linalg.eigh(L)
-    U = vecs[:, -J:]
+    if F * J <= 4096:
+        _, vecs = np.linalg.eigh(L)
+        U = vecs[:, -J:]
+    else:
+        # only the top-J eigenvectors are used; the full dense eigh is
+        # O((FJ)^3) and takes HOURS at music shapes (F=4097, J=3 ->
+        # a 12291^2 dense eigendecomposition per seed). Lanczos on the
+        # dense affinity is O(iters * (FJ)^2) -- seconds. The small-F
+        # path keeps np.linalg.eigh so all configs[2]-scale results are
+        # bit-identical to the measured pipeline.
+        from scipy.sparse.linalg import eigsh
+        vals, vecs = eigsh(L, k=J, which="LA")
+        U = vecs[:, np.argsort(vals)]            # ascending, like eigh
     return (U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True),
                            1e-12), npow)
 
