@@ -378,9 +378,62 @@ def scenario_music(rng):
     return [r1, r2]
 
 
+def _state_switch_fixture(rng, n):
+    """Two Markov state-switching sources at nearly co-located directions
+    (35 vs 60 deg): spatial cues barely help and the templates overlap
+    across sources, so the spectral STATE structure is what identifies
+    the sources. The hardware-scale twin of
+    tests/test_hmm.py::_state_switching_mixture (round-2 verdict item 6:
+    configs[3] must show state modelling winning at non-trivial SDR)."""
+    t = np.arange(n) / FS
+
+    def markov_states(dwell_s, n_states):
+        out = np.zeros(n, int)
+        pos = 0
+        q = rng.integers(n_states)
+        while pos < n:
+            d = int(FS * rng.uniform(0.7 * dwell_s, 1.3 * dwell_s))
+            out[pos:pos + d] = q
+            pos += d
+            q = (q + rng.integers(1, n_states)) % n_states
+        return out
+
+    def tone(f0, harmonics):
+        x = sum(np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+                / h for h in harmonics)
+        return x / np.max(np.abs(x))
+
+    def noiseband(lo, hi):
+        x = rng.standard_normal(n)
+        Xf = np.fft.rfft(x)
+        f = np.fft.rfftfreq(n, 1 / FS)
+        Xf[(f < lo) | (f > hi)] = 0
+        x = np.fft.irfft(Xf, n)
+        return x / np.max(np.abs(x))
+
+    TA = [tone(250, [2, 6, 10]), tone(330, [1, 3, 5])]
+    TB = [tone(250, [2, 8, 14]), noiseband(900, 1800)]
+    sA = np.where(markov_states(0.45, 2) == 0, TA[0], TA[1])
+    sB = np.where(markov_states(0.6, 2) == 0, TB[0], TB[1])
+    aA = np.array([np.cos(np.deg2rad(35)), np.sin(np.deg2rad(35))])
+    aB = np.array([np.cos(np.deg2rad(60)), np.sin(np.deg2rad(60))])
+    ys_true = np.stack([sA[:, None] * aA, sB[:, None] * aB])
+    return ys_true.sum(0).astype(np.float32), ys_true
+
+
 def scenario_hmm(rng):
-    """configs[3]: HMM spectral states, 2 sources, 300 iters."""
-    from pyfasst_tpu.models.variants import MultiChanHMM
+    """configs[3]: HMM spectral states. Two rows:
+
+    1. the canonical easy fixture (well-separated directions) -- proves
+       the HMM path runs at full scale and converges cleanly;
+    2. a near-co-located state-switching mixture where spatial cues
+       barely help: the HMM (Viterbi decode) is compared against an
+       equal-K plain NMF on the SAME mixture, and the NMF's number is
+       recorded in the row -- state modelling must win at a non-trivial
+       operating point (mirrors test_hmm_beats_nmf_on_state_structured
+       _material at hardware scale)."""
+    from pyfasst_tpu.models.variants import MultiChanHMM, \
+        MultiChanNMFInst_FASST
 
     n = int(FS * DUR)
     s1, s2 = _sources(rng, n, ["tone_switch", "noise_hi"])
@@ -393,9 +446,28 @@ def scenario_hmm(rng):
     model.estim_param_a_posteriori()
     ys = model.separated_images()
     wall = time.perf_counter() - t0
-    return _report("configs[3] HMM 2src", _best_perm_sdr(ys, ys_true),
-                   wall, 300, {"final_ll": round(float(model.logliks[-1]), 1)},
-                   images=(ys, ys_true))
+    r1 = _report("configs[3] HMM 2src", _best_perm_sdr(ys, ys_true),
+                 wall, 300, {"final_ll": round(float(model.logliks[-1]), 1)},
+                 images=(ys, ys_true))
+
+    mix2, ys2_true = _state_switch_fixture(rng, n)
+    kw = dict(fs=FS, wlen=512, iter_num=300, nbComps=2, seed=0)
+    t0 = time.perf_counter()
+    hmm = MultiChanHMM(mix2, nbStates=2, sparsity="HMM", self_trans=0.97,
+                       decode="viterbi", **kw)
+    hmm.estim_param_a_posteriori()
+    ys_h = hmm.separated_images()
+    wall = time.perf_counter() - t0
+    nmf = MultiChanNMFInst_FASST(mix2, nbNMFComps=2, **kw)
+    nmf.estim_param_a_posteriori()
+    ys_n = nmf.separated_images()
+    nmf_min, _ = _best_perm_sdr(ys_n, ys2_true)
+    r2 = _report("configs[3] HMM hard (co-located state-switch; equal-K "
+                 f"NMF gets {nmf_min:.2f})",
+                 _best_perm_sdr(ys_h, ys2_true), wall, 300,
+                 {"nmf_min_sdr_db": round(float(nmf_min), 2)},
+                 images=(ys_h, ys2_true))
+    return [r1, r2]
 
 
 def scenario_batch(rng):
