@@ -65,7 +65,8 @@ def _cmd_separate(args) -> int:
                 freq_basis=basis, n_bands=args.bands, **kw)
             t0 = time.perf_counter()
             info = model.estim_param_blind_reverb(
-                reseed_rounds=args.reseed, verbose=not args.quiet)
+                reseed_rounds=args.reseed, verbose=not args.quiet,
+                multiscale_wlen=args.multiscale_wlen)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -303,6 +304,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "selection, N rounds of EM posterior reseeding) "
                         "instead of a single init+fit; STFT front-end, "
                         "any channel count")
+    p.add_argument("--multiscale-wlen", dest="multiscale_wlen", type=int,
+                   default=None, metavar="W",
+                   help="with --spatial-init --reseed: run the blind "
+                        "pipeline on a finer STFT grid of window W first "
+                        "(where envelope permutation alignment works on "
+                        "onset-locked material), then re-seed the model's "
+                        "own grid from its separation (the multiscale "
+                        "ladder; W must be < --wlen)")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")

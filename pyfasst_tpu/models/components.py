@@ -191,7 +191,12 @@ def init_inst_mixing(key, I: int, R: int, J: int, dtype=jnp.float32):
         noise = np.random.default_rng(int(key)).standard_normal((J, I, R))
     mats = []
     for j in range(J):
-        if I == 2:
+        if I == 1:
+            # mono: no spatial direction to pick -- single-channel FASST
+            # separates on the spectral model alone (reference pyfasst's
+            # model is I-generic, SURVEY.md §A)
+            base = np.ones((1, 1))
+        elif I == 2:
             base = np.array([[np.cos(thetas[j])], [np.sin(thetas[j])]])
         else:
             # I > 2: exponential gain taper across the array, slope spread

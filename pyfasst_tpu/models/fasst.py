@@ -240,6 +240,7 @@ class FASST:
 
     def estim_param_blind_reverb(self, reseed_rounds: int = 2,
                                  em_seeds: int = 2, verbose: bool = False,
+                                 multiscale_wlen: Optional[int] = None,
                                  **kw) -> dict:
         """Blind reverberant estimation via the models/reverb.py pipeline.
 
@@ -254,13 +255,43 @@ class FASST:
         features are the I*I normalized covariance entries and the EM
         dispatches to the general engine for I != 2. Returns the pipeline
         info dict (winner name, blind statistics, stage history).
+
+        multiscale_wlen: when set, runs the MULTISCALE ladder
+        (models/reverb.py::blind_reverb_separate_multiscale): the full
+        blind pipeline first executes on a finer STFT grid of this window
+        length -- where envelope-based permutation alignment still carries
+        signal on onset-locked material -- and its winning separation
+        re-seeds the model's own (coarse) grid through time-domain
+        dominance votes. Requires an STFT front-end on the model (the
+        coarse stage runs on the model's grid so the installed parameters
+        match `separated_images`).
         """
-        from pyfasst_tpu.models.reverb import blind_reverb_separate
+        from pyfasst_tpu.models.reverb import (
+            blind_reverb_separate, blind_reverb_separate_multiscale,
+        )
         from pyfasst_tpu.utils.misc import to_host_complex
 
         J = len(self.params.spat)
         rank = self.params.spat[0].A.shape[-1]
         nmf_comps = self.params.spec[0].FB.shape[1]
+        if multiscale_wlen is not None:
+            if not hasattr(self.tft, "wlen"):
+                raise ValueError("multiscale_wlen requires an STFT "
+                                 "front-end (the coarse stage runs on the "
+                                 "model's own grid)")
+            if multiscale_wlen >= self.tft.wlen:
+                raise ValueError(
+                    f"multiscale_wlen ({multiscale_wlen}) must be finer "
+                    f"than the model's window ({self.tft.wlen})")
+            _, info = blind_reverb_separate_multiscale(
+                self.audio.data.astype(np.float32), J, fs=self.fs,
+                wlen_fine=int(multiscale_wlen),
+                transform_coarse=self.tft, iters=self.cfg.niter,
+                em_seeds=em_seeds, reseed_rounds=reseed_rounds, rank=rank,
+                nmf_comps=nmf_comps, verbose=verbose, **kw)
+            info.pop("transform", None)
+            self.params = info["params"]
+            return info
         # Xs is already unit-mean-power; the pipeline re-normalizes by its
         # own RMS (== 1 here), so the returned parameters match Xs' scale
         _, info = blind_reverb_separate(

@@ -68,6 +68,39 @@ def test_conv_three_channel_runs():
     assert paths == []
 
 
+def test_mono_single_channel_separation():
+    """I = 1 runs through the general engine: single-channel FASST
+    separates on the spectral model alone (no spatial cues). Round-3
+    verify-drive regression: generalizing the engine to I != 2 silently
+    admitted mono, and init_inst_mixing's I > 2 taper divided by I - 1 =
+    0 -> NaN init -> divergence at iteration 0."""
+    fs, dur = 16000, 4.0
+    n = int(fs * dur)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / fs
+    s1 = np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(
+        2 * np.pi * 1.3 * t))
+    w = rng.standard_normal(n)
+    s2 = (w - np.convolve(w, np.ones(8) / 8, "same")) \
+        * (np.sin(2 * np.pi * 0.7 * t + 1) > 0) * 0.5
+    mix = (s1 + s2).astype(np.float32)
+    m = MultiChanNMFInst_FASST(mix[:, None], fs=fs, nbComps=2,
+                               nbNMFComps=6, wlen=1024, iter_num=200,
+                               seed=0)
+    ll = m.estim_param_a_posteriori()
+    assert np.all(np.isfinite(ll))
+    ys = m.separated_images()
+    assert ys.shape == (2, n, 1)
+
+    def sdr(a, b):
+        return 10 * np.log10(np.sum(b ** 2)
+                             / max(np.sum((a - b) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[p[0], :, 0], s1), sdr(ys[p[1], :, 0], s2))
+               for p in [(0, 1), (1, 0)])
+    assert best > 1.5, f"mono separation too weak: {best:.2f} dB"
+
+
 def test_cx_property_guards_non_stereo():
     mix, _, _ = _three_channel_mixture(dur=0.5)
     m = MultiChanNMFInst_FASST(mix, fs=16000, wlen=512, iter_num=5,

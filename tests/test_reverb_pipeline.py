@@ -121,3 +121,74 @@ def test_blind_reverb_separate_end_to_end():
     pm = float(np.sum(np.abs(X) ** 2))
     ps = float(np.sum(np.abs(Y) ** 2))
     assert 0.2 * pm < ps < 3.0 * pm
+
+
+def _time_mixture(fs=4000, dur=1.5, seed=0):
+    """Stereo time-domain mixture: two amplitude-gated, band-limited
+    sources at distinct pans with short random mixing filters (mild
+    reverberant part). Gate periods differ so envelope permutation
+    alignment has signal at the fine grid."""
+    rng = np.random.default_rng(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    s1 = np.sin(2 * np.pi * 220 * t) * (1 + 0.3 * np.sin(
+        2 * np.pi * 660 * t))
+    s1 *= (np.sin(2 * np.pi * 3.1 * t) > -0.2)
+    w = rng.standard_normal(n)
+    s2 = (w - np.convolve(w, np.ones(8) / 8, "same"))
+    s2 *= (np.sin(2 * np.pi * 1.3 * t + 1.0) > 0.1)
+    ys = []
+    for j, (s, pan) in enumerate(((s1, 0.8), (s2, 0.2))):
+        chs = []
+        for ch in range(2):
+            h = rng.standard_normal(24) * np.exp(-np.arange(24) / 5.0) * 0.2
+            h[0] += pan if ch == 0 else 1.0 - pan
+            chs.append(np.convolve(s, h, "same"))
+        ys.append(np.stack(chs, 1))
+    ys = np.stack(ys)
+    return ys.sum(0).astype(np.float32), ys
+
+
+def test_blind_reverb_multiscale_end_to_end():
+    """The multiscale ladder at tiny shapes: fine-grid pipeline, vote
+    remap through time-domain images, coarse-grid EM; contract checks."""
+    from pyfasst_tpu.models.reverb import blind_reverb_separate_multiscale
+
+    mix, ys_true = _time_mixture()
+    Y, info = blind_reverb_separate_multiscale(
+        mix, J=2, fs=4000, wlen_fine=128, wlen_coarse=512, iters=40,
+        em_seeds=1, reseed_rounds=1, nmf_comps=3, chunk=4, n_seeds=3)
+    F_c = 512 // 2 + 1
+    assert Y.shape[0] == 2 and Y.shape[1] == F_c and Y.shape[3] == 2
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    # coarse stage ran from the ladder candidate (or its guarded reseeds)
+    assert info["picked"].split("|")[0] in (
+        "ladder", "reseed1", "reseed2")
+    assert info["fine"]["picked"]                 # fine stage recorded
+    assert "params" not in info["fine"]
+    # the installed coarse transform inverts the images to time domain
+    tft = info["transform"]
+    y0 = np.asarray(tft.invertTransform(Y[0], nsamples=mix.shape[0]))
+    assert y0.shape == mix.shape
+
+
+def test_model_multiscale_entry():
+    """FASST.estim_param_blind_reverb(multiscale_wlen=...) installs
+    coarse-grid parameters compatible with separated_images, and guards
+    bad arguments."""
+    import pytest
+
+    from pyfasst_tpu.models import MultiChanNMFConv
+
+    mix, ys_true = _time_mixture(seed=1)
+    m = MultiChanNMFConv(mix, fs=4000, wlen=512, iter_num=40, nbComps=2,
+                         nbNMFComps=3, spatial_rank=2, seed=0)
+    info = m.estim_param_blind_reverb(
+        reseed_rounds=1, em_seeds=1, multiscale_wlen=128, chunk=4,
+        n_seeds=3)
+    ys = m.separated_images()
+    assert ys.shape == (2, mix.shape[0], 2)
+    assert np.all(np.isfinite(ys))
+    assert info["fine"]["picked"]
+    with pytest.raises(ValueError, match="finer"):
+        m.estim_param_blind_reverb(multiscale_wlen=512)

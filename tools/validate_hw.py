@@ -338,7 +338,11 @@ def _music_mix(rng, srcs, n, fs, t60, pans):
 
 
 def _music_run(rng, kinds, t60, pans, tag):
-    from pyfasst_tpu.models.reverb import blind_reverb_separate
+    """Blind separation via the MULTISCALE ladder: alignment evidence at
+    wlen 2048 (46 ms -- beat-locked envelopes still distinguishable),
+    model capacity at wlen 8192 (oracle-init ceiling 13.1 vs 7.1 dB;
+    tools/ladder_lab.py measured the rungs)."""
+    from pyfasst_tpu.models.reverb import blind_reverb_separate_multiscale
 
     fs = 44100
     n = int(fs * 20.0)
@@ -346,15 +350,16 @@ def _music_run(rng, kinds, t60, pans, tag):
     srcs = [srcs[k] for k in kinds]
     ys_true = _music_mix(rng, srcs, n, fs, t60, pans)
     mix = ys_true.sum(0)
-    tft = STFT(wlen=2048, fs=fs)
-    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     t0 = time.perf_counter()
-    Y, info = blind_reverb_separate(X, J=len(kinds), iters=400,
-                                    em_seeds=2, chunk=12)
-    ys = _istft_images(tft, Y, n)
+    Y, info = blind_reverb_separate_multiscale(
+        mix.astype(np.float32), J=len(kinds), fs=fs, wlen_fine=2048,
+        wlen_coarse=8192, iters=400, em_seeds=2, chunk=12)
+    ys = _istft_images(info["transform"], Y, n)
     wall = time.perf_counter() - t0
     return _report(tag, _best_perm_sdr(ys, ys_true), wall, 400,
-                   {"picked": info["picked"]}, images=(ys, ys_true))
+                   {"picked": info["picked"],
+                    "fine_picked": info["fine"]["picked"]},
+                   images=(ys, ys_true))
 
 
 def scenario_music(rng):
