@@ -10,7 +10,8 @@ scatter-add (Pallas kernel swap-in later).
 
 from pyfasst_tpu.tf.stft import STFT, stft, istft
 from pyfasst_tpu.tf.filterbank import ERBTransform, MelBank, erb_filterbank, mel_filterbank
-from pyfasst_tpu.tf.erblet import ERBLetTransform
+from pyfasst_tpu.tf.erblet import ERBLetTransform, MultiRateERBLet
 
 __all__ = ["STFT", "stft", "istft", "ERBTransform", "ERBLetTransform",
-           "MelBank", "erb_filterbank", "mel_filterbank"]
+           "MultiRateERBLet", "MelBank", "erb_filterbank",
+           "mel_filterbank"]

@@ -18,6 +18,11 @@ coefficient count stays ~constant (e.g. 10 s at 44.1 kHz: 4.2M complex64
 coefficients ~ 34 MB at n_bands in {48, 96}; analysis ~0.3 s, synthesis
 ~0.2 s on host CPU). The overhead is a flat constant factor, not a
 function of resolution; it buys static shapes and batched device FFTs.
+When the storage/bandwidth matters more than one rectangular plane,
+`MultiRateERBLet` (below) recovers the NSGT's per-band rates to within
+~2x using power-of-2 decimation groups (measured: 0.15-0.19x the uniform
+coefficient count at auditory band counts) while every group stays a
+static dense array.
 
 Construction (finite, circular over the padded length Tp = N * hop):
 
@@ -199,3 +204,170 @@ class ERBLetTransform:
         S = np.zeros(g["K"])
         np.add.at(S, idx.ravel(), (W ** 2).ravel())
         return float(S.min()), float(S.max())
+
+
+class MultiRateERBLet(ERBLetTransform):
+    """Per-band-rate ERBlet: the reference NSGT's storage efficiency with
+    static, XLA-friendly shapes.
+
+    The uniform-hop ERBLetTransform samples every band at the WIDEST
+    band's rate -- measured redundancy ~8-12x over the NSGT's per-band
+    minimal rates (class docstring above). This variant recovers the
+    NSGT's efficiency while keeping static shapes: bands are grouped into
+    power-of-2 DECIMATION GROUPS (group g holds every band whose support
+    fits N0 / 2**g aliasing bins, i.e. narrow bands are sampled at
+    exponentially lower rates), and each group is one dense (B_g, N_g)
+    coefficient array -- a handful of rectangular device FFTs instead of
+    the NSGT's per-band ragged lists (hostile to XLA) or the uniform-hop
+    version's one oversampled plane. Within-group rate waste is < 2x by
+    construction (a band in group g needs more than N_g/2 bins), so total
+    coefficients land within ~2x of the per-band minimum.
+
+    The fold/unfold perfect-reconstruction argument is UNCHANGED: each
+    band's support is a contiguous run of L_b <= N_g rfft bins, so
+    aliasing it into N_g bins is injective per band, and the global
+    diagonal dual W / S (S summed over ALL groups) finishes exact PR.
+
+    computeTransform returns a LIST of (B_g, N_g[, I]) complex arrays
+    (empty groups omitted); `group_bands` maps each array row back to its
+    band index. invertTransform consumes that list. The rectangular model
+    path stays on ERBLetTransform; this class is the analysis/synthesis
+    (storage, streaming, coding) equivalent of the reference's vendored
+    NSGT rates (pyfasst/tftransforms/nsgt/, UNVERIFIED -- mount empty).
+    """
+
+    name = "erblet_multirate"
+
+    def __init__(self, *args, max_decimation: int = 64, **kw):
+        super().__init__(*args, **kw)
+        g = int(max_decimation)
+        if g < 1 or (g & (g - 1)):
+            raise ValueError("max_decimation must be a power of two")
+        self.max_decimation = g
+
+    def _geometry(self, T: int):
+        N0 = -(-T // self.hop)
+        Gmax = self.max_decimation
+        while Gmax > 1 and N0 < 2 * Gmax:      # keep at least 2 rows/group
+            Gmax //= 2
+        N0 = -(-N0 // Gmax) * Gmax             # divisible by every rate
+        Tp = N0 * self.hop
+        if Tp in self._cache:
+            return self._cache[Tp]
+        K = Tp // 2 + 1
+        df = self.fs / Tp
+        c = self.centers_hz
+        B = self.n_bands
+        lo_hz = np.concatenate([[0.0], c[:-1]])
+        hi_hz = np.concatenate([c[1:], [self.fs / 2]])
+        lo = np.floor(lo_hz / df).astype(np.int64)
+        hi = np.minimum(np.ceil(hi_hz / df).astype(np.int64) + 1, K)
+        L = hi - lo
+        if int(L.max()) > N0:
+            raise ValueError(
+                f"hop={self.hop} too large for perfect reconstruction: "
+                f"widest band needs {int(L.max())} bins > N={N0}")
+        # per-band decimation: largest power of two d <= Gmax with
+        # N0 / d >= L_b  (support still fits the aliasing modulus)
+        dec = np.minimum(Gmax, 2 ** np.floor(np.log2(
+            np.maximum(N0 / np.maximum(L, 1), 1.0))).astype(np.int64))
+        # global dual normalization over ALL bands (grouping-independent)
+        S = np.zeros(K)
+        Wfull = []
+        for b in range(B):
+            f = (lo[b] + np.arange(L[b])) * df
+            up = (f - lo_hz[b]) / max(c[b] - lo_hz[b], 1e-9)
+            down = (hi_hz[b] - f) / max(hi_hz[b] - c[b], 1e-9)
+            if b == 0:
+                up = np.ones_like(f)
+            if b == B - 1:
+                down = np.ones_like(f)
+            r = np.clip(np.minimum(up, down), 0.0, 1.0)
+            w = np.sin(0.5 * np.pi * r) ** 2
+            Wfull.append(w)
+            S[lo[b]:hi[b]] += w ** 2
+        assert S.min() > 1e-6, "ERBlet coverage hole (frame not invertible)"
+        groups = []
+        for d in sorted(set(int(x) for x in dec)):
+            bands = np.nonzero(dec == d)[0]
+            Ng = N0 // d
+            Lg = int(L[bands].max())
+            j = np.arange(Lg)
+            idx = lo[bands][:, None] + j[None, :]
+            valid = idx < hi[bands][:, None]
+            idx = np.minimum(idx, K - 1)
+            Wg = np.zeros((len(bands), Lg))
+            Wdg = np.zeros((len(bands), Lg))
+            for r_, b in enumerate(bands):
+                Wg[r_, :L[b]] = Wfull[b]
+                Wdg[r_, :L[b]] = Wfull[b] / S[lo[b]:hi[b]]
+            Wg *= valid
+            Wdg *= valid
+            groups.append(dict(
+                d=d, N=Ng, bands=jnp.asarray(bands),
+                bands_np=bands,
+                idx=jnp.asarray(idx), m=jnp.asarray(idx % Ng),
+                W=jnp.asarray(Wg, jnp.float32),
+                Wd=jnp.asarray(Wdg, jnp.float32),
+                r_idx=jnp.asarray(np.broadcast_to(
+                    np.arange(len(bands))[:, None], idx.shape)),
+            ))
+        geo = dict(N0=N0, Tp=Tp, K=K, groups=groups)
+        self._cache[Tp] = geo
+        return geo
+
+    @property
+    def group_bands(self):
+        """List of band-index arrays, one per coefficient array (after a
+        computeTransform; geometry of the last length)."""
+        geo = self._cache[max(self._cache)] if self._cache else None
+        if geo is None:
+            raise ValueError("call computeTransform first")
+        return [g["bands_np"] for g in geo["groups"]]
+
+    def computeTransform(self, data):
+        """(T[, I]) real -> [ (B_g, N_g[, I]) complex ] per rate group."""
+        x = jnp.asarray(np.asarray(data, np.float32))
+        T = int(x.shape[0])
+        self._nsamples = T
+        geo = self._geometry(T)
+        xp = jnp.pad(x, ((0, geo["Tp"] - T),) + ((0, 0),) * (x.ndim - 1))
+        X = jnp.fft.rfft(xp, axis=0)
+        out = []
+        for g in geo["groups"]:
+            vals = X[g["idx"]] * (g["W"][..., None] if x.ndim == 2
+                                  else g["W"])
+            shape = (len(g["bands_np"]), g["N"]) + x.shape[1:]
+            C = jnp.zeros(shape, vals.dtype).at[g["r_idx"], g["m"]].add(vals)
+            out.append(jnp.fft.ifft(C, axis=1) / g["d"])
+        return out
+
+    def invertTransform(self, Cs, nsamples: Optional[int] = None):
+        """Exact dual synthesis from the rate-group list."""
+        n = nsamples if nsamples is not None else self._nsamples
+        if n is None:
+            raise ValueError("call computeTransform first or pass nsamples")
+        from pyfasst_tpu.utils.misc import to_device_complex
+        geo = self._geometry(n)
+        X = None
+        for g, Cb in zip(geo["groups"], Cs):
+            Cb = to_device_complex(Cb) if isinstance(Cb, np.ndarray) \
+                else jnp.asarray(Cb)
+            C = jnp.fft.fft(Cb * g["d"], axis=1)
+            vals = C[g["r_idx"], g["m"]]
+            vals = vals * (g["Wd"][..., None] if Cb.ndim == 3 else g["Wd"])
+            Kshape = (geo["K"],) + Cb.shape[2:]
+            acc = jnp.zeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
+            X = acc if X is None else X + acc
+        y = jnp.fft.irfft(X, n=geo["Tp"], axis=0)
+        return y[:n]
+
+    forward = computeTransform
+    inverse = invertTransform
+
+    def redundancy(self, T: int) -> float:
+        """Total coefficients / uniform-hop coefficients for length T
+        (< 1 = saving; the uniform version is B * N0)."""
+        geo = self._geometry(T)
+        total = sum(len(g["bands_np"]) * g["N"] for g in geo["groups"])
+        return total / float(self.n_bands * geo["N0"])

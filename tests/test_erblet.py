@@ -134,3 +134,76 @@ def test_frame_bounds_and_hop_guard():
     bad = ERBLetTransform(fs=16000, n_bands=64, hop=4096)
     with pytest.raises(ValueError, match="hop"):
         bad.computeTransform(np.zeros(16000, np.float32))
+
+
+# -- multi-rate (per-band decimation groups) ----------------------------------
+
+def test_multirate_perfect_reconstruction(rng):
+    """MultiRateERBLet: exact PR from the rate-group list (mono + stereo),
+    at a fraction of the uniform-hop coefficient count."""
+    from pyfasst_tpu.tf.erblet import MultiRateERBLet
+
+    t = MultiRateERBLet(fs=16000, n_bands=64)
+    x = rng.standard_normal(16000).astype(np.float32)
+    Cs = t.computeTransform(x)
+    assert isinstance(Cs, list) and len(Cs) >= 2      # several rate groups
+    y = np.asarray(t.invertTransform(Cs))
+    rel = np.abs(y - x).max() / np.abs(x).max()
+    assert rel < 1e-5, rel
+
+    xs = rng.standard_normal((12345, 2)).astype(np.float32)
+    Cs = t.computeTransform(xs)
+    ys = np.asarray(t.invertTransform(Cs))
+    rel = np.abs(ys - xs).max() / np.abs(xs).max()
+    assert rel < 1e-5, rel
+
+
+def test_multirate_redundancy_saving():
+    """The point of the exercise: per-band rates cut the uniform-hop
+    coefficient count by >= 3x at auditory band counts (measured overhead
+    of the uniform hop is 8-12x vs per-band minimal rates -- tf/erblet.py
+    docstring), and the group partition covers every band exactly once."""
+    from pyfasst_tpu.tf.erblet import MultiRateERBLet
+
+    for fs, n_bands in ((16000, 64), (44100, 80)):
+        t = MultiRateERBLet(fs=fs, n_bands=n_bands)
+        t.computeTransform(np.zeros(fs, np.float32))  # build geometry
+        r = t.redundancy(fs)
+        assert r < 0.35, (fs, n_bands, r)
+        bands = np.concatenate(t.group_bands)
+        assert sorted(bands.tolist()) == list(range(n_bands))
+
+
+def test_multirate_log_scale_and_bad_decimation(rng):
+    from pyfasst_tpu.tf.erblet import MultiRateERBLet
+
+    t = MultiRateERBLet(fs=16000, n_bands=48, scale="log")
+    x = rng.standard_normal(8000).astype(np.float32)
+    y = np.asarray(t.invertTransform(t.computeTransform(x)))
+    assert np.abs(y - x).max() / np.abs(x).max() < 1e-5
+    with pytest.raises(ValueError, match="power of two"):
+        MultiRateERBLet(fs=16000, max_decimation=3)
+
+
+def test_multirate_band_energy_matches_uniform(rng):
+    """Coefficient amplitudes are rate-normalized: a band's total energy
+    (sum |c|^2 * d, i.e. per-signal-sample) matches the uniform-hop
+    transform's for the same band."""
+    from pyfasst_tpu.tf.erblet import ERBLetTransform, MultiRateERBLet
+
+    fs, n_bands, T = 16000, 48, 16000
+    x = rng.standard_normal(T).astype(np.float32)
+    tu = ERBLetTransform(fs=fs, n_bands=n_bands)
+    tm = MultiRateERBLet(fs=fs, n_bands=n_bands, hop=tu.hop)
+    Cu = np.asarray(tu.computeTransform(x))
+    Cs = tm.computeTransform(x)
+    Eu = (np.abs(Cu) ** 2).sum(axis=1)                 # (B,)
+    geo = tm._geometry(T)
+    for g, Cb in zip(geo["groups"], Cs):
+        Cb = np.asarray(Cb)
+        for r_, b in enumerate(g["bands_np"]):
+            Em = (np.abs(Cb[r_]) ** 2).sum() * g["d"]
+            # the two transforms pad to slightly different lengths (N0
+            # rounds up to a multiple of max_decimation), so band windows
+            # sit on slightly different bin grids; allow a few %
+            assert abs(Em - Eu[b]) <= 0.08 * max(Eu[b], 1e-9), (b, Em, Eu[b])
