@@ -79,14 +79,17 @@ def _hard_votes_from_sep(Y, J: int) -> np.ndarray:
 
 def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                     em_seeds: int, nmf_comps: int, rank: int,
-                    chunk: int, best=None, env_thr: float = 0.6,
-                    share_floor: float = 0.02, verbose: bool = False):
-    """Run every (candidate, seed) full-rank EM; return (records, best).
+                    chunk: int, bests=None, env_thr: float = 0.6,
+                    share_floor: float = 0.02, verbose: bool = False,
+                    topk: int = 1, tiers=None, distinct: bool = False):
+    """Run every (candidate, seed) full-rank EM; return (records, bests).
 
-    `best` carries the running winner across calls as a dict holding the
-    device params/in-chunk separation of the best run so far -- buffers of
-    non-winning chunks are dropped as soon as the chunk is scored.
-    """
+    `bests` carries the running top-`topk` runs across calls (sorted by
+    `selection_key`, best first), each a dict holding the device
+    params/in-chunk separation -- buffers of non-kept runs are dropped as
+    soon as the chunk is scored. `tiers`, if given, maps candidate names
+    to explicit selection tiers (rec['tier'], consumed by selection_key;
+    the multiscale ladder uses the FINE-stage rank as the coarse tier)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,6 +130,7 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
         return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
 
     records = []
+    bests = list(bests or [])
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -148,6 +152,10 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                    "envcorr": round(float(ec[i]), 4),
                    "band_coh": round(float(coh[i]), 4),
                    "min_share": round(float(sh[i].min()), 4)}
+            if tiers is not None:
+                cname = rec["name"].split("|")[0]
+                if cname in tiers:
+                    rec["tier"] = tiers[cname]
             records.append(rec)
             if verbose:
                 k = selection_key(rec, env_thr, share_floor)
@@ -155,13 +163,27 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                       f"envcorr {rec['envcorr']:.3f} min_share "
                       f"{rec['min_share']:.3f}"
                       f"{'  [vetoed]' if k[0] else ''}")
-            if best is None or (selection_key(rec, env_thr, share_floor)
-                                < selection_key(best, env_thr,
-                                                share_floor)):
-                best = dict(rec)
-                best["Y"] = Y_b[i]
-                best["params"] = jax.tree.map(lambda x: x[i], params_b)
-    return records, best
+            key = selection_key(rec, env_thr, share_floor)
+            if distinct:
+                # at most one kept run per CANDIDATE (topk > 1 is used to
+                # ladder diverse hypotheses, not spectral-seed twins)
+                cname = rec["name"].split("|")[0]
+                same = [b for b in bests
+                        if b["name"].split("|")[0] == cname]
+                if same:
+                    if key >= selection_key(same[0], env_thr, share_floor):
+                        continue
+                    bests.remove(same[0])
+            if len(bests) < topk or key < selection_key(
+                    bests[-1], env_thr, share_floor):
+                kept = dict(rec)
+                kept["Y"] = Y_b[i]
+                kept["params"] = jax.tree.map(lambda x: x[i], params_b)
+                bests.append(kept)
+                bests.sort(key=lambda r: selection_key(r, env_thr,
+                                                       share_floor))
+                del bests[topk:]
+    return records, bests
 
 
 def blind_reverb_separate(
@@ -169,7 +191,7 @@ def blind_reverb_separate(
         reseed_rounds: int = 2, nmf_comps: int = 6, rank: int = 2,
         chunk: int = 24, spatial_hold_frac: float = 0.3,
         env_thr: float = 0.6, share_floor: float = 0.02,
-        n_seeds: int = 8, verbose: bool = False,
+        n_seeds: int = 8, verbose: bool = False, topk: int = 1,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -197,15 +219,18 @@ def blind_reverb_separate(
         X, cands, J, iters=iters, em_seeds=em_seeds,
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
-        share_floor=share_floor, verbose=verbose)
+        share_floor=share_floor, verbose=verbose, topk=topk)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      nmf_comps, rank, chunk, spatial_hold_frac, env_thr,
-                     share_floor, verbose):
+                     share_floor, verbose, topk: int = 1, tiers=None):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
-    the multiscale ladder's coarse stage."""
+    the multiscale ladder's stages. topk > 1 keeps the best run of each
+    of the top-k CANDIDATES alive (info['tops'] carries their device
+    separations for the ladder); reseeding always restarts from the
+    overall winner."""
     from pyfasst_tpu.models.spatial_init import tf_covariance_features
     from pyfasst_tpu.ops.gem import annealing_endpoints
     from pyfasst_tpu.parallel.sharding import make_mesh
@@ -219,10 +244,11 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     mesh = make_mesh(1)
     _, sigma1 = annealing_endpoints(X_d, cfg)
 
-    records, best = _run_candidates(
+    records, bests = _run_candidates(
         X_d, cands, pw, xx, None, cfg, mesh, sigma1, em_seeds, nmf_comps,
         rank, chunk, env_thr=env_thr, share_floor=share_floor,
-        verbose=verbose)
+        verbose=verbose, topk=topk, tiers=tiers, distinct=topk > 1)
+    best = bests[0]
     history = [{"stage": "pool", "picked": best["name"],
                 "envcorr": best["envcorr"], "min_share": best["min_share"],
                 "pool": len(records)}]
@@ -230,10 +256,12 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     for r in range(reseed_rounds):
         rs = _hard_votes_from_sep(best["Y"], J)
         prev_name = best["name"]
-        recs_r, best = _run_candidates(
+        recs_r, bests = _run_candidates(
             X_d, [(f"reseed{r + 1}", rs)], pw, xx, None, cfg, mesh,
-            sigma1, em_seeds, nmf_comps, rank, chunk, best=best,
-            env_thr=env_thr, share_floor=share_floor, verbose=verbose)
+            sigma1, em_seeds, nmf_comps, rank, chunk, bests=bests,
+            env_thr=env_thr, share_floor=share_floor, verbose=verbose,
+            topk=topk, tiers=tiers, distinct=topk > 1)
+        best = bests[0]
         history.append({"stage": f"reseed{r + 1}", "picked": best["name"],
                         "envcorr": best["envcorr"],
                         "min_share": best["min_share"]})
@@ -244,6 +272,8 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     info = {"picked": best["name"], "envcorr": best["envcorr"],
             "min_share": best["min_share"], "final_ll": best["final_ll"],
             "history": history, "params": best["params"]}
+    if topk > 1:
+        info["tops"] = bests
     return Y, info
 
 
@@ -253,7 +283,7 @@ def blind_reverb_separate_multiscale(
         reseed_rounds: int = 2, nmf_comps: int = 6, rank: int = 2,
         chunk: int = 24, spatial_hold_frac: float = 0.3,
         env_thr: float = 0.6, share_floor: float = 0.02,
-        n_seeds: int = 8, verbose: bool = False,
+        n_seeds: int = 8, verbose: bool = False, topk: int = 3,
         transform_fine=None, transform_coarse=None,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
@@ -311,24 +341,44 @@ def blind_reverb_separate_multiscale(
         XF, J, iters=iters, em_seeds=em_seeds, reseed_rounds=reseed_rounds,
         nmf_comps=nmf_comps, rank=rank, chunk=chunk,
         spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
-        share_floor=share_floor, n_seeds=n_seeds, verbose=verbose)
+        share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
+        topk=topk)
 
-    # rung 2: fine images -> coarse-grid dominance votes
-    P = []
-    for j in range(J):
-        yj = np.asarray(tft_f.invertTransform(YF[j], nsamples=n))
-        Yj = to_host_complex(tft_c.computeTransform(
-            np.ascontiguousarray(yj).astype(np.float32)))
-        P.append((np.abs(Yj) ** 2).sum(-1))
-    lab = np.argmax(np.stack(P), axis=0)
-    vC = np.eye(J)[lab]
+    # rung 2: each kept fine run's images -> coarse-grid dominance votes.
+    # Laddering the top-k DISTINCT fine candidates (not just the winner)
+    # de-risks the fine-stage selection: a degenerate fine pick that
+    # collapses at the coarse grid gets vetoed there and the next fine
+    # candidate takes over -- but ranking stays with the FINE stage
+    # (tier = fine rank), because coarse-grid envelope statistics cannot
+    # order candidates on onset-locked material (see selection caveat in
+    # docs/design.md section 6e).
+    tops = info_f.pop("tops", None) or [{"name": info_f["picked"],
+                                         "Y": None}]
+    cands_c, tiers = [], {}
+    for rank_i, rec in enumerate(tops):
+        Yf = to_host_complex(rec["Y"]) if rec.get("Y") is not None else YF
+        P = []
+        for j in range(J):
+            yj = np.asarray(tft_f.invertTransform(Yf[j], nsamples=n))
+            Yj = to_host_complex(tft_c.computeTransform(
+                np.ascontiguousarray(yj).astype(np.float32)))
+            P.append((np.abs(Yj) ** 2).sum(-1))
+        lab = np.argmax(np.stack(P), axis=0)
+        name = f"ladder{rank_i}[{rec['name'].split('|')[0]}]"
+        cands_c.append((name, np.eye(J)[lab]))
+        tiers[name] = rank_i
+    for r in range(reseed_rounds):
+        # coarse reseeds inherit the tier of whatever run they reseed
+        # from; conservatively pin them to the best tier so the guarded
+        # acceptance (selection_key improves) stays the only gate
+        tiers[f"reseed{r + 1}"] = 0
 
     XC = to_host_complex(tft_c.computeTransform(x.astype(np.float32)))
     Y, info = _pool_and_reseed(
-        XC, [("ladder", vC)], J, iters=iters, em_seeds=em_seeds,
+        XC, cands_c, J, iters=iters, em_seeds=em_seeds,
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
-        share_floor=share_floor, verbose=verbose)
+        share_floor=share_floor, verbose=verbose, tiers=tiers)
     info["fine"] = {k: v for k, v in info_f.items() if k != "params"}
     info["transform"] = tft_c
     return Y, info

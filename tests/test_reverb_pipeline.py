@@ -161,9 +161,8 @@ def test_blind_reverb_multiscale_end_to_end():
     F_c = 512 // 2 + 1
     assert Y.shape[0] == 2 and Y.shape[1] == F_c and Y.shape[3] == 2
     assert np.all(np.isfinite(Y.view(np.float64)))
-    # coarse stage ran from the ladder candidate (or its guarded reseeds)
-    assert info["picked"].split("|")[0] in (
-        "ladder", "reseed1", "reseed2")
+    # coarse stage ran from a ladder candidate (or its guarded reseeds)
+    assert info["picked"].split("|")[0].startswith(("ladder", "reseed"))
     assert info["fine"]["picked"]                 # fine stage recorded
     assert "params" not in info["fine"]
     # the installed coarse transform inverts the images to time domain
