@@ -88,9 +88,10 @@ def main():
                 r["stems"] = J
                 fh.write(json.dumps(r) + "\n")
     for r in recs:
-        print(json.dumps({k: r[k] for k in (
+        print(json.dumps({k: r.get(k) for k in (
             "name", "min_sdr_db", "mean_sdr_db", "envcorr", "band_coh",
-            "min_share", "final_ll")}), file=sys.stderr, flush=True)
+            "min_share", "final_ll", "consistency", "consistency_min")}),
+            file=sys.stderr, flush=True)
     s = summarize(args.seed, recs)
     s["wlen"] = args.wlen
     s["stems"] = J

@@ -150,6 +150,20 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         p = jnp.sum(jnp.abs(Y_b) ** 2, axis=(2, 3, 4))   # (C, J)
         return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
 
+    @jax.jit
+    def adjacent_agreement(Y_b):
+        # cross-run agreement between ADJACENT runs in the chunk (c, c+1):
+        # correlation matrices (C-1, Je, Je) of normalized log-power
+        # planes. Consumed on host for same-candidate seed pairs only --
+        # the cross-seed CONSISTENCY statistic (degenerate fits are
+        # seed-sensitive; correct basins reproduce across spectral seeds).
+        P = jnp.log1p(jnp.sum(jnp.abs(Y_b) ** 2, axis=4))  # (C, J, F, N)
+        P = P.reshape(P.shape[:2] + (-1,))
+        P = P - P.mean(-1, keepdims=True)
+        P = P / jnp.maximum(
+            jnp.linalg.norm(P, axis=-1, keepdims=True), 1e-12)
+        return jnp.einsum('cjt,ckt->cjk', P[:-1], P[1:])
+
     from pyfasst_tpu.models.spatial_init import (
         _band_coherence_stats, _min_band_coherence)
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))   # one wrapper: no
@@ -158,6 +172,7 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
     t0 = time.perf_counter()                        # per-chunk retrace
     lls_all, ec_all, coh_all, sh_all, E_all, Y_all = [], [], [], [], [], []
     cohj_all, prj_all = [], []
+    agree_mats = {}                   # global run idx -> (J, J) corr with idx+1
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -185,6 +200,9 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         coh = np.asarray(coh_fn(Y_b), np.float64)
         cohj, prj = cohstats_fn(Y_b)
         sh = np.asarray(stem_shares(Y_b), np.float64)
+        agree = np.asarray(adjacent_agreement(Y_b), np.float64)
+        for i in range(valid - 1):
+            agree_mats[lo + i] = agree[i]
         E, R = pair_errors(Y_b, Yt_d)
         lls_all.append(lls[:valid])
         ec_all.append(ec[:valid])
@@ -232,6 +250,28 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         })
         if return_Y:
             recs[-1]["Y"] = np.concatenate(Y_all)[c]
+
+    # cross-seed consistency: for adjacent runs of the SAME candidate,
+    # best-permutation mean plane correlation (min over stems also kept:
+    # one non-reproducing stem should not hide behind two stable ones)
+    def _pair_stats(M):
+        best = None
+        for p in itertools.permutations(range(J)):
+            v = [M[p[k], k] for k in range(J)]
+            if best is None or sum(v) > sum(best):
+                best = v
+        return float(np.mean(best)), float(np.min(best))
+
+    for c in range(C):
+        vals = []
+        for c0 in (c - 1, c):
+            if c0 in agree_mats and names[c0].split("|")[0] \
+                    == names[c0 + 1].split("|")[0]:
+                vals.append(_pair_stats(agree_mats[c0]))
+        if vals:
+            vals.sort(reverse=True)
+            recs[c]["consistency"] = round(vals[0][0], 4)
+            recs[c]["consistency_min"] = round(vals[0][1], 4)
     return recs, wall
 
 
@@ -307,8 +347,24 @@ def summarize(draw: int, recs, env_thr: float = 0.6):
     else:
         blind = int(np.argmin(ecs))
     prod = min(range(len(recs)), key=lambda i: selection_key(recs[i]))
+    out_extra = {}
+    cons = [r.get("consistency") for r in recs]
+    if any(c is not None for c in cons):
+        # candidate selector: max cross-seed consistency among unvetoed
+        # tier-0 runs (veto = the production envcorr/share rule)
+        def veto(r):
+            return selection_key(r)[0] or selection_key(r)[1] > 0
+        idxs = [i for i, r in enumerate(recs)
+                if cons[i] is not None and not veto(recs[i])]
+        if not idxs:
+            idxs = [i for i in range(len(recs)) if cons[i] is not None]
+        ci = max(idxs, key=lambda i: cons[i])
+        out_extra["consistency_pick"] = {
+            "name": recs[ci]["name"], "min_sdr": recs[ci]["min_sdr_db"],
+            "consistency": cons[ci],
+            "consistency_min": recs[ci].get("consistency_min")}
     return {
-        "draw": draw, "pool": len(recs),
+        "draw": draw, "pool": len(recs), **out_extra,
         "oracle": {"name": recs[oracle]["name"],
                    "min_sdr": recs[oracle]["min_sdr_db"],
                    "mean_sdr": recs[oracle]["mean_sdr_db"]},

@@ -375,11 +375,11 @@ def scenario_music(rng):
     model family), the 3-stem row shows the partial-capability regime."""
     r1 = _music_run(rng, [0, 2, 3], 0.12,
                     [(0.9, 1.0), (-0.9, 1.0), (0.0, 1.0)],
-                    "music 3-stem (bass/lead/drums) T60=0.12s (blind "
-                    "pipeline)")
+                    "music 3-stem (bass/lead/drums) T60=0.12s (multiscale "
+                    "ladder)")
     r2 = _music_run(rng, [0, 1, 2, 3], 0.25,
                     [(0.0, 1.3), (0.8, 0.5), (-0.8, 0.5), (0.0, 0.9)],
-                    "music 4-stem (+pad) T60=0.25s (blind pipeline)")
+                    "music 4-stem (+pad) T60=0.25s (multiscale ladder)")
     return [r1, r2]
 
 
