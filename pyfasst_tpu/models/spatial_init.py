@@ -165,12 +165,23 @@ def _embed_nodes(act, pw, pweight: bool = True):
     (within-frequency edges removed -- those J nodes are distinct sources
     by construction; power-scaled so loud nodes anchor the partition) and
     returns (U (F*J, J): row-normalized top-J normalized-Laplacian
-    eigenvectors, npow (F*J,): node powers)."""
+    eigenvectors, npow (F*J,): node powers).
+
+    FJ <= 4096 runs the host NumPy path bit-identical to the measured
+    configs[2] pipeline (dense eigh). Above that the whole graph build +
+    Lanczos runs ON DEVICE (`_embed_nodes_device`): at music shapes
+    (F=4097, J=3 -> 12291 nodes) the host path spends MINUTES per seed in
+    the (FJ, FJ) affinity matmul and Laplacian scaling on one CPU core --
+    measured 211 s + 70 s -- while the same work is a handful of MXU
+    matmuls."""
     F, J, N = act.shape
+    npow = act.sum(-1).reshape(F * J)
+    if F * J > 4096:
+        U = _embed_nodes_device(act, pweight)
+        return U, npow
     E = _normrows(np.log1p(
         act / np.maximum(act.mean(-1, keepdims=True), 1e-20)))
     nodes = E.reshape(F * J, N)
-    npow = act.sum(-1).reshape(F * J)
     W = np.maximum(nodes @ nodes.T, 0.0)
     idx = np.arange(F * J).reshape(F, J)
     for f in range(F):
@@ -181,21 +192,100 @@ def _embed_nodes(act, pw, pweight: bool = True):
     d = W.sum(1) + 1e-9
     Dm = 1.0 / np.sqrt(d)
     L = Dm[:, None] * W * Dm[None, :]
-    if F * J <= 4096:
-        _, vecs = np.linalg.eigh(L)
-        U = vecs[:, -J:]
-    else:
-        # only the top-J eigenvectors are used; the full dense eigh is
-        # O((FJ)^3) and takes HOURS at music shapes (F=4097, J=3 ->
-        # a 12291^2 dense eigendecomposition per seed). Lanczos on the
-        # dense affinity is O(iters * (FJ)^2) -- seconds. The small-F
-        # path keeps np.linalg.eigh so all configs[2]-scale results are
-        # bit-identical to the measured pipeline.
-        from scipy.sparse.linalg import eigsh
-        vals, vecs = eigsh(L, k=J, which="LA")
-        U = vecs[:, np.argsort(vals)]            # ascending, like eigh
+    _, vecs = np.linalg.eigh(L)
+    U = vecs[:, -J:]
     return (U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True),
                            1e-12), npow)
+
+
+def _lanczos_top(L, k: int, m: int = 64):
+    """Top-k eigenvectors of a symmetric device matrix by m-step Lanczos
+    with full reorthogonalization (jitted; the tridiagonal eigh is (m, m),
+    negligible). Deterministic start vector. Columns ordered ASCENDING by
+    eigenvalue, matching np.linalg.eigh's vecs[:, -k:] convention."""
+    import jax
+    import jax.numpy as jnp
+
+    n = L.shape[0]
+    m = min(m, n)
+
+    @jax.jit
+    def run(L):
+        with jax.default_matmul_precision("highest"):
+            # deterministic, dense start: cheap pseudo-random signs keep
+            # it non-orthogonal to any particular eigenvector
+            i = jnp.arange(n, dtype=jnp.float32)
+            q0 = jnp.sin(0.7 * i + 0.31) + 0.01
+            q0 = q0 / jnp.linalg.norm(q0)
+            Q = jnp.zeros((m, n), L.dtype).at[0].set(q0)
+            alphas = jnp.zeros((m,), L.dtype)
+            betas = jnp.zeros((m,), L.dtype)
+
+            def body(j, carry):
+                Q, alphas, betas = carry
+                q = Q[j]
+                z = L @ q
+                a = jnp.dot(q, z)
+                z = z - a * q
+                # full reorthogonalization against ALL previous vectors
+                # (rows >= j+1 are zero, so the mask is implicit), twice
+                # for float32 stability
+                z = z - Q.T @ (Q @ z)
+                z = z - Q.T @ (Q @ z)
+                b = jnp.linalg.norm(z)
+                qn = z / jnp.maximum(b, 1e-20)
+                Q = jax.lax.cond(j + 1 < m,
+                                 lambda Q: Q.at[j + 1].set(qn),
+                                 lambda Q: Q, Q)
+                return Q, alphas.at[j].set(a), betas.at[j].set(b)
+
+            Q, alphas, betas = jax.lax.fori_loop(
+                0, m, body, (Q, alphas, betas))
+            T = jnp.diag(alphas) + jnp.diag(betas[:m - 1], 1) \
+                + jnp.diag(betas[:m - 1], -1)
+            evals, S = jnp.linalg.eigh(T)          # ascending
+            U = Q.T @ S[:, -k:]                    # Ritz vectors (n, k)
+            return U
+
+    return run(L)
+
+
+def _embed_nodes_device(act, pweight: bool = True):
+    """Device (TPU/XLA) graph build + Lanczos for `_embed_nodes` at
+    large F*J. Matmul precision is pinned to 'highest': the embedding
+    feeds clustering/assignment DECISIONS, and default-precision TPU
+    matmuls have twice flipped such decisions (CLAUDE.md bf16 victims)."""
+    import jax
+    import jax.numpy as jnp
+
+    F, J, N = act.shape
+    n = F * J
+
+    @jax.jit
+    def build(act):
+        with jax.default_matmul_precision("highest"):
+            a = act / jnp.maximum(act.mean(-1, keepdims=True), 1e-20)
+            E = jnp.log1p(a)
+            E = E - E.mean(-1, keepdims=True)
+            E = E / jnp.maximum(
+                jnp.linalg.norm(E, axis=-1, keepdims=True), 1e-12)
+            nodes = E.reshape(n, N)
+            W = jnp.maximum(nodes @ nodes.T, 0.0)
+            same_f = (jnp.arange(n)[:, None] // J) \
+                == (jnp.arange(n)[None, :] // J)
+            W = jnp.where(same_f, 0.0, W)
+            if pweight:
+                npow = act.sum(-1).reshape(n)
+                sw = jnp.sqrt(npow / jnp.maximum(npow.mean(), 1e-20))
+                sw = jnp.minimum(sw, 3)
+                W = W * sw[:, None] * sw[None, :]
+            d = W.sum(1) + 1e-9
+            Dm = 1.0 / jnp.sqrt(d)
+            return Dm[:, None] * W * Dm[None, :]
+
+    L = build(jnp.asarray(act, jnp.float32))
+    U = np.asarray(_lanczos_top(L, J))
+    return U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
 
 
 def _spherical_kmeans(U, npow, J: int, seed: int = 0, iters: int = 25):
