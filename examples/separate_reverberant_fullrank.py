@@ -48,3 +48,17 @@ print("wrote:", *model.separate_spat_comps(out_dir), sep="\n  ")
 #   info = model.estim_param_blind_reverb(reseed_rounds=2)
 #   print("picked:", info["picked"])
 #   model.separate_spat_comps(out_dir)
+#
+# For material whose alignment evidence lives at a finer time scale than
+# the best model grid (e.g. beat-locked music at 44.1 kHz under real
+# reverb), run the MULTISCALE LADDER instead (docs/design.md section 6e):
+# the blind pipeline executes on a fine grid first and its top candidates
+# re-seed the model's own (coarse) grid. Equivalent CLI: add
+# `--multiscale-wlen 2048` (with --wlen 8192).
+#
+#   model = MultiChanNMFConv(obj, nbComps=J, nbNMFComps=6,
+#                            spatial_rank=2, wlen=8192, iter_num=400)
+#   info = model.estim_param_blind_reverb(reseed_rounds=2,
+#                                         multiscale_wlen=2048)
+#   print("picked:", info["picked"], "fine:", info["fine"]["picked"])
+#   model.separate_spat_comps(out_dir)
