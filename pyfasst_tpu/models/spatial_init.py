@@ -176,7 +176,12 @@ def _embed_nodes(act, pw, pweight: bool = True):
     matmuls."""
     F, J, N = act.shape
     npow = act.sum(-1).reshape(F * J)
-    if F * J > 4096:
+    # cutoff = the largest hardware-gated scale (configs[2]: F=513, J=4
+    # -> 2052 nodes) so every gated robustness number stays bit-identical
+    # to the measured host path; anything larger (music grids: 3075 at
+    # wlen 2048, 12291 at 8192) takes the device path, where the host
+    # spends seconds-to-minutes per seed in dense one-core linear algebra
+    if F * J > 2052:
         U = _embed_nodes_device(act, pweight)
         return U, npow
     E = _normrows(np.log1p(
