@@ -78,7 +78,7 @@ def candidate_pool(X: np.ndarray, J: int):
 
 def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
              nmf_comps: int = 6, align_at=None, chunk: int = 24,
-             return_Y: bool = False):
+             return_Y: bool = False, return_votes: bool = False):
     """Run every (candidate, seed) to `iters` in batched programs of at
     most `chunk` runs each (a single 74-wide 400-iter program crashed the
     TPU worker -- kernel fault; production probes run ~20-40 wide).
@@ -173,6 +173,7 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
     lls_all, ec_all, coh_all, sh_all, E_all, Y_all = [], [], [], [], [], []
     cohj_all, prj_all = [], []
     agree_mats = {}                   # global run idx -> (J, J) corr with idx+1
+    votes_all = []
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
@@ -214,6 +215,11 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         if return_Y:
             from pyfasst_tpu.utils.misc import to_host_complex
             Y_all.append(to_host_complex(Y_b)[:valid] * scale)
+        if return_votes:
+            # per-run per-bin dominance labels: a (C, F, N) int8 fetch
+            # (~1 MB/run) instead of the full separations
+            lab_b = jnp.argmax(jnp.sum(jnp.abs(Y_b) ** 2, axis=4), axis=1)
+            votes_all.append(np.asarray(lab_b, np.int8)[:valid])
     lls = np.concatenate(lls_all)
     ec = np.concatenate(ec_all)
     coh = np.concatenate(coh_all)
@@ -250,6 +256,8 @@ def run_pool(X, cands, pw, xx, Yt, iters: int, em_seeds: int,
         })
         if return_Y:
             recs[-1]["Y"] = np.concatenate(Y_all)[c]
+        if return_votes:
+            recs[-1]["votes_lab"] = np.concatenate(votes_all)[c]
 
     # cross-seed consistency: for adjacent runs of the SAME candidate,
     # best-permutation mean plane correlation (min over stems also kept:

@@ -475,6 +475,44 @@ def scenario_hmm(rng):
     return [r1, r2]
 
 
+def scenario_general_I(rng):
+    """General-I engine on real hardware (rounds 1-2 were stereo-only;
+    the I != 2 path is the unrolled square-root engine
+    ops/engine_general.py): a 3-channel instantaneous mixture and a MONO
+    spectral-only separation, both through the public model API."""
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+
+    n = int(FS * DUR)
+    s1, s2 = _sources(rng, n, ["harm", "noise_hi"])
+    a1 = np.array([0.9, 0.5, 0.2])
+    a2 = np.array([0.25, 0.6, 0.95])
+    ys_true = np.stack([np.outer(s1, a1), np.outer(s2, a2)])
+    mix = ys_true.sum(0).astype(np.float32)
+    model = MultiChanNMFInst_FASST(mix, fs=FS, nbComps=2, nbNMFComps=8,
+                                   wlen=WLEN, iter_num=300, seed=0)
+    t0 = time.perf_counter()
+    model.estim_param_a_posteriori()
+    ys = model.separated_images()
+    wall = time.perf_counter() - t0
+    r1 = _report("3-channel inst 2src (general-I engine)",
+                 _best_perm_sdr(ys, ys_true), wall, 300,
+                 images=(ys, ys_true))
+
+    s1m, s2m = _sources(rng, n, ["harm", "noise_lo"])
+    ys_true_m = np.stack([s1m[:, None], s2m[:, None]])
+    mix_m = ys_true_m.sum(0).astype(np.float32)
+    model = MultiChanNMFInst_FASST(mix_m, fs=FS, nbComps=2, nbNMFComps=6,
+                                   wlen=WLEN, iter_num=300, seed=0)
+    t0 = time.perf_counter()
+    model.estim_param_a_posteriori()
+    ys = model.separated_images()
+    wall = time.perf_counter() - t0
+    r2 = _report("mono 2src (spectral-only, no spatial cues)",
+                 _best_perm_sdr(ys, ys_true_m), wall, 300,
+                 images=(ys, ys_true_m))
+    return [r1, r2]
+
+
 def scenario_batch(rng):
     """configs[4]: batched separation of 8 variable-length clips (one chip;
     the 8-device sharded path is validated on the CPU mesh in tests)."""
@@ -559,11 +597,16 @@ def main():
     # per-scenario deterministic rngs: each fixture is reproducible by
     # running its scenario standalone (a shared sequential rng made every
     # fixture depend on every earlier scenario's draw count)
-    scens = [scenario_inst, scenario_anechoic, scenario_reverb,
-             scenario_hmm, scenario_batch, scenario_music]
+    # explicit per-scenario seeds: the original five keep their round-2
+    # values (rows stay comparable across rounds); additions get fresh
+    # seeds instead of shifting everyone after them
+    scens = [(scenario_inst, 100), (scenario_anechoic, 101),
+             (scenario_reverb, 102), (scenario_hmm, 103),
+             (scenario_general_I, 110), (scenario_batch, 104),
+             (scenario_music, 105)]
     recs = []
-    for i, s in enumerate(scens):
-        r = s(np.random.default_rng(100 + i))
+    for s, seed in scens:
+        r = s(np.random.default_rng(seed))
         recs.extend(r if isinstance(r, list) else [r])
     lines = [
         "# Hardware validation matrix (real TPU)",
