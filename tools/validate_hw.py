@@ -513,6 +513,38 @@ def scenario_general_I(rng):
     return [r1, r2]
 
 
+def scenario_lead(rng):
+    """Lead/accompaniment (SeparateLeadStereoTF) at hardware scale: a
+    vibrato melody (1 semitone @ 0.7 Hz -- exercises the chirped KLGLOTT88
+    atoms) over a drone+colored-noise accompaniment, distinctly panned.
+    First hardware row for the SIMM pipeline (rounds 1-3 validated it on
+    CPU only, tests/test_lead.py)."""
+    from scipy.signal import lfilter
+
+    from pyfasst_tpu.models.lead import SeparateLeadStereoTF
+
+    n = int(FS * DUR)
+    t = np.arange(n) / FS
+    f0 = 220 * 2 ** (0.25 * np.sin(2 * np.pi * 0.7 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / FS
+    lead = sum((0.5 / h) * np.sin(h * phase) for h in range(1, 6))
+    acc = lfilter([1], [1, -0.95], 0.05 * rng.standard_normal(n))
+    acc += 0.15 * np.sin(2 * np.pi * 110 * t)
+    y_lead = np.stack([0.8 * lead, 0.6 * lead], 1)
+    y_acc = np.stack([0.7 * acc, 0.8 * acc], 1)
+    mix = (y_lead + y_acc).astype(np.float32)
+    model = SeparateLeadStereoTF(audio=mix, fs=FS, wlen=2048, niter=60)
+    t0 = time.perf_counter()
+    model.runDecomposition()
+    est_lead, est_acc = model.separated_signals()
+    wall = time.perf_counter() - t0
+    ys = np.stack([est_lead, est_acc])
+    ys_true = np.stack([y_lead, y_acc])
+    return _report("lead/accompaniment SIMM (vibrato lead over drone)",
+                   _best_perm_sdr(ys, ys_true), wall, 60,
+                   images=(ys, ys_true))
+
+
 def scenario_batch(rng):
     """configs[4]: batched separation of 8 variable-length clips (one chip;
     the 8-device sharded path is validated on the CPU mesh in tests)."""
@@ -602,8 +634,8 @@ def main():
     # seeds instead of shifting everyone after them
     scens = [(scenario_inst, 100), (scenario_anechoic, 101),
              (scenario_reverb, 102), (scenario_hmm, 103),
-             (scenario_general_I, 110), (scenario_batch, 104),
-             (scenario_music, 105)]
+             (scenario_general_I, 110), (scenario_lead, 111),
+             (scenario_batch, 104), (scenario_music, 105)]
     recs = []
     for s, seed in scens:
         r = s(np.random.default_rng(seed))
