@@ -5,6 +5,10 @@ Usage: python examples/batch_dataset.py 'clips/*.wav' out_dir
 import glob
 import os
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax.numpy as jnp

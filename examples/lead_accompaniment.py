@@ -3,6 +3,10 @@
 Usage: python examples/lead_accompaniment.py song.wav out_dir
 """
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyfasst_tpu.models.lead import SeparateLeadStereoTF
 

@@ -3,6 +3,10 @@
 Usage: python examples/separate_conv_demix.py mix.wav out_dir [n_sources]
 """
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

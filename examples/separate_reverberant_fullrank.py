@@ -13,6 +13,10 @@ does not support n_sources separable sources. Equivalent CLI:
 Usage: python examples/separate_reverberant_fullrank.py mix.wav out_dir [n_sources]
 """
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

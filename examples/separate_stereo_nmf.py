@@ -3,6 +3,10 @@
 Usage: python examples/separate_stereo_nmf.py mix.wav out_dir [niter]
 """
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import pyfasst_tpu
 

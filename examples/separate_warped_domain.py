@@ -9,6 +9,10 @@ synthesized through the exact dual.
 Usage: python examples/separate_warped_domain.py mix.wav out_dir [erb|log]
 """
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import pyfasst_tpu
 from pyfasst_tpu.audio import AudioObject

@@ -9,6 +9,10 @@ Usage: python examples/streaming_online.py long_mix.wav out_dir
 """
 import os
 import sys
+import os
+
+# runnable from a plain checkout (no pip install needed)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax.numpy as jnp

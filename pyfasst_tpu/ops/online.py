@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pyfasst_tpu.ops.estep import compute_suff_stats
+from pyfasst_tpu.utils.misc import czeros
 
 
 class OnlineState(NamedTuple):
@@ -58,10 +59,10 @@ def online_init(A0: jnp.ndarray, FB0: jnp.ndarray) -> OnlineState:
     J, F, K = FB0.shape
     return OnlineState(
         A=A0, FB=FB0,
-        txs=jnp.zeros((J, F, 2), jnp.complex64),
-        tss=jnp.zeros((J, J, F), jnp.complex64),
+        txs=czeros((J, F, 2), jnp.complex64),
+        tss=czeros((J, J, F), jnp.complex64),
         t4=jnp.zeros((J, F), jnp.float32),
-        t7=jnp.zeros((J, J, F), jnp.complex64),
+        t7=czeros((J, J, F), jnp.complex64),
         fb_num=jnp.zeros((J, F, K), jnp.float32),
         fb_den=jnp.zeros((J, F, K), jnp.float32),
     )

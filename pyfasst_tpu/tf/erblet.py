@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyfasst_tpu.tf.filterbank import erb_to_hz, hz_to_erb
+from pyfasst_tpu.utils.misc import czeros
 
 
 class ERBLetTransform:
@@ -165,7 +166,7 @@ class ERBLetTransform:
         vals = X[g["idx"]] * (g["W"][..., None] if x.ndim == 2
                               else g["W"])                 # (B, Lmax[, I])
         shape = (self.n_bands, g["N"]) + x.shape[1:]
-        C = jnp.zeros(shape, vals.dtype).at[g["b_idx"], g["m"]].add(vals)
+        C = czeros(shape, vals.dtype).at[g["b_idx"], g["m"]].add(vals)
         return jnp.fft.ifft(C, axis=1)                     # (B, N[, I])
 
     def invertTransform(self, Cb, nsamples: Optional[int] = None
@@ -182,7 +183,7 @@ class ERBLetTransform:
         vals = C[g["b_idx"], g["m"]]                       # (B, Lmax[, I])
         vals = vals * (g["Wd"][..., None] if Cb.ndim == 3 else g["Wd"])
         Kshape = (g["K"],) + Cb.shape[2:]
-        X = jnp.zeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
+        X = czeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
         y = jnp.fft.irfft(X, n=g["Tp"], axis=0)
         return y[:n]
 
@@ -338,7 +339,7 @@ class MultiRateERBLet(ERBLetTransform):
             vals = X[g["idx"]] * (g["W"][..., None] if x.ndim == 2
                                   else g["W"])
             shape = (len(g["bands_np"]), g["N"]) + x.shape[1:]
-            C = jnp.zeros(shape, vals.dtype).at[g["r_idx"], g["m"]].add(vals)
+            C = czeros(shape, vals.dtype).at[g["r_idx"], g["m"]].add(vals)
             out.append(jnp.fft.ifft(C, axis=1) / g["d"])
         return out
 
@@ -357,7 +358,7 @@ class MultiRateERBLet(ERBLetTransform):
             vals = C[g["r_idx"], g["m"]]
             vals = vals * (g["Wd"][..., None] if Cb.ndim == 3 else g["Wd"])
             Kshape = (geo["K"],) + Cb.shape[2:]
-            acc = jnp.zeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
+            acc = czeros(Kshape, vals.dtype).at[g["idx"]].add(vals)
             X = acc if X is None else X + acc
         y = jnp.fft.irfft(X, n=geo["Tp"], axis=0)
         return y[:n]

@@ -49,6 +49,24 @@ def to_device_complex(x, dtype=None):
                            jnp.asarray(x.imag, rdt))
 
 
+def czeros(shape, dtype):
+    """Complex zeros that work in EAGER mode on the axon TPU backend.
+
+    `jnp.zeros(shape, complex64)` outside jit dies at dispatch with an
+    opaque 'UNIMPLEMENTED: TPU backend error' on axon -- filling a device
+    buffer from a complex scalar constant is the same transfer hole as
+    complex host->device uploads (to_device_complex). Real zeros followed
+    by an on-device convert_element_type produce the identical result on
+    every backend. For real dtypes this is just jnp.zeros.
+    """
+    import jax.numpy as jnp
+    dtype = jnp.dtype(dtype)
+    if not jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.zeros(shape, dtype)
+    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    return jnp.zeros(shape, rdt).astype(dtype)
+
+
 def to_host_complex(x) -> np.ndarray:
     """Fetch a complex device array to host via two real transfers.
 
