@@ -149,6 +149,24 @@ def test_separate_reseed_pipeline(mix_wav, tmp_path, capsys):
     assert rep["stages"] and isinstance(rep["picked"], str)
 
 
+def test_separate_multiscale_ladder(mix_wav, tmp_path, capsys):
+    """--multiscale-wlen W runs the fine->coarse ladder; W must be finer
+    than --wlen."""
+    out_dir = str(tmp_path / "ms")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--spatial-init", "--reseed", "1", "--multiscale-wlen",
+                 "64", "--iters", "8", "--nmf-comps", "3",
+                 "--wlen", "256", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+    assert rep["picked"].split("|")[0].startswith(("ladder", "reseed"))
+    assert main(["separate", mix_wav, "-o", str(tmp_path / "y"),
+                 "--model", "fullrank", "--spatial-init", "--reseed", "1",
+                 "--multiscale-wlen", "256", "--wlen", "256",
+                 "--iters", "4", "-q"]) == 2
+    assert "finer" in capsys.readouterr().err
+
+
 def test_reseed_rejects_warped_transform(mix_wav, tmp_path, capsys):
     assert main(["separate", mix_wav, "-o", str(tmp_path / "x"),
                  "--model", "fullrank", "--spatial-init", "--reseed", "1",
