@@ -1,0 +1,119 @@
+"""Feature-context lab: does local covariance smoothing raise the
+fine-grid clustering's own upper bound?
+
+design.md §6e: the fine-grid (wlen 2048) per-frequency clusters cap the
+whole music ladder at a per-frequency oracle-fix UB of ~0.74 (vs 0.83 at
+wlen 8192). The clustering features are PER-BIN normalized rank-1
+covariance entries (tf_covariance_features); at 0 dB direct-to-reverb a
+single bin's covariance is a noisy estimate of the source's spatial
+signature. The classic remedy is local expectation: average the rank-1
+covariances over a small time/frequency neighborhood BEFORE normalizing
+(Duong-style local Gaussian model), trading temporal purity (neighbor
+frames may be dominated by another source) against estimator variance.
+
+This lab scores, per k-means seed, on the oracle dominance plane:
+  raw  acc   global-permutation accuracy of the clusters as they come
+  spec acc   after _align_spectral (the production path)
+  UB         per-frequency oracle-fix accuracy (ceiling of ANY alignment)
+for covariance smoothing windows (time x freq): 1x1 (baseline), 3x1,
+5x1, 1x3, 3x3. No EM — minutes per scenario.
+
+Usage: python tools/feat_context_lab.py [--scenario music3|music4|reverb]
+           [--wlen 2048] [--seed 100] [--n-seeds 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from align_diag import _acc, _acc_perfreq
+
+
+def smoothed_features(X: np.ndarray, tw: int = 1, fw: int = 1):
+    """tf_covariance_features with the rank-1 bin covariances box-averaged
+    over a (fw x tw) frequency-time neighborhood before normalization.
+    Weights/powers stay PER-BIN (the partition is still over bins; only
+    the spatial signature estimate is smoothed). Stereo-only lab helper."""
+    p0 = np.abs(X[..., 0]) ** 2
+    p1 = np.abs(X[..., 1]) ** 2
+    cr = X[..., 0] * np.conj(X[..., 1])
+    pw = p0 + p1
+    ent = np.stack([p0, p1, cr.real, cr.imag], -1)         # (F, N, 4)
+
+    def box(a, w, axis):
+        if w <= 1:
+            return a
+        k = np.ones(w) / w
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), axis, a)
+
+    ent_s = box(box(ent, tw, 1), fw, 0)
+    den = ent_s[..., 0] + ent_s[..., 1]
+    feat = ent_s / np.maximum(den, 1e-20)[..., None]
+    w = pw / np.maximum(pw.mean(axis=1, keepdims=True), 1e-20)
+    return feat.astype(np.float64), w, pw
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="music3",
+                    choices=("music3", "music4", "reverb"))
+    ap.add_argument("--wlen", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=100)
+    ap.add_argument("--n-seeds", type=int, default=4)
+    ap.add_argument("--windows", default="1x1,3x1,5x1,1x3,3x3")
+    args = ap.parse_args()
+
+    from pyfasst_tpu.tf.stft import STFT
+    from pyfasst_tpu.utils.misc import to_host_complex
+    from pyfasst_tpu.models.spatial_init import (
+        _align_spectral, _cluster_labels_jax,
+    )
+
+    if args.scenario.startswith("music"):
+        from music_lab import _fixture, FS
+        J = 3 if args.scenario == "music3" else 4
+        t60 = 0.12 if J == 3 else 0.25
+        mix, ys_true, n = _fixture(J, t60, args.seed)
+        tft = STFT(wlen=args.wlen, fs=FS)
+        X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    else:
+        from reverb_lab import make_fixture
+        X, Yt, ys_true, mix, tft, n = make_fixture(args.seed)
+        J = 4
+
+    P = []
+    for j in range(J):
+        Yj = to_host_complex(tft.computeTransform(
+            np.ascontiguousarray(ys_true[j]).astype(np.float32)))
+        P.append((np.abs(Yj) ** 2).sum(-1))
+    olab = np.argmax(np.stack(P), axis=0)
+
+    for wspec in args.windows.split(","):
+        tw, fw = (int(v) for v in wspec.split("x"))
+        feat, w, pw = smoothed_features(X, tw=tw, fw=fw)
+        labs_all = _cluster_labels_jax(feat, w, J, args.n_seeds, 30)
+        raws, specs, ubs = [], [], []
+        for s in range(args.n_seeds):
+            L = np.asarray(labs_all[s])
+            raws.append(_acc(L, olab, pw, J))
+            ubs.append(_acc_perfreq(L, olab, pw, J))
+            specs.append(_acc(_align_spectral(L, pw, J), olab, pw, J))
+        print(json.dumps({
+            "win": wspec,
+            "raw": round(float(np.mean(raws)), 4),
+            "spectral": round(float(np.mean(specs)), 4),
+            "spectral_max": round(float(np.max(specs)), 4),
+            "ub": round(float(np.mean(ubs)), 4),
+            "ub_max": round(float(np.max(ubs)), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
