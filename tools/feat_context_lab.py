@@ -68,12 +68,16 @@ def main():
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--n-seeds", type=int, default=4)
     ap.add_argument("--windows", default="1x1,3x1,5x1,1x3,3x3")
+    ap.add_argument("--consensus", action="store_true",
+                    help="also score the production-style 8-seed "
+                         "consensus vote plane (the quantity the "
+                         "candidate pool actually consumes)")
     args = ap.parse_args()
 
     from pyfasst_tpu.tf.stft import STFT
     from pyfasst_tpu.utils.misc import to_host_complex
     from pyfasst_tpu.models.spatial_init import (
-        _align_spectral, _cluster_labels_jax,
+        _align_spectral, _cluster_labels_jax, _vote_consensus,
     )
 
     if args.scenario.startswith("music"):
@@ -98,21 +102,39 @@ def main():
     for wspec in args.windows.split(","):
         tw, fw = (int(v) for v in wspec.split("x"))
         feat, w, pw = smoothed_features(X, tw=tw, fw=fw)
-        labs_all = _cluster_labels_jax(feat, w, J, args.n_seeds, 30)
-        raws, specs, ubs = [], [], []
-        for s in range(args.n_seeds):
+        n_seeds = 8 if args.consensus else args.n_seeds
+        labs_all = _cluster_labels_jax(feat, w, J, n_seeds, 30)
+        raws, specs, ubs, aligned = [], [], [], []
+        for s in range(n_seeds):
             L = np.asarray(labs_all[s])
             raws.append(_acc(L, olab, pw, J))
             ubs.append(_acc_perfreq(L, olab, pw, J))
-            specs.append(_acc(_align_spectral(L, pw, J), olab, pw, J))
-        print(json.dumps({
+            La = _align_spectral(L, pw, J)
+            aligned.append(La)
+            specs.append(_acc(La, olab, pw, J))
+        rec = {
             "win": wspec,
             "raw": round(float(np.mean(raws)), 4),
             "spectral": round(float(np.mean(specs)), 4),
             "spectral_max": round(float(np.max(specs)), 4),
             "ub": round(float(np.mean(ubs)), 4),
             "ub_max": round(float(np.max(ubs)), 4),
-        }), flush=True)
+        }
+        if args.consensus:
+            v = _vote_consensus(aligned, pw, J)
+            rec["consensus"] = round(_acc(np.argmax(v, -1), olab, pw, J), 4)
+            # blind per-window health statistics (candidate selectors for
+            # a per-draw feature-set pick -- no oracle input):
+            # margin: power-weighted mean (top - second) consensus share;
+            # seed_agree: power-weighted mean per-seed agreement with the
+            # consensus argmax at the best global permutation
+            vs = np.sort(v, axis=-1)
+            marg = (vs[..., -1] - vs[..., -2]) * pw
+            rec["margin"] = round(float(marg.sum() / pw.sum()), 4)
+            cons_lab = np.argmax(v, -1)
+            agr = [_acc(La, cons_lab, pw, J) for La in aligned]
+            rec["seed_agree"] = round(float(np.mean(agr)), 4)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -151,6 +151,64 @@ def _music_sources(rng, n, fs):
     return out
 
 
+def _speech_sources(rng, n, fs, n_spk=3):
+    """Speech-like stems: glottal-sawtooth-excited formant resonators with
+    syllabic gating, unvoiced fricatives, and pauses.
+
+    This is the SiSEC "underdetermined reverberant speech" stand-in (the
+    reference's headline regime -- SURVEY.md §6; no network access for the
+    real corpus). The structural properties that matter for the blind
+    pipeline are reproduced: speaker-distinct pitch and formant draws,
+    independent syllable timing (unlike the beat-locked music stems, the
+    envelopes genuinely decorrelate -- the design regime of the
+    envelope-based alignment and selection statistics), broadband
+    fricative bursts, and ~4 Hz syllabic modulation.
+    """
+    from scipy.signal import lfilter
+
+    vowels = [(730, 1090, 2440), (270, 2290, 3010), (300, 870, 2240),
+              (660, 1720, 2410), (530, 1840, 2480)]   # a i u ae eh
+    pitches = [115.0, 205.0, 150.0, 180.0]
+
+    def resonator(x, fc, bw):
+        r = np.exp(-np.pi * bw / fs)
+        th = 2 * np.pi * fc / fs
+        return lfilter([1.0 - r], [1.0, -2 * r * np.cos(th), r * r], x)
+
+    out = []
+    for spk in range(n_spk):
+        f0 = pitches[spk % len(pitches)] * (1 + 0.06 * rng.uniform(-1, 1))
+        s = np.zeros(n)
+        i = int(rng.uniform(0, 0.25) * fs)            # desynchronized start
+        while i < n:
+            kind = rng.choice(["v", "v", "v", "f", "p"])
+            dur = rng.uniform(0.12, 0.35) if kind == "v" \
+                else rng.uniform(0.06, 0.2)
+            L = min(int(dur * fs), n - i)
+            tt = np.arange(L) / fs
+            env = np.minimum(1.0, tt / 0.03) \
+                * np.minimum(1.0, (L / fs - tt) / 0.05)
+            if kind == "v":
+                f0i = f0 * (1 + 0.12 * np.sin(
+                    2 * np.pi * rng.uniform(1.5, 3.5) * tt
+                    + rng.uniform(0, 6)))
+                ph = 2 * np.pi * np.cumsum(f0i) / fs
+                nh = max(2, int(fs / 2 / (f0 * 1.2)))
+                exc = sum(np.sin(h * ph) / h for h in range(1, nh + 1))
+                fset = vowels[rng.integers(0, len(vowels))]
+                seg = sum(resonator(exc, fc * (1 + 0.04 * rng.uniform(-1, 1)),
+                                    80 + 30 * k)
+                          for k, fc in enumerate(fset))
+                s[i:i + L] = seg * env
+            elif kind == "f":
+                w = rng.standard_normal(L)
+                hp = w - np.convolve(w, np.ones(5) / 5, "same")
+                s[i:i + L] = 0.35 * hp * env
+            i += L
+        out.append(s / (np.std(s) + 1e-9))
+    return out
+
+
 def _best_perm_sdr(ys, ys_true):
     """(min, mean) over sources of the image SDR at the best permutation.
 
