@@ -63,7 +63,7 @@ def smoothed_features(X: np.ndarray, tw: int = 1, fw: int = 1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="music3",
-                    choices=("music3", "music4", "reverb"))
+                    choices=("music3", "music4", "reverb", "speech"))
     ap.add_argument("--wlen", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--n-seeds", type=int, default=4)
@@ -85,6 +85,12 @@ def main():
         J = 3 if args.scenario == "music3" else 4
         t60 = 0.12 if J == 3 else 0.25
         mix, ys_true, n = _fixture(J, t60, args.seed)
+        tft = STFT(wlen=args.wlen, fs=FS)
+        X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    elif args.scenario == "speech":
+        from speech_lab import _fixture, FS
+        J = 3
+        mix, ys_true, n = _fixture(J, 0.25, args.seed)
         tft = STFT(wlen=args.wlen, fs=FS)
         X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     else:
