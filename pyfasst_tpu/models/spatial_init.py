@@ -158,6 +158,9 @@ def _cluster_per_frequency(feat, w, J: int, seed: int,
     return lab
 
 
+_EMBED_DEVICE_MIN_NODES = 2052
+
+
 def _embed_nodes(act, pw, pweight: bool = True):
     """(F, J, N) per-(frequency, cluster) activity -> eigen-embedding.
 
@@ -180,8 +183,10 @@ def _embed_nodes(act, pw, pweight: bool = True):
     # -> 2052 nodes) so every gated robustness number stays bit-identical
     # to the measured host path; anything larger (music grids: 3075 at
     # wlen 2048, 12291 at 8192) takes the device path, where the host
-    # spends seconds-to-minutes per seed in dense one-core linear algebra
-    if F * J > 2052:
+    # spends seconds-to-minutes per seed in dense one-core linear algebra.
+    # _EMBED_DEVICE_MIN_NODES is module state so labs can force either
+    # path to measure embedding fidelity (tools/speech_align_lab.py).
+    if F * J > _EMBED_DEVICE_MIN_NODES:
         U = _embed_nodes_device(act, pweight)
         return U, npow
     E = _normrows(np.log1p(

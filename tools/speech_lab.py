@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--seed", type=int, default=120)
     ap.add_argument("--modes", default="oracle,blind")
     ap.add_argument("--em-seeds", type=int, default=2)
+    ap.add_argument("--coarse-mult", type=int, default=2,
+                    help="ladder mode: wlen_coarse = coarse_mult * wlen")
     args = ap.parse_args()
     J = args.spk
     mix, ys_true, n = _fixture(J, args.t60, args.seed)
@@ -100,15 +102,16 @@ def main():
                 blind_reverb_separate_multiscale,
             )
             t0 = time.perf_counter()
+            wc = args.coarse_mult * wlen
             Y, info = blind_reverb_separate_multiscale(
                 mix.astype(np.float32), J=J, fs=FS, wlen_fine=wlen,
-                wlen_coarse=2 * wlen, iters=args.iters,
+                wlen_coarse=wc, iters=args.iters,
                 em_seeds=args.em_seeds, chunk=12)
             ys = _istft_images(info["transform"], Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
                 "spk": J, "t60": args.t60, "wlen": wlen, "mode": "ladder",
-                "wlen_coarse": 2 * wlen,
+                "wlen_coarse": wc,
                 "min_sdr_db": round(mn, 2), "mean_sdr_db": round(mean, 2),
                 "picked": info["picked"],
                 "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
