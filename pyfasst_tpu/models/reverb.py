@@ -192,6 +192,7 @@ def blind_reverb_separate(
         chunk: int = 24, spatial_hold_frac: float = 0.3,
         env_thr: float = 0.6, share_floor: float = 0.02,
         n_seeds: int = 8, verbose: bool = False, topk: int = 1,
+        env_transform: Optional[str] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -202,6 +203,13 @@ def blind_reverb_separate(
     See module docstring for the recipe. All EM runs are batched device
     programs; the pool costs ~(n_candidates * em_seeds / chunk + 1) chunk
     executions of the configs[4] executable plus `reseed_rounds` singles.
+
+    env_transform selects the node-envelope transform of the permutation
+    alignment (spatial_init._ENV_TRANSFORM): None keeps the module
+    default (log1p -- best on smooth/sustained sources, every configs[2]
+    number); 'rank' (Spearman envelopes) measured better on sparse
+    switching material (speech syllables, beat-locked stems) -- see
+    tools/env_transform_lab.py and docs/design.md.
     """
     from pyfasst_tpu.models.spatial_init import (
         candidate_votes, consensus_votes, direction_split_candidates,
@@ -209,9 +217,12 @@ def blind_reverb_separate(
     )
 
     feat, w, pw, xx = tf_covariance_features(X)
-    votes = consensus_votes(X, J, n_seeds=n_seeds)
+    votes = consensus_votes(X, J, n_seeds=n_seeds,
+                            env_transform=env_transform)
     cands = candidate_votes(votes, pw)
-    cands.append(("realign", realign_votes(votes, pw, J)))
+    cands.append(("realign",
+                  realign_votes(votes, pw, J,
+                                env_transform=env_transform)))
     if J > 2:
         cands += direction_split_candidates(X, J, pw, n_seeds=n_seeds)
 
@@ -285,6 +296,7 @@ def blind_reverb_separate_multiscale(
         env_thr: float = 0.6, share_floor: float = 0.02,
         n_seeds: int = 8, verbose: bool = False, topk: int = 3,
         transform_fine=None, transform_coarse=None,
+        env_transform: Optional[str] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -342,7 +354,7 @@ def blind_reverb_separate_multiscale(
         nmf_comps=nmf_comps, rank=rank, chunk=chunk,
         spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
-        topk=topk)
+        topk=topk, env_transform=env_transform)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)

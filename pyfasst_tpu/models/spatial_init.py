@@ -160,8 +160,39 @@ def _cluster_per_frequency(feat, w, J: int, seed: int,
 
 _EMBED_DEVICE_MIN_NODES = 2052
 
+# Node-envelope transform entering the alignment affinity graph.
+#   log1p  log of mean-normalized activity (centered cosine ~= log-envelope
+#          correlation) -- the transform every configs[2]-gated number used.
+#   rank   per-node rank transform (Spearman correlation of envelopes),
+#          invariant to each node's unknown compressive scale and immune
+#          to the magnitude outliers that dominate a log-envelope dot
+#          product on sparse switching material.
+# Measured (tools/env_transform_lab.py, real-cluster alignment accuracy):
+#   speech s120/121/122:  log1p 0.638/0.464/0.505  rank 0.683/0.549/0.613
+#   music3 s100/101/102:  log1p 0.585/0.521/0.555  rank 0.643/0.630/0.511
+#   configs[2] 102..106:  log1p mean 0.754         rank mean 0.750 (wash)
+# i.e. rank wins on sparse/switching envelopes (speech syllables,
+# beat-locked stems), log1p stays default for the smooth sustained
+# configs[2] regime (and keeps every gated number bit-identical).
+# Module state (like _EMBED_DEVICE_MIN_NODES) so labs can switch it
+# globally; `env_transform=` threads it through the public entry points.
+_ENV_TRANSFORM = "log1p"
 
-def _embed_nodes(act, pw, pweight: bool = True):
+
+def _env_envelope(a, transform: Optional[str] = None):
+    """Apply the configured envelope transform to mean-normalized
+    activity `a` (host path). See _ENV_TRANSFORM."""
+    tr = _ENV_TRANSFORM if transform is None else transform
+    if tr == "log1p":
+        return np.log1p(a)
+    if tr == "rank":
+        return np.argsort(np.argsort(a, axis=-1),
+                          axis=-1).astype(np.float64)
+    raise ValueError(f"unknown env transform: {tr!r}")
+
+
+def _embed_nodes(act, pw, pweight: bool = True,
+                 env_transform: Optional[str] = None):
     """(F, J, N) per-(frequency, cluster) activity -> eigen-embedding.
 
     Builds the envelope-correlation affinity graph over the F*J nodes
@@ -187,10 +218,11 @@ def _embed_nodes(act, pw, pweight: bool = True):
     # _EMBED_DEVICE_MIN_NODES is module state so labs can force either
     # path to measure embedding fidelity (tools/speech_align_lab.py).
     if F * J > _EMBED_DEVICE_MIN_NODES:
-        U = _embed_nodes_device(act, pweight)
+        U = _embed_nodes_device(act, pweight, env_transform)
         return U, npow
-    E = _normrows(np.log1p(
-        act / np.maximum(act.mean(-1, keepdims=True), 1e-20)))
+    E = _normrows(_env_envelope(
+        act / np.maximum(act.mean(-1, keepdims=True), 1e-20),
+        env_transform))
     nodes = E.reshape(F * J, N)
     W = np.maximum(nodes @ nodes.T, 0.0)
     idx = np.arange(F * J).reshape(F, J)
@@ -260,7 +292,8 @@ def _lanczos_top(L, k: int, m: int = 64):
     return run(L)
 
 
-def _embed_nodes_device(act, pweight: bool = True):
+def _embed_nodes_device(act, pweight: bool = True,
+                        env_transform: Optional[str] = None):
     """Device (TPU/XLA) graph build + Lanczos for `_embed_nodes` at
     large F*J. Matmul precision is pinned to 'highest': the embedding
     feeds clustering/assignment DECISIONS, and default-precision TPU
@@ -270,12 +303,19 @@ def _embed_nodes_device(act, pweight: bool = True):
 
     F, J, N = act.shape
     n = F * J
+    tr = _ENV_TRANSFORM if env_transform is None else env_transform
 
     @jax.jit
     def build(act):
         with jax.default_matmul_precision("highest"):
             a = act / jnp.maximum(act.mean(-1, keepdims=True), 1e-20)
-            E = jnp.log1p(a)
+            if tr == "log1p":
+                E = jnp.log1p(a)
+            elif tr == "rank":
+                E = jnp.argsort(jnp.argsort(a, axis=-1),
+                                axis=-1).astype(jnp.float32)
+            else:
+                raise ValueError(f"unknown env transform: {tr!r}")
             E = E - E.mean(-1, keepdims=True)
             E = E / jnp.maximum(
                 jnp.linalg.norm(E, axis=-1, keepdims=True), 1e-12)
@@ -320,7 +360,8 @@ def _assignment_from_embedding(U, cent, F: int, J: int):
     return _best_assignment(S)
 
 
-def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
+def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0,
+                    env_transform: Optional[str] = None):
     """Per-frequency permutation alignment by SPECTRAL CLUSTERING of the
     (frequency, cluster) activity-envelope correlation graph.
 
@@ -346,7 +387,7 @@ def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
     F, N = lab.shape
     oh = np.eye(J)[lab]
     act = np.einsum('fnj,fn->fjn', oh, pw)
-    U, npow = _embed_nodes(act, pw, pweight)
+    U, npow = _embed_nodes(act, pw, pweight, env_transform)
     cent = _spherical_kmeans(U, npow, J, seed=seed)
     sel = _assignment_from_embedding(U, cent, F, J)
     inv = np.argsort(sel, axis=1)
@@ -354,7 +395,8 @@ def _align_spectral(lab, pw, J: int, pweight: bool = True, seed: int = 0):
 
 
 def realign_votes(votes: np.ndarray, pw: np.ndarray, J: int,
-                  seed: int = 0) -> np.ndarray:
+                  seed: int = 0,
+                  env_transform: Optional[str] = None) -> np.ndarray:
     """One more spectral-alignment pass over SOFT consensus votes.
 
     Re-embeds the per-(frequency, source) soft vote activity (instead of a
@@ -367,7 +409,7 @@ def realign_votes(votes: np.ndarray, pw: np.ndarray, J: int,
     """
     act = np.einsum('fnj,fn->fjn', votes, pw)
     F = pw.shape[0]
-    U, npow = _embed_nodes(act, pw)
+    U, npow = _embed_nodes(act, pw, env_transform=env_transform)
     cent = _spherical_kmeans(U, npow, J, seed=seed)
     sel = _assignment_from_embedding(U, cent, F, J)
     return np.take_along_axis(votes, sel[:, None, :], axis=2)
@@ -416,7 +458,8 @@ def _vote_consensus(labs, pw, J: int, rounds: int = 2) -> np.ndarray:
 def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
                     kiter: int = 30, rounds: int = 2,
                     backend: str = "jax",
-                    align: str = "spectral") -> np.ndarray:
+                    align: str = "spectral",
+                    env_transform: Optional[str] = None) -> np.ndarray:
     """Soft source-dominance votes (F, N, J) from n_seeds clusterings.
 
     Each seed clusters and permutation-aligns independently; votes are then
@@ -445,7 +488,8 @@ def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
         else:
             labs = [_cluster_per_frequency(feat, w, J, seed=s, kiter=kiter)
                     for s in range(n_seeds)]
-        labs = [_align_spectral(L, pw, J) for L in labs]
+        labs = [_align_spectral(L, pw, J, env_transform=env_transform)
+                for L in labs]
         return _vote_consensus(labs, pw, J, rounds)
     if backend == "jax" and J <= 6:
         return _consensus_votes_jax(feat, w, pw, J, n_seeds, kiter, rounds)

@@ -76,7 +76,7 @@ def _align_with_transform(lab, pw, J, transform: str, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="speech",
-                    choices=("speech", "music3"))
+                    choices=("speech", "music3", "reverb"))
     ap.add_argument("--wlen", type=int, default=2048)
     ap.add_argument("--hop", type=int, default=None)
     ap.add_argument("--seed", type=int, default=120)
@@ -93,12 +93,18 @@ def main():
         from speech_lab import _fixture, FS
         J = 3
         mix, ys_true, n = _fixture(J, 0.25, args.seed)
-    else:
+    elif args.scenario == "music3":
         from music_lab import _fixture, FS
         J = 3
         mix, ys_true, n = _fixture(J, 0.12, args.seed)
-    tft = STFT(wlen=args.wlen, hop=args.hop, fs=FS)
-    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    else:
+        from reverb_lab import make_fixture
+        X, Yt, ys_true, mix, tft, n = make_fixture(args.seed)
+        J = 4
+        FS = None
+    if args.scenario != "reverb":
+        tft = STFT(wlen=args.wlen, hop=args.hop, fs=FS)
+        X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     P = []
     for j in range(J):
         Yj = to_host_complex(tft.computeTransform(

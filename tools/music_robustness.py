@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--wfine", type=int, default=2048)
     ap.add_argument("--wcoarse", type=int, default=8192)
+    ap.add_argument("--env-transform", default=None,
+                    help="override spatial_init._ENV_TRANSFORM "
+                         "(log1p | rank)")
     args = ap.parse_args()
+    if args.env_transform:
+        import pyfasst_tpu.models.spatial_init as si
+        si._ENV_TRANSFORM = args.env_transform
     t60 = args.t60 if args.t60 is not None else (
         0.12 if args.stems == 3 else 0.25)
 

@@ -94,7 +94,13 @@ def main():
                     choices=("pipeline", "init"),
                     help="pipeline: models/reverb.py full recipe; "
                          "init: legacy full_rank_init + single EM")
+    ap.add_argument("--env-transform", default=None,
+                    help="override spatial_init._ENV_TRANSFORM "
+                         "(log1p | rank)")
     args = ap.parse_args()
+    if args.env_transform:
+        import pyfasst_tpu.models.spatial_init as si
+        si._ENV_TRANSFORM = args.env_transform
 
     recs = []
     for d in range(args.draws):

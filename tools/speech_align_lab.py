@@ -55,6 +55,9 @@ def main():
                          "without changing window smearing")
     ap.add_argument("--seed", type=int, default=120)
     ap.add_argument("--backends", default="device,host")
+    ap.add_argument("--env-transform", default=None,
+                    help="override spatial_init._ENV_TRANSFORM "
+                         "(log1p | rank) for the production path")
     ap.add_argument("--skip-real", action="store_true")
     args = ap.parse_args()
 
@@ -102,6 +105,9 @@ def main():
         inputs.append(("real_clusters", np.asarray(labs_all[0])))
 
     saved = si._EMBED_DEVICE_MIN_NODES
+    saved_tr = si._ENV_TRANSFORM
+    if args.env_transform:
+        si._ENV_TRANSFORM = args.env_transform
     for name, lab in inputs:
         ub = _acc_perfreq(lab, olab, pw, J)
         for backend in args.backends.split(","):
@@ -112,9 +118,11 @@ def main():
             acc = _acc(La, olab, pw, J)
             print(json.dumps({
                 "input": name, "backend": backend,
+                "env_transform": si._ENV_TRANSFORM,
                 "acc": round(acc, 4), "ub": round(ub, 4),
                 "wall_s": round(time.time() - t0, 1)}), flush=True)
     si._EMBED_DEVICE_MIN_NODES = saved
+    si._ENV_TRANSFORM = saved_tr
 
 
 if __name__ == "__main__":

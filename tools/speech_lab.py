@@ -58,7 +58,13 @@ def main():
     ap.add_argument("--em-seeds", type=int, default=2)
     ap.add_argument("--coarse-mult", type=int, default=2,
                     help="ladder mode: wlen_coarse = coarse_mult * wlen")
+    ap.add_argument("--env-transform", default=None,
+                    help="override spatial_init._ENV_TRANSFORM "
+                         "(log1p | rank) for the blind pipeline")
     args = ap.parse_args()
+    if args.env_transform:
+        import pyfasst_tpu.models.spatial_init as si
+        si._ENV_TRANSFORM = args.env_transform
     J = args.spk
     mix, ys_true, n = _fixture(J, args.t60, args.seed)
     modes = args.modes.split(",")
