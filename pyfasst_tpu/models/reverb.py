@@ -193,6 +193,7 @@ def blind_reverb_separate(
         env_thr: float = 0.6, share_floor: float = 0.02,
         n_seeds: int = 8, verbose: bool = False, topk: int = 1,
         env_transform: Optional[str] = None,
+        realign_reseeds: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -230,18 +231,29 @@ def blind_reverb_separate(
         X, cands, J, iters=iters, em_seeds=em_seeds,
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
-        share_floor=share_floor, verbose=verbose, topk=topk)
+        share_floor=share_floor, verbose=verbose, topk=topk,
+        env_transform=env_transform, realign_reseeds=realign_reseeds)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      nmf_comps, rank, chunk, spatial_hold_frac, env_thr,
-                     share_floor, verbose, topk: int = 1, tiers=None):
+                     share_floor, verbose, topk: int = 1, tiers=None,
+                     env_transform: Optional[str] = None,
+                     realign_reseeds: bool = False):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
     the multiscale ladder's stages. topk > 1 keeps the best run of each
     of the top-k CANDIDATES alive (info['tops'] carries their device
     separations for the ladder); reseeding always restarts from the
-    overall winner."""
+    overall winner.
+
+    realign_reseeds adds a second hypothesis per reseed round: the
+    winner's dominance votes re-passed through the spectral permutation
+    alignment (realign_votes). EM converges WITH whatever global
+    permutation errors its init had -- a band locked onto the wrong
+    source is a local optimum the likelihood cannot leave -- so the
+    realigned reseed is the only stage that can still repair them; the
+    guarded selection vetoes it when the re-alignment hurts instead."""
     from pyfasst_tpu.models.spatial_init import tf_covariance_features
     from pyfasst_tpu.ops.gem import annealing_endpoints
     from pyfasst_tpu.parallel.sharding import make_mesh
@@ -267,8 +279,16 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     for r in range(reseed_rounds):
         rs = _hard_votes_from_sep(best["Y"], J)
         prev_name = best["name"]
+        cands_r = [(f"reseed{r + 1}", rs)]
+        if realign_reseeds:
+            from pyfasst_tpu.models.spatial_init import realign_votes
+            cands_r.append((f"reseed{r + 1}r",
+                            realign_votes(rs, pw, J,
+                                          env_transform=env_transform)))
+            if tiers is not None:
+                tiers.setdefault(f"reseed{r + 1}r", 0)
         recs_r, bests = _run_candidates(
-            X_d, [(f"reseed{r + 1}", rs)], pw, xx, None, cfg, mesh,
+            X_d, cands_r, pw, xx, None, cfg, mesh,
             sigma1, em_seeds, nmf_comps, rank, chunk, bests=bests,
             env_thr=env_thr, share_floor=share_floor, verbose=verbose,
             topk=topk, tiers=tiers, distinct=topk > 1)
@@ -297,6 +317,7 @@ def blind_reverb_separate_multiscale(
         n_seeds: int = 8, verbose: bool = False, topk: int = 3,
         transform_fine=None, transform_coarse=None,
         env_transform: Optional[str] = None,
+        realign_reseeds: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -354,7 +375,8 @@ def blind_reverb_separate_multiscale(
         nmf_comps=nmf_comps, rank=rank, chunk=chunk,
         spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
-        topk=topk, env_transform=env_transform)
+        topk=topk, env_transform=env_transform,
+        realign_reseeds=realign_reseeds)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)
@@ -390,7 +412,8 @@ def blind_reverb_separate_multiscale(
         XC, cands_c, J, iters=iters, em_seeds=em_seeds,
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
-        share_floor=share_floor, verbose=verbose, tiers=tiers)
+        share_floor=share_floor, verbose=verbose, tiers=tiers,
+        env_transform=env_transform, realign_reseeds=realign_reseeds)
     info["fine"] = {k: v for k, v in info_f.items() if k != "params"}
     info["transform"] = tft_c
     return Y, info

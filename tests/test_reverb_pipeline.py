@@ -191,3 +191,19 @@ def test_model_multiscale_entry():
     assert info["fine"]["picked"]
     with pytest.raises(ValueError, match="finer"):
         m.estim_param_blind_reverb(multiscale_wlen=512)
+
+
+def test_blind_reverb_rank_transform_and_realigned_reseeds():
+    """Pipeline contract with env_transform='rank' and the realigned-reseed
+    hypothesis enabled (the coverage is the parameter plumbing + the extra
+    pool candidate; the quality claims live in tools/ labs)."""
+    X = _reverb_mixture(seed=3)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=40, em_seeds=1, reseed_rounds=1, nmf_comps=3,
+        chunk=4, n_seeds=3, env_transform="rank", realign_reseeds=True)
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    assert len(info["history"]) >= 1
+    # the module default must be untouched by parameter threading
+    import pyfasst_tpu.models.spatial_init as si
+    assert si._ENV_TRANSFORM == "log1p"

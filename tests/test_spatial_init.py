@@ -398,3 +398,30 @@ def test_embed_nodes_device_matches_host(rng):
         # sel[f] composed with perms[f] is the same relabeling everywhere
         comp = np.take_along_axis(perms, sel, axis=1)
         assert (comp == comp[0]).all(), comp[:5]
+
+
+def test_env_transform_rank_alignment():
+    """The rank (Spearman) envelope transform drives the same spectral
+    alignment machinery: a per-frequency scramble of envelopes whose only
+    cross-frequency signal survives monotone per-node distortions is
+    recovered; unknown transform names are rejected."""
+    from pyfasst_tpu.models.spatial_init import (
+        _align_spectral, _env_envelope,
+    )
+
+    rng = np.random.default_rng(7)
+    F, J, N = 30, 2, 64
+    base = np.stack([(np.sin(2 * np.pi * 3.0 * np.arange(N) / N) > 0),
+                     (np.sin(2 * np.pi * 3.0 * np.arange(N) / N) < 0)],
+                    0).astype(float)              # (J, N) disjoint gates
+    pw = np.ones((F, N))
+    olab = np.repeat(np.argmax(base, 0)[None, :], F, 0)   # (F, N)
+    perms = np.stack([rng.permutation(J) for _ in range(F)])
+    lab = np.take_along_axis(perms, olab, axis=1)
+    for tr in ("log1p", "rank"):
+        La = _align_spectral(lab, pw, J, env_transform=tr)
+        # global relabeling is free: accept either orientation
+        agree = (La == olab).mean()
+        assert max(agree, 1 - agree) > 0.95, (tr, agree)
+    with pytest.raises(ValueError):
+        _env_envelope(np.ones((2, 2, 4)), "bogus")

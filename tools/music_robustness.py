@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--env-transform", default=None,
                     help="override spatial_init._ENV_TRANSFORM "
                          "(log1p | rank)")
+    ap.add_argument("--realign-reseeds", action="store_true")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -52,7 +53,8 @@ def main():
         Y, info = blind_reverb_separate_multiscale(
             mix.astype(np.float32), J=args.stems, fs=FS,
             wlen_fine=args.wfine, wlen_coarse=args.wcoarse,
-            iters=args.iters, em_seeds=2, chunk=12)
+            iters=args.iters, em_seeds=2, chunk=12,
+            realign_reseeds=args.realign_reseeds)
         tft = info["transform"]
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(args.stems)])

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--env-transform", default=None,
                     help="override spatial_init._ENV_TRANSFORM "
                          "(log1p | rank) for the blind pipeline")
+    ap.add_argument("--realign-reseeds", action="store_true",
+                    help="add realigned-reseed hypotheses to the pool")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -89,9 +91,10 @@ def main():
         if "blind" in modes:
             from pyfasst_tpu.models.reverb import blind_reverb_separate
             t0 = time.perf_counter()
-            Y, info = blind_reverb_separate(X, J=J, iters=args.iters,
-                                            em_seeds=args.em_seeds,
-                                            chunk=12 if F <= 2049 else 6)
+            Y, info = blind_reverb_separate(
+                X, J=J, iters=args.iters, em_seeds=args.em_seeds,
+                chunk=12 if F <= 2049 else 6,
+                realign_reseeds=args.realign_reseeds)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
@@ -112,7 +115,8 @@ def main():
             Y, info = blind_reverb_separate_multiscale(
                 mix.astype(np.float32), J=J, fs=FS, wlen_fine=wlen,
                 wlen_coarse=wc, iters=args.iters,
-                em_seeds=args.em_seeds, chunk=12)
+                em_seeds=args.em_seeds, chunk=12,
+                realign_reseeds=args.realign_reseeds)
             ys = _istft_images(info["transform"], Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
