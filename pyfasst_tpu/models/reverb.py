@@ -208,9 +208,12 @@ def blind_reverb_separate(
     env_transform selects the node-envelope transform of the permutation
     alignment (spatial_init._ENV_TRANSFORM): None keeps the module
     default (log1p -- best on smooth/sustained sources, every configs[2]
-    number); 'rank' (Spearman envelopes) measured better on sparse
-    switching material (speech syllables, beat-locked stems) -- see
-    tools/env_transform_lab.py and docs/design.md.
+    number); 'rank' (Spearman envelopes) measured better INIT alignment
+    on sparse switching material (speech syllables, beat-locked stems)
+    but end-to-end either transform can win a given draw (basin entry is
+    chaotic); 'both' builds the candidate pool under BOTH transforms and
+    lets the at-convergence selection pick per draw -- roughly double
+    pool cost. See tools/env_transform_lab.py and docs/design.md.
     """
     from pyfasst_tpu.models.spatial_init import (
         candidate_votes, consensus_votes, direction_split_candidates,
@@ -218,12 +221,15 @@ def blind_reverb_separate(
     )
 
     feat, w, pw, xx = tf_covariance_features(X)
-    votes = consensus_votes(X, J, n_seeds=n_seeds,
-                            env_transform=env_transform)
-    cands = candidate_votes(votes, pw)
-    cands.append(("realign",
-                  realign_votes(votes, pw, J,
-                                env_transform=env_transform)))
+    transforms = [env_transform] if env_transform != "both" \
+        else ["log1p", "rank"]
+    cands = []
+    for ti, tr in enumerate(transforms):
+        votes = consensus_votes(X, J, n_seeds=n_seeds, env_transform=tr)
+        pre = "" if ti == 0 else f"{tr}:"
+        cands += [(pre + name, v) for name, v in candidate_votes(votes, pw)]
+        cands.append((pre + "realign",
+                      realign_votes(votes, pw, J, env_transform=tr)))
     if J > 2:
         cands += direction_split_candidates(X, J, pw, n_seeds=n_seeds)
 
@@ -282,9 +288,10 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
         cands_r = [(f"reseed{r + 1}", rs)]
         if realign_reseeds:
             from pyfasst_tpu.models.spatial_init import realign_votes
+            # under 'both' the reseed realign keeps the module default
+            tr = None if env_transform == "both" else env_transform
             cands_r.append((f"reseed{r + 1}r",
-                            realign_votes(rs, pw, J,
-                                          env_transform=env_transform)))
+                            realign_votes(rs, pw, J, env_transform=tr)))
             if tiers is not None:
                 tiers.setdefault(f"reseed{r + 1}r", 0)
         recs_r, bests = _run_candidates(

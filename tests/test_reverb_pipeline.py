@@ -207,3 +207,18 @@ def test_blind_reverb_rank_transform_and_realigned_reseeds():
     # the module default must be untouched by parameter threading
     import pyfasst_tpu.models.spatial_init as si
     assert si._ENV_TRANSFORM == "log1p"
+
+
+def test_blind_reverb_dual_transform_pool():
+    """env_transform='both' doubles the clustering-derived pool (log1p +
+    rank candidates, rank-prefixed names) and the selection picks one."""
+    X = _reverb_mixture(seed=5)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=1, reseed_rounds=1, nmf_comps=3,
+        chunk=4, n_seeds=3, env_transform="both")
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    # winner is a real candidate name from either transform family
+    base = info["picked"].split("|")[0]
+    assert base.startswith(("raw", "rank:", "merge", "split", "realign",
+                            "reseed", "dirs"))

@@ -38,7 +38,7 @@ def main():
                          "(log1p | rank)")
     ap.add_argument("--realign-reseeds", action="store_true")
     args = ap.parse_args()
-    if args.env_transform:
+    if args.env_transform and args.env_transform != "both":
         import pyfasst_tpu.models.spatial_init as si
         si._ENV_TRANSFORM = args.env_transform
     t60 = args.t60 if args.t60 is not None else (
@@ -54,6 +54,7 @@ def main():
             mix.astype(np.float32), J=args.stems, fs=FS,
             wlen_fine=args.wfine, wlen_coarse=args.wcoarse,
             iters=args.iters, em_seeds=2, chunk=12,
+            env_transform=args.env_transform,
             realign_reseeds=args.realign_reseeds)
         tft = info["transform"]
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))

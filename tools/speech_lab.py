@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--realign-reseeds", action="store_true",
                     help="add realigned-reseed hypotheses to the pool")
     args = ap.parse_args()
-    if args.env_transform:
+    if args.env_transform and args.env_transform != "both":
         import pyfasst_tpu.models.spatial_init as si
         si._ENV_TRANSFORM = args.env_transform
     J = args.spk
@@ -94,6 +94,7 @@ def main():
             Y, info = blind_reverb_separate(
                 X, J=J, iters=args.iters, em_seeds=args.em_seeds,
                 chunk=12 if F <= 2049 else 6,
+                env_transform=args.env_transform,
                 realign_reseeds=args.realign_reseeds)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
@@ -116,6 +117,7 @@ def main():
                 mix.astype(np.float32), J=J, fs=FS, wlen_fine=wlen,
                 wlen_coarse=wc, iters=args.iters,
                 em_seeds=args.em_seeds, chunk=12,
+                env_transform=args.env_transform,
                 realign_reseeds=args.realign_reseeds)
             ys = _istft_images(info["transform"], Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
