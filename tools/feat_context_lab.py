@@ -60,6 +60,134 @@ def smoothed_features(X: np.ndarray, tw: int = 1, fw: int = 1):
     return feat.astype(np.float64), w, pw
 
 
+def _acc_perfreq_plane(lab, olab, pw, J):
+    """Per-frequency oracle-fixed correct POWER MASS (F,) plus the
+    per-frequency total mass (F,). Summing the ratio gives _acc_perfreq."""
+    from itertools import permutations
+    perms = list(permutations(range(J)))
+    oh = np.eye(J)[lab] * pw[..., None]
+    T = np.einsum('fnj,fnk->fjk', oh, np.eye(J)[olab])
+    scores = np.stack([T[:, list(p), np.arange(J)].sum(-1)
+                       for p in perms], 1)                 # (F, P)
+    return scores.max(1), pw.sum(1)
+
+
+def _r2_perfreq(lab, feat, w, J):
+    """Per-frequency weighted 1 - SSW/SST of partition `lab` scored on
+    feature set `feat` (the blind cluster-quality statistic)."""
+    F, N = lab.shape
+    oh = np.eye(J)[lab]
+    wm = oh * w[..., None]
+    den = wm.sum(1)                                        # (F, J)
+    C = np.einsum('fnj,fnd->fjd', wm, feat) \
+        / np.maximum(den, 1e-12)[..., None]
+    Cl = C[np.arange(F)[:, None], lab]                     # (F, N, D)
+    ssw = (w * ((feat - Cl) ** 2).sum(-1)).sum(1)
+    wsum = np.maximum(w.sum(1), 1e-12)
+    mu = np.einsum('fn,fnd->fd', w, feat) / wsum[..., None]
+    sst = (w * ((feat - mu[:, None]) ** 2).sum(-1)).sum(1)
+    return 1.0 - ssw / np.maximum(sst, 1e-12)
+
+
+def _stability_perfreq(labs, pw, J):
+    """Per-frequency mean pairwise best-permutation agreement (power
+    mass fraction) across seeds — a blind per-window statistic."""
+    from itertools import permutations
+    perms = list(permutations(range(J)))
+    S = len(labs)
+    pw_f = np.maximum(pw.sum(1), 1e-20)
+    agr = np.zeros(pw.shape[0])
+    npairs = 0
+    ohs = [np.eye(J)[L] for L in labs]
+    for a in range(S):
+        wa = ohs[a] * pw[..., None]
+        for b in range(a + 1, S):
+            T = np.einsum('fnj,fnk->fjk', wa, ohs[b])
+            scores = np.stack([T[:, list(p), np.arange(J)].sum(-1)
+                               for p in perms], 1)
+            agr += scores.max(1) / pw_f
+            npairs += 1
+    return agr / max(npairs, 1)
+
+
+def _consensus_acc(labs, pw, J, olab, _align, _vote):
+    labs_a = [_align(L, pw, J) for L in labs]
+    v = _vote(labs_a, pw, J)
+    return _acc(np.argmax(v, -1), olab, pw, J)
+
+
+def run_perfreq(args, X, olab, J):
+    """Per-frequency adaptive context window: is there a blind,
+    per-frequency signal for WHERE covariance smoothing helps?
+
+    Measures (8 seeds, windows 1x1 vs 3x1, draw-shared pick planes):
+    the oracle-mix UB ceiling (complementarity of the two windows'
+    per-frequency-fix planes), blind picks by R^2-on-plain-features and
+    by cross-seed stability, concat (8-dim) features, and the realized
+    consensus-vote accuracy of each variant."""
+    from pyfasst_tpu.models.spatial_init import (
+        _align_spectral, _cluster_labels_jax, _vote_consensus,
+    )
+    n_seeds = 8
+    wins = [(1, 1), (3, 1)]
+    feats, labs_w = [], []
+    for tw, fw in wins:
+        feat, w, pw = smoothed_features(X, tw=tw, fw=fw)
+        feats.append((feat, w, pw))
+        labs_all = _cluster_labels_jax(feat, w, J, n_seeds, 30)
+        labs_w.append([np.asarray(labs_all[s]) for s in range(n_seeds)])
+    pw = feats[0][2]
+    pw_f = np.maximum(pw.sum(1), 1e-20)
+
+    # per-frequency oracle-fixed mass planes, seed-averaged per window
+    mass = []            # mass[v] (F,): mean correct mass per frequency
+    for v in range(len(wins)):
+        planes = [_acc_perfreq_plane(L, olab, pw, J)[0] for L in labs_w[v]]
+        mass.append(np.mean(planes, axis=0))
+    ub = [float(m.sum() / pw_f.sum()) for m in mass]
+
+    # draw-shared pick planes
+    picks = {"oracle": np.argmax(np.stack(mass), 0)}
+    feat_plain, w_plain = feats[0][0], feats[0][1]
+    r2 = [np.mean([_r2_perfreq(L, feat_plain, w_plain, J)
+                   for L in labs_w[v]], axis=0) for v in range(len(wins))]
+    picks["r2"] = np.argmax(np.stack(r2), 0)
+    stab = [_stability_perfreq(labs_w[v], pw, J) for v in range(len(wins))]
+    picks["stab"] = np.argmax(np.stack(stab), 0)
+
+    rec = {"ub_1x1": round(ub[0], 4), "ub_3x1": round(ub[1], 4)}
+    for name, pick in picks.items():
+        mixed_mass = np.take_along_axis(
+            np.stack(mass), pick[None], 0)[0]
+        rec[f"ub_{name}mix"] = round(float(mixed_mass.sum() / pw_f.sum()), 4)
+        if name != "oracle":
+            agree = float((pw_f * (pick == picks["oracle"])).sum()
+                          / pw_f.sum())
+            rec[f"agree_{name}"] = round(agree, 4)
+
+    # realized consensus accuracy: per window, per pick plane, concat
+    def cons_of(labs):
+        labs_a = [_align_spectral(L, pw, J) for L in labs]
+        v = _vote_consensus(labs_a, pw, J)
+        return round(_acc(np.argmax(v, -1), olab, pw, J), 4)
+
+    rec["cons_1x1"] = cons_of(labs_w[0])
+    rec["cons_3x1"] = cons_of(labs_w[1])
+    for name, pick in picks.items():
+        mixed = [np.where(pick[:, None] == 0, labs_w[0][s], labs_w[1][s])
+                 for s in range(n_seeds)]
+        rec[f"cons_{name}mix"] = cons_of(mixed)
+
+    featc = np.concatenate([feats[0][0], feats[1][0]], -1)
+    labs_all = _cluster_labels_jax(featc, w_plain, J, n_seeds, 30)
+    labs_c = [np.asarray(labs_all[s]) for s in range(n_seeds)]
+    planes = [_acc_perfreq_plane(L, olab, pw, J)[0] for L in labs_c]
+    rec["ub_concat"] = round(
+        float(np.mean(planes, axis=0).sum() / pw_f.sum()), 4)
+    rec["cons_concat"] = cons_of(labs_c)
+    print(json.dumps(rec), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="music3",
@@ -72,6 +200,10 @@ def main():
                     help="also score the production-style 8-seed "
                          "consensus vote plane (the quantity the "
                          "candidate pool actually consumes)")
+    ap.add_argument("--perfreq", action="store_true",
+                    help="per-frequency adaptive window diagnostic "
+                         "(oracle-mix ceiling, blind pick statistics, "
+                         "concat features)")
     args = ap.parse_args()
 
     from pyfasst_tpu.tf.stft import STFT
@@ -104,6 +236,13 @@ def main():
             np.ascontiguousarray(ys_true[j]).astype(np.float32)))
         P.append((np.abs(Yj) ** 2).sum(-1))
     olab = np.argmax(np.stack(P), axis=0)
+
+    if args.perfreq:
+        print(json.dumps({"scenario": args.scenario, "seed": args.seed,
+                          "wlen": args.wlen, "mode": "perfreq"}),
+              flush=True)
+        run_perfreq(args, X, olab, J)
+        return
 
     for wspec in args.windows.split(","):
         tw, fw = (int(v) for v in wspec.split("x"))
