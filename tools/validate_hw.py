@@ -603,6 +603,118 @@ def scenario_lead(rng):
                    images=(ys, ys_true))
 
 
+def scenario_streaming(rng):
+    """Long-form bounded-memory streaming separation (SURVEY §5
+    long-context row, first hardware quality number for it).
+
+    A 120 s stereo mixture is streamed OFF DISK (native codec block
+    reads -> STFT.stream_blocks -> ops.online.online_block): estimation
+    never materializes the full (F, N) plane on device -- per-block
+    planes are (F, Nb). Pass 1 learns (A, FB) with exponential
+    forgetting; pass 2 freezes them, re-estimates the block's TW under
+    the frozen parameters (the streaming-inference operating mode of the
+    online-FASST lineage, arXiv:1112.6178), and Wiener-separates the
+    block. Synthesis here collects the masked block spectra and inverts
+    once for SDR scoring (a deployment would OLA per block with a
+    wlen-hop tail carry). Reports exact-image SDR over full stems,
+    streaming xRT (both passes, steady-state), and the block-vs-full
+    frame ratio that bounds device memory.
+    """
+    import tempfile
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.components import init_inst_mixing
+    from pyfasst_tpu.ops.online import online_block, online_init
+
+    dur = 120.0
+    n = int(FS * dur)
+    J, K, Nb = 2, 8, 64
+    # dense band-limited sources: a sparse comb (5 active bins) leaves
+    # the per-frequency rank-1 mixing unidentifiable at the other bins --
+    # measured: comb+noise collapses both A_j to the broadband direction
+    # and the masks split the mixture ~50/50 (0 dB); dense bands reach
+    # ~6.7 dB fully blind (the online-EM operating point, not batch EM)
+    s1, s2 = _sources(rng, n, ["band:0.02-0.3", "band:0.25-0.8"])
+    A_true = np.array([[0.95, 0.31], [0.31, 0.95]])
+    ys_true = np.stack([np.outer(s1, A_true[:, 0]),
+                        np.outer(s2, A_true[:, 1])])
+    mix = ys_true.sum(0)
+    mix = mix / (np.max(np.abs(mix)) * 1.05)
+    ys_true = ys_true / (np.max(np.abs(ys_true.sum(0))) * 1.05)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as fh:
+        path = fh.name
+    wavwrite(mix, FS, path)
+
+    tft = STFT(wlen=WLEN, fs=FS)
+    F = tft.F
+    # complex init built ON device (complex host->device uploads are
+    # Unimplemented on the axon backend -- CLAUDE.md)
+    A0 = jnp.stack([jnp.broadcast_to(
+        jnp.asarray(np.asarray(a)[:, 0], jnp.float32).astype(jnp.complex64),
+        (F, 2)) for a in init_inst_mixing(None, 2, 1, J)])
+    rng2 = np.random.default_rng(7)
+    FB0 = jnp.asarray(0.5 + rng2.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng2.random((J, K, Nb)), jnp.float32)
+
+    blocks = [Xb for Xb in tft.stream_blocks(path, Nb)
+              if Xb.shape[1] == Nb]                # drop the ragged tail
+    sigma = jnp.full((F,), 1e-3 * float(
+        jnp.mean(jnp.abs(blocks[0]) ** 2)), jnp.float32)
+
+    def sep_block(A, FB, TWb, Xb, sigma):
+        """One block through the PRODUCTION Wiener path (the naive
+        adjugate re-derivation here was measured to blow up exactly as
+        ops/wiener.py's docstring predicts -- det cancellation)."""
+        spat = tuple(SpatialComp(A=A[j][..., None], mix_type=CONV)
+                     for j in range(J))
+        spec = tuple(SpectralComp(FB=FB[j], TW=TWb[j], spat_ind=j)
+                     for j in range(J))
+        return separate_sources(FasstParams(spat=spat, spec=spec),
+                                Xb, sigma)
+
+    def run_passes():
+        state = online_init(A0, FB0)
+        for Xb in blocks:                          # pass 1: learn A, FB
+            state, (_, ll) = online_block(state, Xb, TW0, sigma,
+                                          forgetting=0.95, inner_iters=6)
+        outs = []
+        for Xb in blocks:                          # pass 2: frozen params
+            _, (TWb, _) = online_block(state, Xb, TW0, sigma,
+                                       forgetting=0.95, inner_iters=6)
+            outs.append(sep_block(state.A, state.FB, TWb, Xb, sigma))
+        return state, outs, ll
+
+    run_passes()                                   # compile both programs
+    t0 = time.perf_counter()
+    state, outs, ll = run_passes()
+    # device work serializes in dispatch order: one scalar fetch from the
+    # LAST pass-2 output proves both passes ran (axon block_until_ready
+    # is a no-op -- CLAUDE.md)
+    _ = np.asarray(jnp.real(outs[-1][0, 0, 0, 0]))
+    wall = time.perf_counter() - t0
+
+    Y = jnp.concatenate(outs, axis=2)              # (J, F, n_blocks*Nb, 2)
+    n_exp = tft.n_frames(n)                        # pad the dropped ragged
+    pad = n_exp - Y.shape[2]                       # tail with zero frames
+    if pad > 0:
+        Y = jnp.concatenate(
+            [Y, jnp.zeros(Y.shape[:2] + (pad, 2), Y.dtype)], axis=2)
+    # score strictly inside the streamed region (the last wlen of samples
+    # before the tail boundary depends on the zero-padded frames)
+    n_sep = min(n, len(blocks) * Nb * tft.hop - tft.wlen)
+    ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
+                   for j in range(J)])[:, :n_sep]
+    os.unlink(path)
+    sdrs = _best_perm_sdr(ys, ys_true[:, :n_sep])
+    return _report(
+        "long-form streaming 120s (online GEM, block-paged off disk)",
+        sdrs, wall, len(blocks),
+        {"stream_xrt": round(dur / wall, 1),
+         "block_frames": Nb, "total_frames": len(blocks) * Nb,
+         "final_ll": round(float(jnp.real(ll)), 1)},
+        images=(ys, ys_true[:, :n_sep]))
+
+
 def scenario_batch(rng):
     """configs[4]: batched separation of 8 variable-length clips (one chip;
     the 8-device sharded path is validated on the CPU mesh in tests)."""
@@ -693,11 +805,20 @@ def main():
     scens = [(scenario_inst, 100), (scenario_anechoic, 101),
              (scenario_reverb, 102), (scenario_hmm, 103),
              (scenario_general_I, 110), (scenario_lead, 111),
+             (scenario_streaming, 112),
              (scenario_batch, 104), (scenario_music, 105)]
+    # optional substring filter for standalone scenario development:
+    #   python tools/validate_hw.py streaming
+    # (filtered runs print rows but do NOT rewrite docs/validation.md)
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only:
+        scens = [(s, seed) for s, seed in scens if only in s.__name__]
     recs = []
     for s, seed in scens:
         r = s(np.random.default_rng(seed))
         recs.extend(r if isinstance(r, list) else [r])
+    if only:
+        return
     lines = [
         "# Hardware validation matrix (real TPU)",
         "",
