@@ -31,6 +31,8 @@ def _cmd_separate(args) -> int:
 
     if args.batch:
         return _cmd_separate_batch(args)
+    if args.streaming:
+        return _cmd_separate_streaming(args)
 
     kw = dict(wlen=args.wlen, iter_num=args.iters, seed=args.seed,
               annealing=args.annealing, verbose=0 if args.quiet else 1)
@@ -177,6 +179,34 @@ def _cmd_separate_batch(args) -> int:
     return 0
 
 
+def _cmd_separate_streaming(args) -> int:
+    """`separate --streaming`: bounded-memory two-pass online separation
+    of a long recording (SURVEY.md §5 long-context row; device memory
+    stays O(F x --block-frames) regardless of length)."""
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    if getattr(args, "transform", "stft") != "stft":
+        raise ValueError("--streaming supports the STFT front-end only")
+    if args.model != "inst":
+        raise ValueError("--streaming learns rank-1 convolutive mixing; "
+                         "pass --model inst (the default)")
+    t0 = time.perf_counter()
+    ys, info = separate_streaming(
+        args.audio, J=args.sources, K=args.nmf_comps, wlen=args.wlen,
+        frames_per_block=args.block_frames, seed=args.seed,
+        out_dir=args.out, verbose=0 if args.quiet else 1)
+    wall = time.perf_counter() - t0
+    dur = info["nsamples"] / info["fs"]
+    print(json.dumps({
+        "files": info["files"], "blocks": info["blocks"],
+        "block_frames": info["block_frames"],
+        "final_loglik": round(info["logliks"][-1], 2),
+        "wall_seconds": round(wall, 3),
+        "xrt": round(dur / max(wall, 1e-9), 2),
+    }))
+    return 0
+
+
 def _cmd_lead(args) -> int:
     from pyfasst_tpu.models.lead import SeparateLeadStereoTF
 
@@ -312,6 +342,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "onset-locked material), then re-seed the model's "
                         "own grid from its separation (the multiscale "
                         "ladder; W must be < --wlen)")
+    p.add_argument("--streaming", action="store_true",
+                   help="bounded-memory two-pass online separation for "
+                        "long recordings: blocks are paged off disk, "
+                        "learned with exponential forgetting, separated "
+                        "and synthesized block-by-block (stereo, "
+                        "--model inst)")
+    p.add_argument("--block-frames", type=int, default=64,
+                   help="frames per streamed block (with --streaming)")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")

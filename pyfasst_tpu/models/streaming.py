@@ -1,0 +1,152 @@
+"""Bounded-memory streaming separation of long recordings.
+
+Capability parity with the FASST lineage's online variant (PAPERS.md
+arXiv:1112.6178; SURVEY.md §5 long-context row), packaged as a pipeline:
+the reference holds the whole (F, N) plane in memory (pyfasst has no
+streaming path at all -- UNVERIFIED, mount empty); here estimation,
+separation, AND synthesis run block-by-block so device memory stays
+O(F x block_frames) regardless of recording length:
+
+  pass 1   STFT.stream_blocks (native codec seek+read off disk) ->
+           ops.online.online_block: exponential-forgetting GEM learns the
+           frequency-side parameters (rank-1 mixing A_j(f), spectral
+           patterns FB_j).
+  pass 2   re-stream; per block re-estimate the time weights TW under the
+           FROZEN final parameters (the streaming-inference operating
+           mode), Wiener-separate through the production
+           ops.wiener.separate_sources path (cancellation-free masks),
+           and emit time samples through tf.stft.StreamingSynthesis
+           (exact WOLA with an overlap carry).
+
+Host memory is O(output samples) only because the separated stems are
+returned/written as whole arrays. Quality operating point (measured,
+tools/validate_hw.py long-form row): blind online EM trails batch EM --
+~6.7 dB exact-image min SDR / ~11 dB BSS-Eval-512 on a 120 s stereo
+dense-band mixture. Stereo only (the online engine's E-step is the packed
+2x2 path).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["separate_streaming"]
+
+
+def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
+                       frames_per_block: int = 64, forgetting: float = 0.95,
+                       inner_iters: int = 6, noise_rel: float = 1e-3,
+                       seed: int = 0, out_dir: Optional[str] = None,
+                       verbose: int = 1):
+    """Two-pass blind streaming separation of a stereo WAV on disk.
+
+    Returns (ys (J, nsamples, 2) float32 source images, info dict with
+    block log-likelihoods and geometry). If out_dir is given, also writes
+    stream_src_<j>.wav per source and puts the paths in info["files"].
+
+    noise_rel sets the fixed noise-PSD floor relative to the first
+    block's mean bin power (streaming has no global annealing schedule).
+    """
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, SpectralComp, init_inst_mixing,
+    )
+    from pyfasst_tpu.native import wavio
+    from pyfasst_tpu.ops.online import online_block, online_init
+    from pyfasst_tpu.ops.wiener import separate_sources
+    from pyfasst_tpu.tf.stft import STFT
+
+    native = wavio()
+    if native is not None:                    # header-only probe: do NOT
+        wi = native.info(os.fspath(filename))  # load the whole recording
+        fs, nsamples, channels = wi["samplerate"], wi["frames"], \
+            wi["channels"]
+    else:
+        from pyfasst_tpu.audio import wavread
+        data, fs = wavread(filename)
+        nsamples, channels = data.shape[0], data.shape[1]
+        del data
+    if channels != 2:
+        raise ValueError("separate_streaming is stereo-only (the online "
+                         f"engine's 2x2 E-step); got {channels} channels")
+    tft = STFT(wlen=wlen, fs=fs)
+    F, Nb = tft.F, int(frames_per_block)
+
+    # complex init built ON device (complex host->device uploads are
+    # Unimplemented on the axon backend -- CLAUDE.md)
+    A0 = jnp.stack([jnp.broadcast_to(
+        jnp.asarray(np.asarray(a)[:, 0], jnp.float32).astype(jnp.complex64),
+        (F, 2)) for a in init_inst_mixing(None, 2, 1, J)])
+    rng = np.random.default_rng(seed)
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+
+    state = online_init(A0, FB0)
+    sigma = None
+    lls = []
+    n_full = 0
+    for Xb in tft.stream_blocks(filename, Nb):       # pass 1: learn A, FB
+        if sigma is None:
+            sigma = jnp.full((F,), noise_rel * float(
+                jnp.mean(jnp.abs(Xb) ** 2)), jnp.float32)
+        if Xb.shape[1] < Nb:                         # ragged tail: skip in
+            break                                    # estimation only
+        state, (_, ll) = online_block(state, Xb, TW0, sigma,
+                                      forgetting=forgetting,
+                                      inner_iters=inner_iters)
+        lls.append(ll)
+        n_full += 1
+    if not lls:
+        raise ValueError("recording shorter than one block; use the "
+                         "batch path")
+    lls = [float(v) for v in np.asarray(jnp.stack(lls))]  # ONE fetch
+    # (per-scalar fetches cost a ~35 ms tunnel round-trip each on axon)
+
+    def sep_block(TWb, Xb):
+        spat = tuple(SpatialComp(A=state.A[j][..., None], mix_type=CONV)
+                     for j in range(J))
+        spec = tuple(SpectralComp(FB=state.FB[j], TW=TWb[j], spat_ind=j)
+                     for j in range(J))
+        return separate_sources(FasstParams(spat=spat, spec=spec),
+                                Xb, sigma)
+
+    syns = [tft.synthesis_stream(nsamples) for _ in range(J)]
+    ys = np.zeros((J, nsamples, 2), np.float32)
+    pos = [0] * J
+    for Xb in tft.stream_blocks(filename, Nb):       # pass 2: frozen params
+        nb = Xb.shape[1]
+        if nb < Nb:                                  # pad the ragged tail
+            from pyfasst_tpu.utils.misc import czeros
+            Xb = jnp.concatenate(                    # czeros: eager complex
+                [Xb, czeros((F, Nb - nb, 2), Xb.dtype)], axis=1)
+        _, (TWb, _) = online_block(state, Xb, TW0, sigma,
+                                   forgetting=forgetting,
+                                   inner_iters=inner_iters)
+        Y = sep_block(TWb, Xb)[:, :, :nb]
+        for j in range(J):
+            chunk = syns[j].push(Y[j])
+            ys[j, pos[j]:pos[j] + chunk.shape[0]] = chunk
+            pos[j] += chunk.shape[0]
+    for j in range(J):
+        chunk = syns[j].flush()
+        ys[j, pos[j]:pos[j] + chunk.shape[0]] = chunk
+        pos[j] += chunk.shape[0]
+
+    out = {"fs": fs, "nsamples": nsamples, "blocks": n_full,
+           "block_frames": Nb, "logliks": lls}
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for j in range(J):
+            p = os.path.join(out_dir, f"stream_src_{j}.wav")
+            wavwrite(ys[j], fs, p)
+            paths.append(p)
+        out["files"] = paths
+    if verbose:
+        print(f"streamed {n_full} blocks of {Nb} frames; "
+              f"loglik {lls[0]:.1f} -> {lls[-1]:.1f}")
+    return ys, out

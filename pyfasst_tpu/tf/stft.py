@@ -180,6 +180,103 @@ def istft(X, nsamples: int, wlen: int = 1024, hop: Optional[int] = None,
     return _istft_core(X, win, wlen, hop, nsamples)
 
 
+@functools.partial(jax.jit, static_argnames=("wlen", "hop"))
+def _synth_block_core(Xb, window, carry_y, carry_w, wlen: int, hop: int):
+    """One streaming-synthesis block.
+
+    Xb (F, Nb[, I]) complex spectra; carry_y/carry_w the (wlen-hop[, I])
+    unfinished overlap-add tails from the previous push. Returns
+    (emitted_y, emitted_wsum, new_carry_y, new_carry_w) where the emitted
+    region (Nb*hop samples) is COMPLETE: every frame that overlaps it has
+    been pushed (frames arrive in time order; a sample at local offset
+    p < Nb*hop is covered only by frames i*hop <= p < i*hop + wlen, all
+    inside this block or the carry)."""
+    Xn = jnp.moveaxis(Xb, 1, 0)                     # (Nb, F[, I])
+    nb = Xn.shape[0]
+    frames = jnp.fft.irfft(Xn, n=wlen, axis=1)
+    frames = frames * (window[:, None] if Xb.ndim == 3 else window)[None]
+    L = (nb - 1) * hop + wlen
+    y = _ola_by_reshape(frames, nb, wlen, hop, L)   # (L[, I])
+    w2 = jnp.broadcast_to((window ** 2)[None], (nb, wlen))
+    w = _ola_by_reshape(w2.astype(frames.dtype), nb, wlen, hop, L)  # (L,)
+    cl = wlen - hop
+    y = y.at[:cl].add(carry_y)
+    w = w.at[:cl].add(carry_w)
+    emit = nb * hop
+    return y[:emit], w[:emit], y[emit:], w[emit:]
+
+
+class StreamingSynthesis:
+    """Exact-WOLA inverse STFT, one block of frames at a time.
+
+    The bounded-memory dual of ``STFT.stream_blocks``: push (F, Nb[, I])
+    spectra blocks in time order; each ``push`` returns the newly
+    COMPLETED time samples (WOLA-normalized), ``flush`` the final tail.
+    Device memory stays O(Nb); the full (F, N) plane never exists.
+    Agrees with ``istft`` on the concatenated spectra to float rounding
+    (the overlap-add accumulation order differs across block boundaries,
+    so agreement is ~1e-6 relative, not bit-level -- tested in
+    tests/test_online.py). Requires wlen % hop == 0 (the reshape-OLA
+    path; the default hop = wlen/2 qualifies).
+    """
+
+    def __init__(self, nsamples: int, wlen: int = 1024,
+                 hop: Optional[int] = None,
+                 window: Optional[np.ndarray] = None):
+        self.wlen = int(wlen)
+        self.hop = int(hop or wlen // 2)
+        if self.wlen % self.hop:
+            raise ValueError("StreamingSynthesis needs wlen % hop == 0")
+        self.window = jnp.asarray(
+            window if window is not None else sine_window(self.wlen),
+            jnp.float32)
+        pad_front, _, n_frames, _ = _frame_geometry(nsamples, self.wlen,
+                                                    self.hop)
+        self._skip = pad_front           # padded head samples to drop
+        self._remaining = int(nsamples)  # output samples still to emit
+        self.frames_expected = n_frames
+        self._frames_seen = 0
+        self._cy = None                  # carries allocated on first push
+        self._cw = None
+
+    def _trim(self, y):
+        """Drop the padded head, stop after nsamples."""
+        if self._skip:
+            k = min(self._skip, y.shape[0])
+            self._skip -= k
+            y = y[k:]
+        y = y[:max(self._remaining, 0)]
+        self._remaining -= y.shape[0]
+        return y
+
+    def push(self, Xb) -> np.ndarray:
+        """Consume one spectra block -> completed samples (m[, I]) f32."""
+        cl = self.wlen - self.hop
+        if self._cy is None:
+            tail = Xb.shape[2:]
+            self._cy = jnp.zeros((cl,) + tail, jnp.float32)
+            self._cw = jnp.zeros((cl,), jnp.float32)
+        ey, ew, self._cy, self._cw = _synth_block_core(
+            Xb, self.window, self._cy, self._cw, self.wlen, self.hop)
+        self._frames_seen += Xb.shape[1]
+        ew = jnp.maximum(ew, 1e-12)
+        out = ey / (ew[:, None] if ey.ndim == 2 else ew)
+        return self._trim(np.asarray(out))
+
+    def flush(self) -> np.ndarray:
+        """Emit the final (wlen - hop) overlap tail after the last push."""
+        if self._cy is None:
+            return np.zeros((0,), np.float32)
+        if self._frames_seen != self.frames_expected:
+            raise ValueError(
+                f"expected {self.frames_expected} frames, "
+                f"saw {self._frames_seen}")
+        cw = jnp.maximum(self._cw, 1e-12)
+        out = self._cy / (cw[:, None] if self._cy.ndim == 2 else cw)
+        self._cy = self._cw = None
+        return self._trim(np.asarray(out))
+
+
 class STFT:
     """Object front-end matching the reference TFTransform API.
 
@@ -252,6 +349,12 @@ class STFT:
                            * (data.ndim - 1))
             yield _spec_from_padded(jnp.asarray(chunk), m1 - m0, win,
                                     wlen, hop, self.method)
+
+    def synthesis_stream(self, nsamples: int) -> StreamingSynthesis:
+        """Bounded-memory inverse: the dual of stream_blocks (see
+        StreamingSynthesis)."""
+        return StreamingSynthesis(nsamples, self.wlen, self.hop,
+                                  self.window)
 
     # snake_case aliases (idiomatic surface; same functions)
     forward = computeTransform

@@ -51,6 +51,24 @@ def test_separate_warped_transform(mix_wav, tmp_path, capsys, front_end):
     assert np.isfinite(rep["final_loglik"])
 
 
+def test_separate_streaming_cli(mix_wav, tmp_path, capsys):
+    out_dir = str(tmp_path / "stream")
+    assert main(["separate", mix_wav, "-o", out_dir, "--streaming",
+                 "--block-frames", "16", "--wlen", "256",
+                 "--nmf-comps", "3", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and rep["blocks"] >= 2
+    for f in rep["files"]:
+        assert os.path.exists(f)
+    assert np.isfinite(rep["final_loglik"])
+
+
+def test_separate_streaming_cli_rejects_warped(mix_wav, tmp_path, capsys):
+    assert main(["separate", mix_wav, "--streaming",
+                 "--transform", "erblet", "-q"]) == 2
+    assert "STFT front-end" in capsys.readouterr().err
+
+
 def test_separate_checkpoint(mix_wav, tmp_path, capsys):
     ck = str(tmp_path / "ck.npz")
     assert main(["separate", mix_wav, "-o", str(tmp_path / "s"),

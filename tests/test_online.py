@@ -101,6 +101,75 @@ def test_stream_blocks_bit_identical_to_full_stft(rng, tmp_path):
                                   np.asarray(jnp.imag(full)))
 
 
+def test_streaming_synthesis_matches_istft(rng):
+    """StreamingSynthesis (block-wise WOLA with overlap carries) must
+    reproduce the whole-plane inverse to float rounding, for mono and
+    stereo, including a ragged final block."""
+    from pyfasst_tpu.tf.stft import STFT
+
+    for shape, wlen, bs in [((3 * 8000 + 321, 2), 256, 7), ((5000,), 512, 16)]:
+        n = shape[0]
+        st = STFT(wlen=wlen, fs=8000)
+        x = rng.standard_normal(shape).astype(np.float32)
+        X = st.computeTransform(x)
+        ref = np.asarray(st.invertTransform(X, nsamples=n))
+        syn = st.synthesis_stream(n)
+        outs = [syn.push(X[:, m0:m0 + bs])
+                for m0 in range(0, X.shape[1], bs)]
+        outs.append(syn.flush())
+        y = np.concatenate([o for o in outs if o.size], axis=0)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(y, x, rtol=1e-4, atol=1e-4)
+
+
+def test_separate_streaming_end_to_end(rng, tmp_path):
+    """The full bounded-memory pipeline (models/streaming.py): WAV on
+    disk -> block-paged online GEM -> frozen-params per-block Wiener ->
+    streamed synthesis -> stems. Fully blind; must clearly beat the
+    mixture-as-estimate baseline (0 dB) on a dense-band stereo mixture."""
+    from scipy.signal import butter, lfilter
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    fs, dur = 8000, 16.0
+    n = int(fs * dur)
+
+    def band(lo, hi):
+        b, a = butter(4, [lo, hi], btype="band")
+        s = lfilter(b, a, rng.standard_normal(n))
+        return s / (np.std(s) + 1e-9)
+
+    s1, s2 = band(0.02, 0.3), band(0.25, 0.8)
+    A = np.array([[0.95, 0.31], [0.31, 0.95]])
+    ys_true = np.stack([np.outer(s1, A[:, 0]), np.outer(s2, A[:, 1])])
+    mix = ys_true.sum(0)
+    sc = np.max(np.abs(mix)) * 1.05
+    mix, ys_true = mix / sc, ys_true / sc
+    p = str(tmp_path / "long.wav")
+    wavwrite(mix, fs, p)
+
+    ys, info = separate_streaming(p, J=2, K=6, wlen=512,
+                                  frames_per_block=32, verbose=0,
+                                  out_dir=str(tmp_path / "out"))
+    assert ys.shape == (2, n, 2) and np.all(np.isfinite(ys))
+    assert info["blocks"] >= 10
+    assert all(np.isfinite(v) for v in info["logliks"])
+    import os
+    assert all(os.path.exists(f) for f in info["files"])
+
+    def sdr(a, b):
+        return 10 * np.log10(np.sum(b ** 2)
+                             / max(np.sum((a - b) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[0], ys_true[0]), sdr(ys[1], ys_true[1])),
+               min(sdr(ys[1], ys_true[0]), sdr(ys[0], ys_true[1])))
+    assert best > 3.0, best          # measured ~5.7 on this fixture
+    # conservation: Wiener images + noise floor ~= mixture
+    assert np.max(np.abs(ys.sum(0) - mix)) < 0.05
+
+
 def test_online_block_matches_scanned_run(rng):
     """Host-driven online_block carries must equal run_gem_online's scan
     (shared body)."""

@@ -693,12 +693,13 @@ def scenario_streaming(rng):
     _ = np.asarray(jnp.real(outs[-1][0, 0, 0, 0]))
     wall = time.perf_counter() - t0
 
+    from pyfasst_tpu.utils.misc import czeros
     Y = jnp.concatenate(outs, axis=2)              # (J, F, n_blocks*Nb, 2)
     n_exp = tft.n_frames(n)                        # pad the dropped ragged
     pad = n_exp - Y.shape[2]                       # tail with zero frames
-    if pad > 0:
-        Y = jnp.concatenate(
-            [Y, jnp.zeros(Y.shape[:2] + (pad, 2), Y.dtype)], axis=2)
+    if pad > 0:                                    # czeros: an eager complex
+        Y = jnp.concatenate(                       # jnp.zeros dies on axon
+            [Y, czeros(Y.shape[:2] + (pad, 2), Y.dtype)], axis=2)
     # score strictly inside the streamed region (the last wlen of samples
     # before the tail boundary depends on the zero-padded frames)
     n_sep = min(n, len(blocks) * Nb * tft.hop - tft.wlen)
