@@ -107,9 +107,14 @@ def test_streaming_synthesis_matches_istft(rng):
     stereo, including a ragged final block."""
     from pyfasst_tpu.tf.stft import STFT
 
-    for shape, wlen, bs in [((3 * 8000 + 321, 2), 256, 7), ((5000,), 512, 16)]:
+    # default hop (k=2 overlap), k=4 overlap, and single-frame blocks
+    # (blocks shorter than the overlap depth roll through the carry)
+    for shape, wlen, hop, bs in [((3 * 8000 + 321, 2), 256, None, 7),
+                                 ((5000,), 512, None, 16),
+                                 ((9000, 2), 256, 64, 5),
+                                 ((9000,), 512, 128, 1)]:
         n = shape[0]
-        st = STFT(wlen=wlen, fs=8000)
+        st = STFT(wlen=wlen, hop=hop, fs=8000)
         x = rng.standard_normal(shape).astype(np.float32)
         X = st.computeTransform(x)
         ref = np.asarray(st.invertTransform(X, nsamples=n))
