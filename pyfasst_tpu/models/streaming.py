@@ -22,8 +22,9 @@ Host memory is O(output samples) only because the separated stems are
 returned/written as whole arrays. Quality operating point (measured,
 tools/validate_hw.py long-form row): blind online EM trails batch EM --
 ~6.7 dB exact-image min SDR / ~11 dB BSS-Eval-512 on a 120 s stereo
-dense-band mixture. Stereo only (the online engine's E-step is the packed
-2x2 path).
+dense-band mixture. Any channel count: I == 2 rides the packed 2x2
+fast path, other I the square-root general engine (ops/engine_general),
+dispatched at trace time like the batch engine.
 """
 from __future__ import annotations
 
@@ -40,9 +41,9 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                        inner_iters: int = 6, noise_rel: float = 1e-3,
                        seed: int = 0, out_dir: Optional[str] = None,
                        verbose: int = 1):
-    """Two-pass blind streaming separation of a stereo WAV on disk.
+    """Two-pass blind streaming separation of a WAV on disk (any I).
 
-    Returns (ys (J, nsamples, 2) float32 source images, info dict with
+    Returns (ys (J, nsamples, I) float32 source images, info dict with
     block log-likelihoods and geometry). If out_dir is given, also writes
     stream_src_<j>.wav per source and puts the paths in info["files"].
 
@@ -70,9 +71,6 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
         data, fs = wavread(filename)
         nsamples, channels = data.shape[0], data.shape[1]
         del data
-    if channels != 2:
-        raise ValueError("separate_streaming is stereo-only (the online "
-                         f"engine's 2x2 E-step); got {channels} channels")
     tft = STFT(wlen=wlen, fs=fs)
     F, Nb = tft.F, int(frames_per_block)
 
@@ -80,7 +78,7 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     # Unimplemented on the axon backend -- CLAUDE.md)
     A0 = jnp.stack([jnp.broadcast_to(
         jnp.asarray(np.asarray(a)[:, 0], jnp.float32).astype(jnp.complex64),
-        (F, 2)) for a in init_inst_mixing(None, 2, 1, J)])
+        (F, channels)) for a in init_inst_mixing(None, channels, 1, J)])
     rng = np.random.default_rng(seed)
     FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
     TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
@@ -115,14 +113,14 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                                 Xb, sigma)
 
     syns = [tft.synthesis_stream(nsamples) for _ in range(J)]
-    ys = np.zeros((J, nsamples, 2), np.float32)
+    ys = np.zeros((J, nsamples, channels), np.float32)
     pos = [0] * J
     for Xb in tft.stream_blocks(filename, Nb):       # pass 2: frozen params
         nb = Xb.shape[1]
         if nb < Nb:                                  # pad the ragged tail
             from pyfasst_tpu.utils.misc import czeros
             Xb = jnp.concatenate(                    # czeros: eager complex
-                [Xb, czeros((F, Nb - nb, 2), Xb.dtype)], axis=1)
+                [Xb, czeros((F, Nb - nb, channels), Xb.dtype)], axis=1)
         _, (TWb, _) = online_block(state, Xb, TW0, sigma,
                                    forgetting=forgetting,
                                    inner_iters=inner_iters)

@@ -13,7 +13,8 @@ TPU-native shape: one jitted `lax.scan` over blocks (run_gem_online, whole
 mixture in memory) OR a host-driven loop over `online_block` fed by
 `tf.stft.STFT.stream_blocks` -- the bounded-memory path for recordings
 whose (F, N) plane exceeds HBM. Both run the same block body. Rank-1
-sources (the streaming use case).
+sources (the streaming use case); any channel count (I == 2 rides the
+packed 2x2 fast path, others the square-root general engine).
 """
 from __future__ import annotations
 
@@ -29,9 +30,9 @@ from pyfasst_tpu.utils.misc import czeros
 
 class OnlineState(NamedTuple):
     """Carried across blocks: frequency-side params + EW statistics."""
-    A: jnp.ndarray          # (J, F, 2) complex rank-1 mixing columns
+    A: jnp.ndarray          # (J, F, I) complex rank-1 mixing columns
     FB: jnp.ndarray         # (J, F, K) spectral patterns
-    txs: jnp.ndarray        # (J, F, 2) complex EW sum of v x w^H
+    txs: jnp.ndarray        # (J, F, I) complex EW sum of v x w^H
     tss: jnp.ndarray        # (J, J, F) complex EW sum of v_j v_k w_j w_k^H
     t4: jnp.ndarray         # (J, F)    EW sum of v/(1 + v t)
     t7: jnp.ndarray         # (J, J, F) complex EW cross posterior cov
@@ -40,10 +41,17 @@ class OnlineState(NamedTuple):
 
 
 def _block_estep(Xb, A, FB, TWb, sigma, eps):
-    """Stats of one block under current params. Returns (stats, v, loglik)."""
+    """Stats of one block under current params. Returns (stats, v, loglik).
+
+    Dispatches on the channel count at trace time like the batch engine:
+    I == 2 takes the packed 2x2 fast path, anything else the square-root
+    general engine (identical SuffStats structure)."""
     J, F, K = FB.shape
     v = jnp.einsum("jfk,jkn->jfn", FB, TWb)
-    A_conv = tuple(A[j][..., None] for j in range(J))    # (F, 2, 1)
+    A_conv = tuple(A[j][..., None] for j in range(J))    # (F, I, 1)
+    if Xb.shape[-1] != 2:
+        from pyfasst_tpu.ops.engine_general import suff_stats_general
+        return suff_stats_general(Xb, v, A_conv, sigma, (1,) * J), v
     from pyfasst_tpu.ops import herm
     Rj = jnp.stack([herm.herm_from_mixing(A_conv[j]) for j in range(J)])
     stats = compute_suff_stats(Xb, v, Rj, sigma, (1,) * J, eps=eps,
@@ -54,12 +62,14 @@ def _block_estep(Xb, A, FB, TWb, sigma, eps):
 def online_init(A0: jnp.ndarray, FB0: jnp.ndarray) -> OnlineState:
     """Fresh streaming state around initial mixing/pattern guesses.
 
-    A0 (J, F, 2) complex rank-1 mixing; FB0 (J, F, K) spectral patterns.
+    A0 (J, F, I) complex rank-1 mixing (any channel count; I == 2 takes
+    the packed fast path, others the square-root general engine);
+    FB0 (J, F, K) spectral patterns.
     """
     J, F, K = FB0.shape
     return OnlineState(
         A=A0, FB=FB0,
-        txs=czeros((J, F, 2), jnp.complex64),
+        txs=czeros((J, F, A0.shape[-1]), jnp.complex64),
         tss=czeros((J, J, F), jnp.complex64),
         t4=jnp.zeros((J, F), jnp.float32),
         t7=czeros((J, J, F), jnp.complex64),
