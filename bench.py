@@ -9,8 +9,9 @@ numbers -- BASELINE.md).
 The headline is the chip's real steady-state capability (VERDICT r2 #8):
 BATCH clips through the batched GEM + Wiener path at the throughput-optimal
 batch size (single-clip dispatch leaves the chip underutilized -- measured
-at flagship shapes: single 169 / batch-4 198 / batch-8 202 / batch-16 182 /
-batch-32 149 xRT, so the optimum is shallow and sits at 8; the earlier 344
+at flagship shapes: single 169 / batch-4 198 / batch-8 202 / batch-10 204 /
+batch-12 200 / batch-16 182 / batch-32 149 xRT, so the optimum is shallow
+and flat across 8-10; the earlier 344
 figure from tools/batch_scaling.py was at ~4.5x smaller N where per-dispatch
 overhead dominates). Every
 clip in the batch is a distinct mixture and every clip's separation must

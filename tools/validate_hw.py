@@ -441,6 +441,34 @@ def scenario_music(rng):
     return [r1, r2]
 
 
+def scenario_speech(rng):
+    """SiSEC-regime stand-in (no BASELINE config): 3 simultaneous
+    speech-like speakers (speaker-distinct pitch/formants, independent
+    syllable timing) under T60=0.25 s reverb, 2 channels, 10 s — the
+    reference's headline campaign regime (SURVEY.md §6: underdetermined
+    reverberant speech; no network access for the real corpus). Blind
+    pipeline at the production speech wlen (2048, tools/speech_lab.py
+    sweep). Report-only boundary row like the music rows: measured lab
+    range over seeds 120-122 was +2.2 / -0.7 / -0.1 dB min SDR — blind
+    separation of 3 overlapped reverberant speakers from 2 mics sits at
+    the capability edge of this model family, and the row records it
+    honestly (the matrix seed lands in that range)."""
+    import speech_lab
+
+    mix, ys_true, n = speech_lab._fixture(3, 0.25, 120)
+    tft = STFT(wlen=2048, fs=speech_lab.FS)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    from pyfasst_tpu.models.reverb import blind_reverb_separate
+    t0 = time.perf_counter()
+    Y, info = blind_reverb_separate(X, J=3, iters=400, em_seeds=2)
+    ys = _istft_images(tft, Y, n)
+    wall = time.perf_counter() - t0
+    return _report("speech 3-spk T60=0.25s 2ch (SiSEC-regime stand-in, "
+                   "blind pipeline)", _best_perm_sdr(ys, ys_true), wall,
+                   400, {"picked": info["picked"]},
+                   images=(ys, ys_true))
+
+
 def _state_switch_fixture(rng, n):
     """Two Markov state-switching sources at nearly co-located directions
     (35 vs 60 deg): spatial cues barely help and the templates overlap
@@ -807,7 +835,8 @@ def main():
              (scenario_reverb, 102), (scenario_hmm, 103),
              (scenario_general_I, 110), (scenario_lead, 111),
              (scenario_streaming, 112),
-             (scenario_batch, 104), (scenario_music, 105)]
+             (scenario_batch, 104), (scenario_music, 105),
+             (scenario_speech, 120)]
     # optional substring filter for standalone scenario development:
     #   python tools/validate_hw.py streaming
     # (filtered runs print rows but do NOT rewrite docs/validation.md)
