@@ -185,7 +185,7 @@ def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
     Nb = X.shape[1] // n_blocks
 
     Xblocks = jnp.moveaxis(
-        X[:, :n_blocks * Nb].reshape(F, n_blocks, Nb, 2), 1, 0)
+        X[:, :n_blocks * Nb].reshape(F, n_blocks, Nb, X.shape[-1]), 1, 0)
     block_step = _make_block_step(TW0, sigma, forgetting, inner_iters, eps)
     state, (TW_all, logliks) = jax.lax.scan(
         block_step, online_init(A0, FB0), Xblocks)

@@ -248,3 +248,32 @@ def test_online_block_matches_scanned_run(rng):
         np.asarray(jnp.concatenate(tws, axis=-1)), np.asarray(TW_ref),
         rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lls, np.asarray(ll_ref), rtol=1e-5)
+
+
+def test_online_block_matches_scanned_run_three_channels(rng):
+    """Same equality through the general-engine dispatch (I != 2)."""
+    from pyfasst_tpu.ops.online import (
+        online_block, online_init, run_gem_online,
+    )
+
+    J, F, K, Nb, nb, I = 2, 9, 3, 12, 3, 3
+    X = jnp.asarray(rng.standard_normal((F, nb * Nb, I))
+                    + 1j * rng.standard_normal((F, nb * Nb, I)),
+                    jnp.complex64)
+    A0 = jnp.asarray(0.4 + rng.random((J, F, I)), jnp.float32
+                     ).astype(jnp.complex64)
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 0.01, jnp.float32)
+
+    A_ref, FB_ref, TW_ref, ll_ref = run_gem_online(A0, FB0, TW0, X, sigma,
+                                                   n_blocks=nb)
+    assert np.all(np.isfinite(np.asarray(ll_ref)))
+    state = online_init(A0, FB0)
+    for b in range(nb):
+        state, (TWb, ll) = online_block(state, X[:, b * Nb:(b + 1) * Nb],
+                                        TW0, sigma)
+    np.testing.assert_allclose(np.asarray(state.A), np.asarray(A_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.FB), np.asarray(FB_ref),
+                               rtol=1e-4, atol=1e-6)
