@@ -194,7 +194,9 @@ def _cmd_separate_streaming(args) -> int:
     ys, info = separate_streaming(
         args.audio, J=args.sources, K=args.nmf_comps, wlen=args.wlen,
         frames_per_block=args.block_frames, seed=args.seed,
-        out_dir=args.out, verbose=0 if args.quiet else 1)
+        out_dir=args.out, checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every or 0,
+        verbose=0 if args.quiet else 1)
     wall = time.perf_counter() - t0
     dur = info["nsamples"] / info["fs"]
     print(json.dumps({

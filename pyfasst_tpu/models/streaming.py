@@ -36,10 +36,54 @@ import numpy as np
 __all__ = ["separate_streaming"]
 
 
+_COMPLEX_STATE_FIELDS = ("A", "txs", "tss", "t7")
+
+
+def _save_stream_state(path: str, state, sigma, next_block: int, lls):
+    """Atomic .npz checkpoint of the online state mid-stream (complex
+    leaves split to real pairs -- device->host complex fetches are
+    Unimplemented on the axon backend, same recipe as utils/checkpoint)."""
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    arrays = {"next_block": np.asarray(next_block),
+              "lls": np.asarray(lls, np.float64),
+              "sigma": np.asarray(sigma)}
+    for name, val in state._asdict().items():
+        if name in _COMPLEX_STATE_FIELDS:
+            arrays[name] = to_host_complex(val)
+        else:
+            arrays[name] = np.asarray(val)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_stream_state(path: str):
+    """-> (OnlineState, sigma, next_block, lls list)."""
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.ops.online import OnlineState
+    from pyfasst_tpu.utils.misc import to_device_complex
+
+    with np.load(path) as z:
+        fields = {}
+        for name in OnlineState._fields:
+            arr = z[name]
+            fields[name] = (to_device_complex(arr)
+                            if name in _COMPLEX_STATE_FIELDS
+                            else jnp.asarray(arr))
+        return (OnlineState(**fields), jnp.asarray(z["sigma"]),
+                int(z["next_block"]), [float(v) for v in z["lls"]])
+
+
 def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                        frames_per_block: int = 64, forgetting: float = 0.95,
                        inner_iters: int = 6, noise_rel: float = 1e-3,
                        seed: int = 0, out_dir: Optional[str] = None,
+                       checkpoint_path: Optional[str] = None,
+                       checkpoint_every: int = 0,
+                       estimate_blocks: Optional[int] = None,
                        verbose: int = 1):
     """Two-pass blind streaming separation of a WAV on disk (any I).
 
@@ -49,6 +93,17 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
 
     noise_rel sets the fixed noise-PSD floor relative to the first
     block's mean bin power (streaming has no global annealing schedule).
+
+    checkpoint_path + checkpoint_every=K persist the online state every
+    K estimation blocks (atomic .npz); if the file already exists the
+    estimation RESUMES from it (skipped blocks are never read off disk
+    -- stream_blocks(start_block=...)), so a preempted multi-hour
+    estimation pass loses at most K blocks. Resume assumes the same
+    filename/J/K/wlen/frames_per_block/seed (the checkpoint stores the
+    state and noise floor, not the configuration). estimate_blocks caps
+    pass 1
+    (learn from the first N blocks, then separate the WHOLE recording
+    with the frozen parameters -- also the test hook for interruption).
     """
     import jax.numpy as jnp
 
@@ -85,9 +140,17 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
 
     state = online_init(A0, FB0)
     sigma = None
+    lls_done = []
+    start_block = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, sigma, start_block, lls_done = \
+            _load_stream_state(checkpoint_path)
+        if verbose:
+            print(f"resumed streaming estimation at block {start_block}")
     lls = []
-    n_full = 0
-    for Xb in tft.stream_blocks(filename, Nb):       # pass 1: learn A, FB
+    n_full = start_block
+    for Xb in tft.stream_blocks(filename, Nb,       # pass 1: learn A, FB
+                                start_block=start_block):
         if sigma is None:
             sigma = jnp.full((F,), noise_rel * float(
                 jnp.mean(jnp.abs(Xb) ** 2)), jnp.float32)
@@ -98,11 +161,19 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                                       inner_iters=inner_iters)
         lls.append(ll)
         n_full += 1
-    if not lls:
+        if checkpoint_path is not None and checkpoint_every \
+                and (n_full - start_block) % checkpoint_every == 0:
+            _save_stream_state(
+                checkpoint_path, state, sigma, n_full,
+                lls_done + [float(v) for v in np.asarray(jnp.stack(lls))])
+        if estimate_blocks is not None and n_full >= estimate_blocks:
+            break
+    if not (lls or lls_done):
         raise ValueError("recording shorter than one block; use the "
                          "batch path")
-    lls = [float(v) for v in np.asarray(jnp.stack(lls))]  # ONE fetch
-    # (per-scalar fetches cost a ~35 ms tunnel round-trip each on axon)
+    if lls:                                          # ONE fetch (per-scalar
+        lls = [float(v) for v in np.asarray(jnp.stack(lls))]  # fetches cost
+    lls = lls_done + lls          # a ~35 ms tunnel round-trip each on axon)
 
     def sep_block(TWb, Xb):
         spat = tuple(SpatialComp(A=state.A[j][..., None], mix_type=CONV)
@@ -135,7 +206,7 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
         pos[j] += chunk.shape[0]
 
     out = {"fs": fs, "nsamples": nsamples, "blocks": n_full,
-           "block_frames": Nb, "logliks": lls}
+           "block_frames": Nb, "logliks": lls, "resumed_at": start_block}
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         paths = []

@@ -313,7 +313,8 @@ class STFT:
             raise ValueError("call computeTransform first or pass nsamples")
         return istft(X, n, self.wlen, self.hop, self.window)
 
-    def stream_blocks(self, filename, frames_per_block: int):
+    def stream_blocks(self, filename, frames_per_block: int,
+                      start_block: int = 0):
         """Yield STFT blocks of a WAV file, reading only each block's
         samples (the long-context front-end: memory stays
         O(frames_per_block), served by the native codec's seek+read when
@@ -325,6 +326,8 @@ class STFT:
 
         Pairs with ops.online.online_block for bounded-memory streaming
         estimation of recordings whose (F, N) plane exceeds HBM.
+        start_block skips ahead without reading the skipped samples
+        (checkpoint resume of a long streaming estimation).
         """
         import os as _os
         from pyfasst_tpu.audio import wavread_block
@@ -338,7 +341,8 @@ class STFT:
         wlen, hop = self.wlen, self.hop
         pad_front, _, n_frames, _ = _frame_geometry(nsamples, wlen, hop)
         win = jnp.asarray(self.window, jnp.float32)
-        for m0 in range(0, n_frames, frames_per_block):
+        for m0 in range(start_block * frames_per_block, n_frames,
+                        frames_per_block):
             m1 = min(m0 + frames_per_block, n_frames)
             lo = m0 * hop - pad_front                    # may be < 0
             hi = (m1 - 1) * hop - pad_front + wlen       # may be > nsamples

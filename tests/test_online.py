@@ -175,6 +175,43 @@ def test_separate_streaming_end_to_end(rng, tmp_path):
     assert np.max(np.abs(ys.sum(0) - mix)) < 0.05
 
 
+def test_separate_streaming_checkpoint_resume(rng, tmp_path):
+    """A preempted streaming estimation resumes from its checkpoint to
+    the same result as an uninterrupted run (state round-trips through
+    the atomic .npz exactly; skipped blocks are never re-read)."""
+    import os
+
+    from scipy.signal import butter, lfilter
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    fs, n = 8000, 8000 * 10
+    b, a = butter(4, [0.02, 0.3], btype="band")
+    s1 = lfilter(b, a, rng.standard_normal(n))
+    b, a = butter(4, [0.25, 0.8], btype="band")
+    s2 = lfilter(b, a, rng.standard_normal(n))
+    mix = np.outer(s1, [0.95, 0.31]) + np.outer(s2, [0.31, 0.95])
+    mix /= np.max(np.abs(mix)) * 1.05
+    p = str(tmp_path / "ck.wav")
+    wavwrite(mix, fs, p)
+    kw = dict(J=2, K=4, wlen=512, frames_per_block=16, verbose=0)
+
+    ys_c, info_c = separate_streaming(p, **kw)       # uninterrupted
+    ck = str(tmp_path / "stream_ck.npz")
+    _, info_i = separate_streaming(p, checkpoint_path=ck,
+                                   checkpoint_every=5, estimate_blocks=5,
+                                   **kw)             # "preempted" at 5
+    assert os.path.exists(ck) and info_i["blocks"] == 5
+    ys_r, info_r = separate_streaming(p, checkpoint_path=ck,
+                                      checkpoint_every=5, **kw)
+    assert info_r["resumed_at"] == 5
+    assert info_r["blocks"] == info_c["blocks"]
+    np.testing.assert_allclose(info_r["logliks"], info_c["logliks"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ys_r, ys_c, rtol=1e-4, atol=1e-5)
+
+
 def test_separate_streaming_three_channels(rng, tmp_path):
     """The streaming pipeline through the square-root general engine
     (I != 2 trace-time dispatch in ops/online._block_estep)."""
