@@ -196,6 +196,7 @@ def _cmd_separate_streaming(args) -> int:
         frames_per_block=args.block_frames, seed=args.seed,
         out_dir=args.out, checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every or 0,
+        estimate_blocks=args.estimate_blocks,
         verbose=0 if args.quiet else 1)
     wall = time.perf_counter() - t0
     dur = info["nsamples"] / info["fs"]
@@ -352,6 +353,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--model inst)")
     p.add_argument("--block-frames", type=int, default=64,
                    help="frames per streamed block (with --streaming)")
+    p.add_argument("--estimate-blocks", type=int, default=None,
+                   help="with --streaming: learn parameters from the "
+                        "first N blocks only, then separate the whole "
+                        "recording")
     p.add_argument("--batch", action="store_true",
                    help="treat AUDIO as a directory of WAVs and separate "
                         "them as one bucketed batch (inst model)")
