@@ -187,9 +187,11 @@ def _cmd_separate_streaming(args) -> int:
 
     if getattr(args, "transform", "stft") != "stft":
         raise ValueError("--streaming supports the STFT front-end only")
-    if args.model != "inst":
-        raise ValueError("--streaming learns rank-1 convolutive mixing; "
-                         "pass --model inst (the default)")
+    if args.model not in ("inst", "fullrank"):
+        raise ValueError("--streaming learns rank-1 convolutive mixing "
+                         "(--model inst, the default) or a full-rank "
+                         "spatial covariance per source (--model "
+                         "fullrank, Duong online EM)")
     t0 = time.perf_counter()
     ys, info = separate_streaming(
         args.audio, J=args.sources, K=args.nmf_comps, wlen=args.wlen,
@@ -197,6 +199,7 @@ def _cmd_separate_streaming(args) -> int:
         out_dir=args.out, checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every or 0,
         estimate_blocks=args.estimate_blocks,
+        spatial_rank=-1 if args.model == "fullrank" else 1,
         verbose=0 if args.quiet else 1)
     wall = time.perf_counter() - t0
     dur = info["nsamples"] / info["fs"]
@@ -349,8 +352,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bounded-memory two-pass online separation for "
                         "long recordings: blocks are paged off disk, "
                         "learned with exponential forgetting, separated "
-                        "and synthesized block-by-block (stereo, "
-                        "--model inst)")
+                        "and synthesized block-by-block (any channel "
+                        "count; --model inst = rank-1 mixing, --model "
+                        "fullrank = full-rank spatial covariances via "
+                        "online Duong EM)")
     p.add_argument("--block-frames", type=int, default=64,
                    help="frames per streamed block (with --streaming)")
     p.add_argument("--estimate-blocks", type=int, default=None,

@@ -9,7 +9,9 @@ O(F x block_frames) regardless of recording length:
 
   pass 1   STFT.stream_blocks (native codec seek+read off disk) ->
            ops.online.online_block: exponential-forgetting GEM learns the
-           frequency-side parameters (rank-1 mixing A_j(f), spectral
+           frequency-side parameters (mixing A_j(f) -- rank-1 columns or,
+           with spatial_rank=I, a full-rank spatial covariance
+           R_j = A_j A_j^H re-estimated every block -- and spectral
            patterns FB_j).
   pass 2   re-stream; per block re-estimate the time weights TW under the
            FROZEN final parameters (the streaming-inference operating
@@ -36,23 +38,22 @@ import numpy as np
 __all__ = ["separate_streaming"]
 
 
-_COMPLEX_STATE_FIELDS = ("A", "txs", "tss", "t7")
-
-
 def _save_stream_state(path: str, state, sigma, next_block: int, lls):
     """Atomic .npz checkpoint of the online state mid-stream (complex
     leaves split to real pairs -- device->host complex fetches are
-    Unimplemented on the axon backend, same recipe as utils/checkpoint)."""
+    Unimplemented on the axon backend, same recipe as utils/checkpoint).
+    Complex leaves are detected by dtype, not field name: `t4` is real in
+    the rank-1 state and complex (R, R) blocks in the full-rank state."""
+    import jax.numpy as jnp
+
     from pyfasst_tpu.utils.misc import to_host_complex
 
     arrays = {"next_block": np.asarray(next_block),
               "lls": np.asarray(lls, np.float64),
               "sigma": np.asarray(sigma)}
     for name, val in state._asdict().items():
-        if name in _COMPLEX_STATE_FIELDS:
-            arrays[name] = to_host_complex(val)
-        else:
-            arrays[name] = np.asarray(val)
+        arrays[name] = (to_host_complex(val)
+                        if jnp.iscomplexobj(val) else np.asarray(val))
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
@@ -71,8 +72,7 @@ def _load_stream_state(path: str):
         for name in OnlineState._fields:
             arr = z[name]
             fields[name] = (to_device_complex(arr)
-                            if name in _COMPLEX_STATE_FIELDS
-                            else jnp.asarray(arr))
+                            if np.iscomplexobj(arr) else jnp.asarray(arr))
         return (OnlineState(**fields), jnp.asarray(z["sigma"]),
                 int(z["next_block"]), [float(v) for v in z["lls"]])
 
@@ -84,8 +84,19 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                        checkpoint_path: Optional[str] = None,
                        checkpoint_every: int = 0,
                        estimate_blocks: Optional[int] = None,
+                       spatial_rank: int = 1,
                        verbose: int = 1):
     """Two-pass blind streaming separation of a WAV on disk (any I).
+
+    spatial_rank=1 (default) learns rank-1 mixing columns A_j(f) -- the
+    low-latency point-source model. spatial_rank=I (or -1 for "the
+    channel count, whatever the probe finds") learns a FULL-RANK
+    spatial covariance per source (Duong model, R_j = A_j A_j^H
+    re-estimated every block from the exponentially-forgotten statistics,
+    ops/online.py rank-R path) -- the reverberant/diffuse streaming mode.
+    The extra columns are seeded as small orthogonal perturbations of the
+    rank-1 direction (same rank-expansion recipe as the batch variants) so
+    they grow only if the data asks for them.
 
     Returns (ys (J, nsamples, I) float32 source images, info dict with
     block log-likelihoods and geometry). If out_dir is given, also writes
@@ -99,7 +110,8 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     estimation RESUMES from it (skipped blocks are never read off disk
     -- stream_blocks(start_block=...)), so a preempted multi-hour
     estimation pass loses at most K blocks. Resume assumes the same
-    filename/J/K/wlen/frames_per_block/seed (the checkpoint stores the
+    filename/J/K/wlen/frames_per_block/seed/spatial_rank (the checkpoint
+    stores the
     state and noise floor, not the configuration). estimate_blocks caps
     pass 1
     (learn from the first N blocks, then separate the WHOLE recording
@@ -131,9 +143,39 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
 
     # complex init built ON device (complex host->device uploads are
     # Unimplemented on the axon backend -- CLAUDE.md)
-    A0 = jnp.stack([jnp.broadcast_to(
-        jnp.asarray(np.asarray(a)[:, 0], jnp.float32).astype(jnp.complex64),
-        (F, channels)) for a in init_inst_mixing(None, channels, 1, J)])
+    R = int(spatial_rank)
+    if R == -1:                          # "full": resolve after the probe
+        R = channels
+    if R not in (1, channels):
+        raise ValueError(f"spatial_rank must be 1 (point sources), "
+                         f"{channels} (= channels, full-rank Duong "
+                         f"model), or -1 (full, any I), got {R}")
+    dirs = [np.asarray(a)[:, 0].astype(np.float64)
+            for a in init_inst_mixing(None, channels, 1, J)]
+    if R == 1:
+        A0 = jnp.stack([jnp.broadcast_to(
+            jnp.asarray(d, jnp.float32).astype(jnp.complex64),
+            (F, channels)) for d in dirs])
+    else:
+        # rank expansion: per source, Gram-Schmidt random columns
+        # orthogonal to the seed direction, scaled 0.2 (variants.py recipe)
+        # -- real-valued host init, uploaded as float then cast on device.
+        rngA = np.random.default_rng(seed + 1)
+        mats = []
+        for d in dirs:
+            basis = [d / np.linalg.norm(d)]
+            cols = [d]
+            for _ in range(R - 1):
+                q = rngA.standard_normal(channels)
+                for b in basis:
+                    q = q - (b @ q) * b
+                q = q / max(np.linalg.norm(q), 1e-12)
+                basis.append(q)
+                cols.append(0.2 * np.linalg.norm(d) * q)
+            mats.append(np.stack(cols, axis=-1))          # (I, R)
+        A0 = jnp.stack([jnp.broadcast_to(
+            jnp.asarray(m, jnp.float32), (F, channels, R)
+        ).astype(jnp.complex64) for m in mats])           # (J, F, I, R)
     rng = np.random.default_rng(seed)
     FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
     TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
@@ -176,8 +218,9 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     lls = lls_done + lls          # a ~35 ms tunnel round-trip each on axon)
 
     def sep_block(TWb, Xb):
-        spat = tuple(SpatialComp(A=state.A[j][..., None], mix_type=CONV)
-                     for j in range(J))
+        spat = tuple(SpatialComp(
+            A=state.A[j][..., None] if state.A.ndim == 3 else state.A[j],
+            mix_type=CONV) for j in range(J))
         spec = tuple(SpectralComp(FB=state.FB[j], TW=TWb[j], spat_ind=j)
                      for j in range(J))
         return separate_sources(FasstParams(spat=spat, spec=spec),
@@ -206,7 +249,8 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
         pos[j] += chunk.shape[0]
 
     out = {"fs": fs, "nsamples": nsamples, "blocks": n_full,
-           "block_frames": Nb, "logliks": lls, "resumed_at": start_block}
+           "block_frames": Nb, "logliks": lls, "resumed_at": start_block,
+           "spatial_rank": R}
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         paths = []

@@ -12,9 +12,25 @@ and latency-bounded streaming separation.
 TPU-native shape: one jitted `lax.scan` over blocks (run_gem_online, whole
 mixture in memory) OR a host-driven loop over `online_block` fed by
 `tf.stft.STFT.stream_blocks` -- the bounded-memory path for recordings
-whose (F, N) plane exceeds HBM. Both run the same block body. Rank-1
-sources (the streaming use case); any channel count (I == 2 rides the
-packed 2x2 fast path, others the square-root general engine).
+whose (F, N) plane exceeds HBM. Both run the same block body. Any channel
+count (I == 2 rides the packed 2x2 fast path, others the square-root
+general engine) and any uniform spatial rank:
+
+  - A0 (J, F, I): rank-1 sources (the low-latency streaming use case) --
+    the EW spatial statistics collapse to scalars per (j, k, f).
+  - A0 (J, F, I, I): FULL-RANK sources (reverberant/diffuse streaming).
+    Here the spatial update is the direct Duong-style covariance M-step
+    (PAPERS.md "Under-determined reverberant audio source separation
+    using a full-rank spatial covariance model", Duong/Vincent/Gribonval
+    2010): R_j(f) <- EW-mean_n[ posterior image covariance / v_j(f,n) ],
+    re-estimated every block from exponentially-forgotten accumulators.
+    The batch engine's sub-source A-form M-step was measured to move
+    R_j by only ~0.1%/iteration at the streaming noise floor (EM step
+    size vanishes with sigma for covariance shape), far too slow for a
+    one-update-per-block regime; the direct covariance update converges
+    in O(1) blocks at the same floor. state.A carries a Hermitian square
+    root of R_j (closed form for I == 2, eigh otherwise) so downstream
+    consumers (E-step, Wiener separation) are unchanged.
 """
 from __future__ import annotations
 
@@ -29,19 +45,26 @@ from pyfasst_tpu.utils.misc import czeros
 
 
 class OnlineState(NamedTuple):
-    """Carried across blocks: frequency-side params + EW statistics."""
-    A: jnp.ndarray          # (J, F, I) complex rank-1 mixing columns
+    """Carried across blocks: frequency-side params + EW statistics.
+
+    Rank-1 (A ndim 3) carries the scalar sub-source statistic layout.
+    Full-rank (A ndim 4, R == I) reuses the same field names for the
+    Duong accumulators: txs holds the EW sum of per-frame posterior image
+    covariances / v_j, t4 the EW frame count; tss/t7 are unused (kept as
+    zeros so one NamedTuple serves both and the streaming checkpoint
+    format stays shape-agnostic)."""
+    A: jnp.ndarray          # (J, F, I) rank-1 columns | (J, F, I, I) sqrt R_j
     FB: jnp.ndarray         # (J, F, K) spectral patterns
-    txs: jnp.ndarray        # (J, F, I) complex EW sum of v x w^H
-    tss: jnp.ndarray        # (J, J, F) complex EW sum of v_j v_k w_j w_k^H
-    t4: jnp.ndarray         # (J, F)    EW sum of v/(1 + v t)
-    t7: jnp.ndarray         # (J, J, F) complex EW cross posterior cov
+    txs: jnp.ndarray        # (J, F, I) EW v x w^H | (J, F, I, I) EW Duong Z_j
+    tss: jnp.ndarray        # (J, J, F) complex EW v_j v_k w_j w_k^H | zeros
+    t4: jnp.ndarray         # (J, F) real: EW v/(1 + v t) | EW frame count
+    t7: jnp.ndarray         # (J, J, F) complex EW cross posterior cov | zeros
     fb_num: jnp.ndarray     # (J, F, K) EW numerator of the FB update
     fb_den: jnp.ndarray     # (J, F, K) EW denominator
 
 
 def _block_estep(Xb, A, FB, TWb, sigma, eps):
-    """Stats of one block under current params. Returns (stats, v, loglik).
+    """Rank-1 stats of one block under current params. Returns (stats, v).
 
     Dispatches on the channel count at trace time like the batch engine:
     I == 2 takes the packed 2x2 fast path, anything else the square-root
@@ -59,14 +82,82 @@ def _block_estep(Xb, A, FB, TWb, sigma, eps):
     return stats, v
 
 
+def _fullrank_estep(Xb, R, v, sigma):
+    """Duong-style posterior statistics of one block, full-rank sources.
+
+    Xb (F, N, I) complex mixture block; R (J, F, I, I) complex source
+    spatial covariances; v (J, F, N) source PSDs; sigma (F,) noise PSD.
+
+    Returns (Z_blk, xi, loglik):
+      Z_blk (J, F, I, I): sum_n \\hat{R}_{c_j}(f, n) / v_j(f, n), the Duong
+        covariance M-step numerator, computed WITHOUT dividing by v_j --
+        the posterior mean image y_j = v_j R_j Sigma_x^-1 x carries a v_j
+        factor, so y y^H / v_j = v_j (R_j w)(R_j w)^H with w = Sigma_x^-1 x
+        (exact, no 0/0 at silent frames), and the posterior covariance
+        term is (I - G_j) v_j R_j / v_j = R_j - v_j R_j Sigma_x^-1 R_j.
+      xi (J, F, N): posterior PSD tr(R_j^-1 \\hat{R}_{c_j}) / I for the
+        IS-NMF spectral updates. R_j^-1 y_j = v_j w (no explicit inverse)
+        and tr(R_j^-1 (I - G_j) v_j R_j) = v_j (I - v_j tr(Sigma_x^-1 R_j))
+        by trace similarity-invariance.
+      loglik: sum_{f,n} of the Gaussian log-density of the block.
+
+    Dense complex formulation with batched small solves: full-rank R_j has
+    no structural zeros (the rank-1 `R_j adj(Sigma_x)` float32 catastrophe
+    does not apply) and the sigma floor bounds cond(Sigma_x) <= tr/sigma,
+    well inside float32 for the streaming noise_rel floor.
+    """
+    F, N, I = Xb.shape
+    eyeI = jnp.eye(I, dtype=R.dtype)
+    Sx = (jnp.einsum("jfn,jfab->fnab", v.astype(R.real.dtype), R)
+          + sigma[:, None, None, None] * eyeI)
+    w = jnp.linalg.solve(Sx, Xb[..., None])[..., 0]           # (F, N, I)
+    # Sigma_x^-1 R_j, batched over (j, f, n): (J, F, N, I, I)
+    SinvR = jnp.linalg.solve(
+        jnp.broadcast_to(Sx[None], (R.shape[0],) + Sx.shape),
+        jnp.broadcast_to(R[:, :, None], (R.shape[0], F, N, I, I)))
+    Rw = jnp.einsum("jfab,fnb->jfna", R, w)                   # R_j w
+    Z1 = jnp.einsum("jfn,jfna,jfnb->jfab", v, Rw, jnp.conj(Rw))
+    Z2 = N * R - jnp.einsum("jfn,jfab,jfnbc->jfac", v, R, SinvR)
+    Z_blk = Z1 + Z2
+    Z_blk = 0.5 * (Z_blk + jnp.conj(jnp.swapaxes(Z_blk, -1, -2)))
+    trSinvR = jnp.einsum("jfnaa->jfn", SinvR).real
+    quad = jnp.einsum("fna,jfna->jfn", jnp.conj(w), Rw).real  # w^H R_j w
+    xi = (v * v * quad + v * jnp.maximum(I - v * trSinvR, 0.0))
+    xi = jnp.maximum(xi / I, 0.0)
+    _, ld = jnp.linalg.slogdet(Sx)
+    loglik = -(jnp.sum(ld)
+               + jnp.sum(jnp.einsum("fna,fna->fn", jnp.conj(Xb), w).real)
+               + F * N * I * jnp.log(jnp.pi))
+    return Z_blk, xi, loglik
+
+
 def online_init(A0: jnp.ndarray, FB0: jnp.ndarray) -> OnlineState:
     """Fresh streaming state around initial mixing/pattern guesses.
 
-    A0 (J, F, I) complex rank-1 mixing (any channel count; I == 2 takes
-    the packed fast path, others the square-root general engine);
+    A0 complex mixing, either (J, F, I) rank-1 or (J, F, I, I) full-rank
+    (square root of the initial spatial covariance R_j = A_j A_j^H,
+    re-estimated every block by the Duong covariance M-step); any channel
+    count (rank-1 I == 2 takes the packed fast path, others the
+    square-root general engine; full-rank runs the dense Duong E-step).
     FB0 (J, F, K) spectral patterns.
     """
     J, F, K = FB0.shape
+    if A0.ndim == 4:
+        I, R = A0.shape[-2], A0.shape[-1]
+        if R != I:
+            raise ValueError(
+                f"online full-rank path needs square A0 (R == I), got "
+                f"rank {R} with {I} channels; use rank-1 (J, F, I) or "
+                f"full-rank (J, F, I, I)")
+        return OnlineState(
+            A=A0, FB=FB0,
+            txs=czeros((J, F, I, I), jnp.complex64),
+            tss=czeros((J, J, F), jnp.complex64),
+            t4=jnp.zeros((J, F), jnp.float32),
+            t7=czeros((J, J, F), jnp.complex64),
+            fb_num=jnp.zeros((J, F, K), jnp.float32),
+            fb_den=jnp.zeros((J, F, K), jnp.float32),
+        )
     return OnlineState(
         A=A0, FB=FB0,
         txs=czeros((J, F, A0.shape[-1]), jnp.complex64),
@@ -78,12 +169,86 @@ def online_init(A0: jnp.ndarray, FB0: jnp.ndarray) -> OnlineState:
     )
 
 
+def _herm_sqrt(R):
+    """Hermitian PSD square root, batched over leading dims.
+
+    I == 2: closed form sqrtm(R) = (R + sqrt(det R) I) / sqrt(tr R +
+    2 sqrt(det R)) (Cayley-Hamilton); general I via eigh."""
+    I = R.shape[-1]
+    if I == 2:
+        det = (R[..., 0, 0].real * R[..., 1, 1].real
+               - (R[..., 0, 1] * jnp.conj(R[..., 0, 1])).real)
+        s = jnp.sqrt(jnp.maximum(det, 0.0))
+        t = jnp.sqrt(jnp.maximum(
+            R[..., 0, 0].real + R[..., 1, 1].real + 2.0 * s, 1e-38))
+        return ((R + (s[..., None, None]).astype(R.dtype)
+                 * jnp.eye(2, dtype=R.dtype))
+                / t[..., None, None].astype(R.dtype))
+    w, U = jnp.linalg.eigh(R)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return jnp.einsum("...ab,...b,...cb->...ac", U, w.astype(U.dtype),
+                      jnp.conj(U))
+
+
+def _fullrank_block_step(state, Xb, TW0, sigma, lam, inner_iters, eps):
+    """One full-rank streaming block: Duong covariance EM on EW stats."""
+    A, FB = state.A, state.FB
+    J, F, K = FB.shape
+    I = A.shape[-1]
+    Nb = Xb.shape[1]
+    R = jnp.einsum("jfar,jfbr->jfab", A, jnp.conj(A))     # (J, F, I, I)
+
+    def inner(i, TWb):
+        v = jnp.einsum("jfk,jkn->jfn", FB, TWb)
+        _, xi, _ = _fullrank_estep(Xb, R, v, sigma)
+        Vc = jnp.maximum(v, 1e-12 * jnp.mean(xi) + eps)
+        num = xi / (Vc * Vc)
+        den = 1.0 / Vc
+        upd = jnp.clip(
+            jnp.einsum("jfk,jfn->jkn", FB, num)
+            / jnp.maximum(jnp.einsum("jfk,jfn->jkn", FB, den), eps),
+            1e-5, 1e5)
+        return jnp.maximum(TWb * upd, eps)
+
+    TWb = jax.lax.fori_loop(0, inner_iters, inner, TW0)
+    v = jnp.einsum("jfk,jkn->jfn", FB, TWb)
+    Z_blk, xi, loglik = _fullrank_estep(Xb, R, v, sigma)
+
+    # Duong covariance M-step on the EW accumulators
+    Z = lam * state.txs + Z_blk
+    cnt = lam * state.t4 + jnp.float32(Nb)
+    R_new = Z / cnt[..., None, None].astype(Z.dtype)
+    tr = jnp.einsum("jfaa->jf", R_new).real
+    ridge = (1e-6 * jnp.mean(tr) + 1e-30).astype(tr.dtype)
+    R_new = R_new + ridge * jnp.eye(I, dtype=R_new.dtype)
+    A_new = _herm_sqrt(R_new)
+
+    # online FB update: EW-accumulated IS-NMF numerator/denominator on xi
+    Vc = jnp.maximum(v, 1e-12 * jnp.mean(xi) + eps)
+    num = xi / (Vc * Vc)
+    den = 1.0 / Vc
+    fb_num = lam * state.fb_num + jnp.einsum("jfn,jkn->jfk", num, TWb)
+    fb_den = lam * state.fb_den + jnp.einsum("jfn,jkn->jfk", den, TWb)
+    FB = jnp.maximum(FB * jnp.clip(fb_num / jnp.maximum(fb_den, eps),
+                                   1e-2, 1e2), eps)
+    s = jnp.maximum(jnp.sum(FB, axis=1, keepdims=True), eps)
+    FB = FB / s
+
+    new_state = OnlineState(A=A_new, FB=FB, txs=Z, tss=state.tss,
+                            t4=cnt, t7=state.t7,
+                            fb_num=fb_num, fb_den=fb_den)
+    return new_state, (TWb, loglik)
+
+
 def _make_block_step(TW0, sigma, lam, inner_iters: int, eps: float):
     """The per-block body shared by the scanned and host-driven paths."""
     J = TW0.shape[0]
 
     def block_step(state: OnlineState, Xb):
         A, FB = state.A, state.FB
+        if A.ndim == 4:       # full-rank path (trace-time dispatch)
+            return _fullrank_block_step(state, Xb, TW0, sigma, lam,
+                                        inner_iters, eps)
         TWb = TW0
 
         def inner(i, carry):
@@ -176,8 +341,9 @@ def run_gem_online(A0: jnp.ndarray, FB0: jnp.ndarray, TW0: jnp.ndarray,
                    inner_iters: int = 4, eps: float = 1e-30):
     """Stream the mixture through `n_blocks` equal blocks (whole X given).
 
-    A0 (J, F, 2) complex; FB0 (J, F, K); TW0 (J, K, Nb) per-block init;
-    X (F, N, 2) with N = n_blocks * Nb; sigma (F,) noise PSD (held fixed --
+    A0 (J, F, I) complex rank-1 or (J, F, I, I) full-rank (Duong path);
+    FB0 (J, F, K); TW0 (J, K, Nb) per-block init;
+    X (F, N, I) with N = n_blocks * Nb; sigma (F,) noise PSD (held fixed --
     streaming has no global annealing schedule; pass a moderately small
     floor). Returns (A, FB, TW_all (J, K, N), logliks (n_blocks,)).
     """

@@ -69,6 +69,25 @@ def test_separate_streaming_cli_rejects_warped(mix_wav, tmp_path, capsys):
     assert "STFT front-end" in capsys.readouterr().err
 
 
+def test_separate_streaming_cli_fullrank(mix_wav, tmp_path, capsys):
+    """`--streaming --model fullrank` drives the online Duong path."""
+    out_dir = str(tmp_path / "stream_fr")
+    assert main(["separate", mix_wav, "-o", out_dir, "--streaming",
+                 "--model", "fullrank", "--block-frames", "16",
+                 "--wlen", "256", "--nmf-comps", "3", "-q"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and rep["blocks"] >= 2
+    for f in rep["files"]:
+        assert os.path.exists(f)
+    assert np.isfinite(rep["final_loglik"])
+
+
+def test_separate_streaming_cli_rejects_other_models(mix_wav, capsys):
+    assert main(["separate", mix_wav, "--streaming",
+                 "--model", "hmm", "-q"]) == 2
+    assert "fullrank" in capsys.readouterr().err
+
+
 def test_separate_checkpoint(mix_wav, tmp_path, capsys):
     ck = str(tmp_path / "ck.npz")
     assert main(["separate", mix_wav, "-o", str(tmp_path / "s"),

@@ -314,3 +314,244 @@ def test_online_block_matches_scanned_run_three_channels(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(state.FB), np.asarray(FB_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+# -- full-rank (Duong) streaming path -----------------------------------------
+
+def test_online_fullrank_covariance_recovery(rng):
+    """A0 (J, F, I, I) dispatches the Duong covariance path
+    (ops/online._fullrank_block_step): a single full-rank source's
+    spatial covariance is recovered (the direct covariance M-step
+    converges in O(1) blocks at the noise floor, unlike the sub-source
+    A-form EM whose step size vanishes with sigma)."""
+    from pyfasst_tpu.ops.online import run_gem_online
+
+    F, N, I, K = 17, 256, 2, 2
+    M = rng.standard_normal((I, I)) + 1j * rng.standard_normal((I, I))
+    q, _ = np.linalg.qr(M)
+    Atrue = q @ np.diag([1.0, 0.5])
+    s = (rng.standard_normal((F, N, I))
+         + 1j * rng.standard_normal((F, N, I))) / np.sqrt(2)
+    X = jnp.asarray(np.einsum("fna,ba->fnb", s, Atrue), jnp.complex64)
+    Rtrue = Atrue @ Atrue.conj().T
+    Rtrue = Rtrue / np.trace(Rtrue).real
+
+    A0 = np.zeros((1, F, I, I), np.complex64)
+    A0[0, :, :, 0] = np.array([0.8, 0.6])
+    A0[0, :, :, 1] = 0.2 * np.array([-0.6, 0.8])
+    FB0 = jnp.asarray(0.5 + rng.random((1, F, K)), jnp.float32)
+    Nb = 16
+    TW0 = jnp.asarray(0.5 + rng.random((1, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 1e-3, jnp.float32)
+
+    A, FB, TW, lls = jax.block_until_ready(run_gem_online(
+        jnp.asarray(A0), FB0, TW0, X, sigma, n_blocks=N // Nb,
+        forgetting=0.9, inner_iters=6))
+    assert np.all(np.isfinite(np.asarray(lls)))
+    A = np.asarray(A)
+    errs = []
+    for f in range(F):
+        Rhat = A[0, f] @ A[0, f].conj().T
+        Rhat = Rhat / max(np.trace(Rhat).real, 1e-30)
+        errs.append(np.abs(Rhat - Rtrue).max())
+    assert np.mean(errs) < 0.1, np.mean(errs)   # measured ~0.027
+
+
+def test_online_fullrank_block_matches_scanned_run(rng):
+    """Host-driven online_block equals run_gem_online's scan on the
+    full-rank path (shared _fullrank_block_step body)."""
+    from pyfasst_tpu.ops.online import (
+        online_block, online_init, run_gem_online,
+    )
+
+    J, F, K, Nb, nb, I = 2, 9, 3, 12, 4, 2
+    X = jnp.asarray(rng.standard_normal((F, nb * Nb, I))
+                    + 1j * rng.standard_normal((F, nb * Nb, I)),
+                    jnp.complex64)
+    A0 = np.zeros((J, F, I, I), np.float32)
+    A0[..., 0] = 0.4 + rng.random((J, F, I))
+    A0[..., 1] = 0.1 * rng.random((J, F, I))
+    A0 = jnp.asarray(A0).astype(jnp.complex64)
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 0.01, jnp.float32)
+
+    A_ref, FB_ref, TW_ref, ll_ref = run_gem_online(A0, FB0, TW0, X, sigma,
+                                                   n_blocks=nb)
+    assert np.all(np.isfinite(np.asarray(ll_ref)))
+    state = online_init(A0, FB0)
+    lls = []
+    for b in range(nb):
+        state, (TWb, ll) = online_block(state, X[:, b * Nb:(b + 1) * Nb],
+                                        TW0, sigma)
+        lls.append(float(ll))
+    np.testing.assert_allclose(np.asarray(state.A), np.asarray(A_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.FB), np.asarray(FB_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(lls, np.asarray(ll_ref), rtol=1e-5)
+
+
+def test_online_fullrank_rejects_nonsquare_rank(rng):
+    from pyfasst_tpu.ops.online import online_init
+
+    A0 = jnp.asarray(np.ones((2, 5, 3, 2), np.complex64))
+    FB0 = jnp.asarray(np.ones((2, 5, 4), np.float32))
+    import pytest
+    with pytest.raises(ValueError, match="R == I"):
+        online_init(A0, FB0)
+
+
+def test_online_fullrank_beats_rank1_on_diffuse(rng):
+    """On a mixture of genuinely FULL-RANK sources (per-bin covariance of
+    rank 2), the Duong streaming path must clearly beat the rank-1
+    streaming model -- the capability the full-rank mode exists for."""
+    import itertools
+
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, SpectralComp,
+    )
+    from pyfasst_tpu.ops.online import online_block, online_init, \
+        run_gem_online
+    from pyfasst_tpu.ops.wiener import separate_sources
+
+    F, N, J, K, I = 33, 256, 2, 3, 2
+    As = []
+    for j in range(J):
+        M = rng.standard_normal((I, I)) + 1j * rng.standard_normal((I, I))
+        q, _ = np.linalg.qr(M)
+        As.append(q @ np.diag([1.0, 0.5]))
+    bands = [(2, 14), (18, 30)]
+    Y = np.zeros((J, F, N, I), complex)
+    for j, (lo, hi) in enumerate(bands):
+        s = (rng.standard_normal((F, N, I))
+             + 1j * rng.standard_normal((F, N, I))) / np.sqrt(2)
+        mask = np.zeros((F, 1, 1))
+        mask[lo:hi] = 1.0
+        Y[j] = mask * np.einsum("fna,ba->fnb", s, As[j])
+    X = jnp.asarray(Y.sum(0), jnp.complex64)
+
+    d0 = [np.array([0.9, 0.45]), np.array([0.45, 0.9])]
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    Nb = 16
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 1e-3, jnp.float32)
+
+    def two_pass(A0):
+        """Learn on pass 1, separate with frozen params on pass 2 --
+        the separate_streaming operating mode, in-memory."""
+        Agot, FBgot, _, _ = jax.block_until_ready(run_gem_online(
+            A0, FB0, TW0, X, sigma, n_blocks=N // Nb, forgetting=0.92,
+            inner_iters=6))
+        state = online_init(Agot, FBgot)
+        Yh = np.zeros((J, F, N, I), np.complex64)
+        for b in range(N // Nb):
+            Xb = X[:, b * Nb:(b + 1) * Nb]
+            _, (TWb, _) = online_block(state, Xb, TW0, sigma,
+                                       forgetting=0.92, inner_iters=6)
+            spat = tuple(SpatialComp(
+                A=Agot[j][..., None] if Agot.ndim == 3 else Agot[j],
+                mix_type=CONV) for j in range(J))
+            spec = tuple(SpectralComp(FB=FBgot[j], TW=TWb[j], spat_ind=j)
+                         for j in range(J))
+            Yh[:, :, b * Nb:(b + 1) * Nb] = np.asarray(separate_sources(
+                FasstParams(spat=spat, spec=spec), Xb, sigma))
+        return Yh
+
+    def min_sdr(Yhat):
+        best = None
+        for p in itertools.permutations(range(J)):
+            sdrs = [10 * np.log10(
+                (np.abs(Y[j]) ** 2).sum()
+                / max((np.abs(Yhat[p[j]] - Y[j]) ** 2).sum(), 1e-30))
+                for j in range(J)]
+            if best is None or min(sdrs) > best:
+                best = min(sdrs)
+        return best
+
+    A0r1 = jnp.asarray(np.stack(
+        [np.tile(d / np.linalg.norm(d), (F, 1)) for d in d0]),
+        jnp.complex64)
+    sdr_r1 = min_sdr(two_pass(A0r1))
+
+    A0fr = np.zeros((J, F, I, I), np.complex64)
+    for j in range(J):
+        d = d0[j] / np.linalg.norm(d0[j])
+        A0fr[j, :, :, 0] = d
+        A0fr[j, :, :, 1] = 0.2 * np.array([-d[1], d[0]])
+    sdr_fr = min_sdr(two_pass(jnp.asarray(A0fr)))
+
+    # measured: rank-1 -2.8 dB, full-rank +1.3 dB on this fixture
+    assert sdr_fr > sdr_r1 + 2.0, (sdr_r1, sdr_fr)
+    assert sdr_fr > 0.0, sdr_fr
+
+
+def test_separate_streaming_fullrank(rng, tmp_path):
+    """End-to-end bounded-memory pipeline in full-rank mode
+    (spatial_rank=2 / -1), on a time-domain mixture whose sources are
+    rank-2 per bin (two decorrelated sub-channels each); includes a
+    checkpoint/resume cycle of the full-rank state (complex Duong
+    accumulator + real count round-trip through the dtype-driven .npz)."""
+    import os
+
+    from scipy.signal import butter, lfilter
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    fs, dur = 8000, 12.0
+    n = int(fs * dur)
+
+    def band(lo, hi):
+        b, a = butter(4, [lo, hi], btype="band")
+        s = lfilter(b, a, rng.standard_normal(n))
+        return s / (np.std(s) + 1e-9)
+
+    # each source = two independent same-band signals with different
+    # panning => per-bin spatial covariance of rank 2 (diffuse source)
+    pans = [(np.array([0.95, 0.31]), np.array([0.6, -0.5])),
+            (np.array([0.31, 0.95]), np.array([-0.5, 0.6]))]
+    specs = [(0.02, 0.3), (0.25, 0.8)]
+    ys_true = []
+    for (a1, a2), (lo, hi) in zip(pans, specs):
+        u1, u2 = band(lo, hi), band(lo, hi)
+        ys_true.append(np.outer(u1, a1) + 0.6 * np.outer(u2, a2))
+    ys_true = np.stack(ys_true)
+    mix = ys_true.sum(0)
+    sc = np.max(np.abs(mix)) * 1.05
+    mix, ys_true = mix / sc, ys_true / sc
+    p = str(tmp_path / "fr.wav")
+    wavwrite(mix, fs, p)
+    kw = dict(J=2, K=6, wlen=512, frames_per_block=32, verbose=0)
+
+    ys, info = separate_streaming(p, spatial_rank=-1, **kw)
+    assert info["spatial_rank"] == 2
+    assert ys.shape == (2, n, 2) and np.all(np.isfinite(ys))
+
+    def sdr(a, b):
+        return 10 * np.log10(np.sum(b ** 2)
+                             / max(np.sum((a - b) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[0], ys_true[0]), sdr(ys[1], ys_true[1])),
+               min(sdr(ys[1], ys_true[0]), sdr(ys[0], ys_true[1])))
+    ys_r1, _ = separate_streaming(p, spatial_rank=1, **kw)
+    best_r1 = max(
+        min(sdr(ys_r1[0], ys_true[0]), sdr(ys_r1[1], ys_true[1])),
+        min(sdr(ys_r1[1], ys_true[0]), sdr(ys_r1[0], ys_true[1])))
+    assert best > best_r1, (best, best_r1)
+    assert best > 2.0, best
+    assert np.max(np.abs(ys.sum(0) - mix)) < 0.08
+
+    # checkpoint/resume equality in full-rank mode
+    ck = str(tmp_path / "fr_ck.npz")
+    _, info_i = separate_streaming(p, checkpoint_path=ck,
+                                   checkpoint_every=4, estimate_blocks=4,
+                                   spatial_rank=2, **kw)
+    assert os.path.exists(ck) and info_i["blocks"] == 4
+    ys_r, info_r = separate_streaming(p, checkpoint_path=ck,
+                                      checkpoint_every=4, spatial_rank=2,
+                                      **kw)
+    assert info_r["resumed_at"] == 4
+    np.testing.assert_allclose(info_r["logliks"], info["logliks"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(ys_r, ys, rtol=1e-4, atol=1e-5)
