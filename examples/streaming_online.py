@@ -31,6 +31,10 @@ ys, info = separate_streaming(
     wlen=1024,
     frames_per_block=64,  # device memory ~ F x this
     out_dir=out_dir,      # writes stream_src_<j>.wav per source
+    # spatial_rank=-1,    # diffuse/reverberant sources: learn a FULL-RANK
+    #                     # spatial covariance per source (online Duong EM,
+    #                     # re-estimated every block; default is rank-1
+    #                     # point-source mixing)
 )
 print(f"streamed {info['blocks']} blocks of {info['block_frames']} frames; "
       f"block log-likelihood {info['logliks'][0]:.1f} -> "

@@ -744,6 +744,63 @@ def scenario_streaming(rng):
         images=(ys, ys_true[:, :n_sep]))
 
 
+def scenario_streaming_fullrank(rng):
+    """Full-rank streaming (per-block Duong covariance re-estimation,
+    ops/online._fullrank_block_step) end to end through the public
+    separate_streaming pipeline -- disk in, stems out, bounded memory.
+
+    Fixture: 60 s stereo, each source is TWO decorrelated same-band
+    signals with different pannings, i.e. a genuinely rank-2 per-bin
+    spatial covariance (a diffuse source) -- the case the full-rank
+    streaming mode exists for. The rank-1 streaming model on the same
+    file is reported alongside (it cannot represent the second spatial
+    dimension; measured ~4 dB behind on the CPU fixture family,
+    tests/test_online.py::test_online_fullrank_beats_rank1_on_diffuse).
+    """
+    import tempfile
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    dur = 60.0
+    n = int(FS * dur)
+    s1a, s1b = _sources(rng, n, ["band:0.02-0.3", "band:0.02-0.3"])
+    s2a, s2b = _sources(rng, n, ["band:0.25-0.8", "band:0.25-0.8"])
+    pans = [(np.array([0.95, 0.31]), np.array([0.55, -0.45])),
+            (np.array([0.31, 0.95]), np.array([-0.45, 0.55]))]
+    ys_true = np.stack([
+        np.outer(s1a, pans[0][0]) + 0.6 * np.outer(s1b, pans[0][1]),
+        np.outer(s2a, pans[1][0]) + 0.6 * np.outer(s2b, pans[1][1])])
+    mix = ys_true.sum(0)
+    sc = np.max(np.abs(mix)) * 1.05
+    mix, ys_true = mix / sc, ys_true / sc
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as fh:
+        path = fh.name
+    wavwrite(mix, FS, path)
+
+    separate_streaming(path, J=2, K=8, wlen=WLEN,       # compile both
+                       frames_per_block=64, spatial_rank=-1, verbose=0)
+    t0 = time.perf_counter()                            # warm timing
+    ys, info = separate_streaming(path, J=2, K=8, wlen=WLEN,
+                                  frames_per_block=64, spatial_rank=-1,
+                                  verbose=0)
+    wall = time.perf_counter() - t0
+    sdrs = _best_perm_sdr(ys, ys_true)
+    ys_r1, _ = separate_streaming(path, J=2, K=8, wlen=WLEN,
+                                  frames_per_block=64, spatial_rank=1,
+                                  verbose=0)
+    r1_min, r1_mean = _best_perm_sdr(ys_r1, ys_true)
+    os.unlink(path)
+    return _report(
+        "full-rank streaming 60s (diffuse rank-2 sources, Duong online EM)",
+        sdrs, wall, info["blocks"],
+        {"stream_xrt": round(dur / wall, 1),
+         "rank1_min_sdr_db": round(float(r1_min), 2),
+         "rank1_mean_sdr_db": round(float(r1_mean), 2),
+         "final_ll": round(info["logliks"][-1], 1)},
+        images=(ys, ys_true))
+
+
 def scenario_batch(rng):
     """configs[4]: batched separation of 8 variable-length clips (one chip;
     the 8-device sharded path is validated on the CPU mesh in tests)."""
@@ -834,7 +891,7 @@ def main():
     scens = [(scenario_inst, 100), (scenario_anechoic, 101),
              (scenario_reverb, 102), (scenario_hmm, 103),
              (scenario_general_I, 110), (scenario_lead, 111),
-             (scenario_streaming, 112),
+             (scenario_streaming, 112), (scenario_streaming_fullrank, 113),
              (scenario_batch, 104), (scenario_music, 105),
              (scenario_speech, 120)]
     # optional substring filter for standalone scenario development:
