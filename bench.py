@@ -154,8 +154,8 @@ def _run_batched(cfg, window, nsamples, batch):
                                   for b in range(batch)])
     print("bench: per-clip min SDR "
           + " ".join(f"{s:.1f}" for s in sdrs), file=sys.stderr)
-    assert float(sdrs.min()) > 10.0, \
-        f"benchmark separation quality collapsed: {sdrs.min():.2f} dB"
+    assert float(sdrs.min()) > 60.0, \
+        f"benchmark separation quality regressed: {sdrs.min():.2f} dB (measured 82+)"
     return batch * DUR / elapsed
 
 
@@ -178,8 +178,8 @@ def _run_single(cfg, window, nsamples):
     best = max(min(sdr(ys[p[0]], y1), sdr(ys[p[1]], y2))
                for p in [(0, 1), (1, 0)])
     print(f"bench: separation SDR {best:.2f} dB", file=sys.stderr)
-    assert best > 10.0, \
-        f"benchmark separation quality collapsed: {best:.2f} dB"
+    assert best > 60.0, \
+        f"benchmark separation quality regressed: {best:.2f} dB (measured 82+)"
     return DUR / elapsed
 
 

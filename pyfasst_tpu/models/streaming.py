@@ -38,19 +38,29 @@ import numpy as np
 __all__ = ["separate_streaming"]
 
 
-def _save_stream_state(path: str, state, sigma, next_block: int, lls):
+def _save_stream_state(path: str, state, sigma, next_block: int, lls,
+                       config: dict):
     """Atomic .npz checkpoint of the online state mid-stream (complex
     leaves split to real pairs -- device->host complex fetches are
     Unimplemented on the axon backend, same recipe as utils/checkpoint).
     Complex leaves are detected by dtype, not field name: `t4` is real in
-    the rank-1 state and complex (R, R) blocks in the full-rank state."""
+    the rank-1 state and complex (R, R) blocks in the full-rank state.
+
+    `config` records the run configuration (J/K/wlen/frames_per_block/
+    spatial_rank/seed/forgetting + a file geometry fingerprint) so a
+    resume with mismatched settings is REFUSED instead of silently
+    corrupting the state (the batched path's paranoia,
+    parallel/batch.py)."""
+    import json
+
     import jax.numpy as jnp
 
     from pyfasst_tpu.utils.misc import to_host_complex
 
     arrays = {"next_block": np.asarray(next_block),
               "lls": np.asarray(lls, np.float64),
-              "sigma": np.asarray(sigma)}
+              "sigma": np.asarray(sigma),
+              "config_json": np.asarray(json.dumps(config, sort_keys=True))}
     for name, val in state._asdict().items():
         arrays[name] = (to_host_complex(val)
                         if jnp.iscomplexobj(val) else np.asarray(val))
@@ -60,14 +70,35 @@ def _save_stream_state(path: str, state, sigma, next_block: int, lls):
     os.replace(tmp, path)
 
 
-def _load_stream_state(path: str):
-    """-> (OnlineState, sigma, next_block, lls list)."""
+def _load_stream_state(path: str, expect_config: dict):
+    """-> (OnlineState, sigma, next_block, lls list).
+
+    Refuses to resume if the checkpoint's recorded configuration differs
+    from `expect_config` (a stale / pre-config checkpoint also refuses:
+    it cannot be validated). Mismatches are listed by key in the error."""
+    import json
+
     import jax.numpy as jnp
 
     from pyfasst_tpu.ops.online import OnlineState
     from pyfasst_tpu.utils.misc import to_device_complex
 
     with np.load(path) as z:
+        if "config_json" not in z:
+            raise ValueError(
+                f"streaming checkpoint {path!r} predates configuration "
+                "stamping and cannot be validated for resume; delete it "
+                "to restart estimation from scratch")
+        saved = json.loads(str(z["config_json"]))
+        diffs = [f"{k}: checkpoint={saved.get(k)!r} run={v!r}"
+                 for k, v in expect_config.items() if saved.get(k) != v]
+        if diffs:
+            raise ValueError(
+                f"streaming checkpoint {path!r} was written by a run with "
+                "different configuration -- resuming would silently corrupt "
+                "the online state. Mismatches: " + "; ".join(diffs)
+                + ". Delete the checkpoint to restart, or rerun with the "
+                "original settings.")
         fields = {}
         for name in OnlineState._fields:
             arr = z[name]
@@ -109,11 +140,11 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     K estimation blocks (atomic .npz); if the file already exists the
     estimation RESUMES from it (skipped blocks are never read off disk
     -- stream_blocks(start_block=...)), so a preempted multi-hour
-    estimation pass loses at most K blocks. Resume assumes the same
-    filename/J/K/wlen/frames_per_block/seed/spatial_rank (the checkpoint
-    stores the
-    state and noise floor, not the configuration). estimate_blocks caps
-    pass 1
+    estimation pass loses at most K blocks. The checkpoint stamps the
+    run configuration (J/K/wlen/frames_per_block/spatial_rank/seed/
+    forgetting + the file's frames/channels/samplerate); a resume whose
+    settings differ RAISES instead of silently corrupting the state.
+    estimate_blocks caps pass 1
     (learn from the first N blocks, then separate the WHOLE recording
     with the frozen parameters -- also the test hook for interruption).
     """
@@ -180,13 +211,21 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
     TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
 
+    # configuration fingerprint stamped into checkpoints; resume refuses a
+    # mismatch (file identity = geometry: frames/channels/samplerate)
+    ckpt_cfg = {"J": int(J), "K": int(K), "wlen": int(wlen),
+                "frames_per_block": int(Nb), "spatial_rank": int(R),
+                "seed": int(seed), "forgetting": float(forgetting),
+                "file_frames": int(nsamples), "file_channels": int(channels),
+                "file_samplerate": int(fs)}
+
     state = online_init(A0, FB0)
     sigma = None
     lls_done = []
     start_block = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         state, sigma, start_block, lls_done = \
-            _load_stream_state(checkpoint_path)
+            _load_stream_state(checkpoint_path, ckpt_cfg)
         if verbose:
             print(f"resumed streaming estimation at block {start_block}")
     lls = []
@@ -207,7 +246,8 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                 and (n_full - start_block) % checkpoint_every == 0:
             _save_stream_state(
                 checkpoint_path, state, sigma, n_full,
-                lls_done + [float(v) for v in np.asarray(jnp.stack(lls))])
+                lls_done + [float(v) for v in np.asarray(jnp.stack(lls))],
+                ckpt_cfg)
         if estimate_blocks is not None and n_full >= estimate_blocks:
             break
     if not (lls or lls_done):

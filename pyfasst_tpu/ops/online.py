@@ -249,7 +249,16 @@ def _make_block_step(TW0, sigma, lam, inner_iters: int, eps: float):
         if A.ndim == 4:       # full-rank path (trace-time dispatch)
             return _fullrank_block_step(state, Xb, TW0, sigma, lam,
                                         inner_iters, eps)
-        TWb = TW0
+        # Data-scale warm start: TW0 is a fixed random init, so the
+        # multiplicative inner updates would have to climb the whole gap
+        # between init scale and data scale through their per-iteration
+        # clips every block. Power balance sum_i E|x_i|^2 =
+        # sum_j v_j tr(R_j) with tr(R_j) = |A_j|^2 ~ 1 (columns are
+        # renormalized below) gives the closed-form global gain.
+        px = jnp.mean(jnp.sum(jnp.abs(Xb) ** 2, axis=-1))
+        v0 = jnp.einsum("jfk,jkn->jfn", FB, TW0)
+        pv = jnp.mean(jnp.sum(v0, axis=0))
+        TWb = TW0 * (px / jnp.maximum(pv, eps))
 
         def inner(i, carry):
             TWb, A, FB = carry
@@ -303,11 +312,51 @@ def _make_block_step(TW0, sigma, lam, inner_iters: int, eps: float):
         den = 1.0 / Vc
         fb_num = lam * state.fb_num + jnp.einsum("jfn,jkn->jfk", num, TWb)
         fb_den = lam * state.fb_den + jnp.einsum("jfn,jkn->jfk", den, TWb)
+        # keep the accumulator pair at O(1) magnitude: only the elementwise
+        # RATIO feeds the FB update, so a common per-source scale is free --
+        # without it num ~ xi/V^2 contributions from near-dead bins compound
+        # to float32 inf within ~20 blocks (measured on a gated narrowband
+        # fixture; inf/inf then NaNs the whole state).
+        c = 1.0 / jnp.maximum(jnp.mean(fb_den, axis=(1, 2), keepdims=True),
+                              eps)
+        fb_num = fb_num * c
+        fb_den = fb_den * c
         FB = jnp.maximum(FB * jnp.clip(fb_num / jnp.maximum(fb_den, eps),
                                        1e-2, 1e2), eps)
+
+        # Inter-factor renormalization (the batch engine rescales between
+        # spatial and spectral factors every iteration; without it the
+        # gain degeneracy |A_j(f)|^2 v_j(f,n) drifts unboundedly across
+        # blocks -- measured: on a gated narrowband fixture A reaches 7e13
+        # by block 22 and the EW statistics overflow float32). Normalize
+        # each mixing column to unit norm, push the gain g^2 into FB
+        # (model-invariant: R_j v_j unchanged), and rescale the EW
+        # accumulators by their exact homogeneity degrees in g_j(f) so
+        # past statistics stay expressed in the NEW convention:
+        # Txs ~ v x w^H -> g; Tss/T7 ~ v_j v_k w_j w_k^H -> g_j g_k;
+        # T4 ~ v/(1+vt) -> g^2; fb_num/fb_den ~ xi/V^2, 1/V -> g^-2.
+        g = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.real(A) ** 2 + jnp.imag(A) ** 2, axis=-1), 1e-20))
+        A = A / g[..., None].astype(A.dtype)               # (J, F, I)
+        gc = g.astype(txs.dtype)
+        txs = txs * gc[..., None]
+        gjk = (g[:, None, :] * g[None, :, :]).astype(tss.dtype)
+        tss = tss * gjk
+        t7 = t7 * gjk
+        t4 = t4 * g * g
+        fb_num = fb_num / (g * g)[..., None]
+        fb_den = fb_den / (g * g)[..., None]
+        FB = FB * (g * g)[..., None]
+
         # normalize FB columns, push scale into nothing (TW is per-block)
         s = jnp.maximum(jnp.sum(FB, axis=1, keepdims=True), eps)
         FB = FB / s
+        # relative floor (batch mstep's recipe): a column entry that rides
+        # the 1e-2 update clip every block otherwise decays geometrically
+        # to 0, which parks v at the absolute xi floor and blows up the
+        # xi/V^2 numerator. 1e-8 of the column max keeps dead bins
+        # revivable and v away from denormals.
+        FB = jnp.maximum(FB, 1e-8 * jnp.max(FB, axis=1, keepdims=True))
 
         new_state = OnlineState(A=A, FB=FB, txs=txs, tss=tss, t4=t4, t7=t7,
                                 fb_num=fb_num, fb_den=fb_den)

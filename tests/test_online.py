@@ -53,6 +53,48 @@ def test_online_gem_runs_and_learns_directions(rng):
         assert max(cors) > 0.95, (j, a, cors)
 
 
+def test_online_gated_narrowband_stays_finite(rng):
+    """Round-4 regression: a gated noise source mixed with a narrowband
+    harmonic tone diverged the rank-1 online EM (the gain degeneracy
+    |A|^2 v drifted across blocks with no inter-factor renormalization:
+    A hit 7e13 by block ~22, the FB accumulators overflowed, everything
+    NaNed). 30+ blocks must stay finite and keep |A_j(f)| = 1."""
+    fs, n = 16000, 16000 * 8
+    t = np.arange(n) / fs
+    s1 = (0.4 * np.sin(2 * np.pi * (200 * t + 3 * np.sin(2 * np.pi * 0.5 * t)))
+          + 0.2 * np.sin(2 * np.pi * 400 * t))
+    env = (np.sin(2 * np.pi * 1.3 * t) > 0).astype(np.float64)
+    s2 = 0.3 * rng.standard_normal(n) * env
+    mix = np.outer(s1, [0.95, 0.31]) + np.outer(s2, [0.31, 0.95])
+    mix = (mix / (np.max(np.abs(mix)) * 1.05)).astype(np.float32)
+
+    from pyfasst_tpu.tf.stft import _stft_core, sine_window
+    wlen, hop = 512, 256
+    window = jnp.asarray(sine_window(wlen), jnp.float32)
+    X = _stft_core(jnp.asarray(mix), window, wlen, hop, "fft")
+    F = X.shape[0]
+    J, K, Nb = 2, 4, 16
+    n_blocks = int(X.shape[1]) // Nb
+    assert n_blocks >= 30
+    dirs = [np.array([0.95, 0.31]), np.array([0.31, 0.95])]
+    A0 = jnp.stack([jnp.broadcast_to(
+        jnp.asarray(d, jnp.float32).astype(jnp.complex64), (F, 2))
+        for d in dirs])
+    FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
+    TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
+    sigma = jnp.full((F,), 1e-3 * float(jnp.mean(jnp.abs(X) ** 2)),
+                     jnp.float32)
+    A, FB, TW_all, logliks = jax.block_until_ready(run_gem_online(
+        A0, FB0, TW0, X[:, :n_blocks * Nb], sigma, n_blocks=n_blocks,
+        forgetting=0.95, inner_iters=6))
+    assert np.all(np.isfinite(np.asarray(logliks)))
+    assert np.all(np.isfinite(np.asarray(jnp.abs(A))))
+    assert np.all(np.isfinite(np.asarray(FB))) and float(jnp.min(FB)) > 0
+    # inter-factor renormalization holds the column norms at 1
+    norms = np.asarray(jnp.sum(jnp.abs(A) ** 2, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
 def test_online_spectral_patterns_localize(rng):
     X, Y_true, dirs = _panned_problem(rng)
     F, N = X.shape[:2]
@@ -210,6 +252,64 @@ def test_separate_streaming_checkpoint_resume(rng, tmp_path):
     np.testing.assert_allclose(info_r["logliks"], info_c["logliks"],
                                rtol=1e-5)
     np.testing.assert_allclose(ys_r, ys_c, rtol=1e-4, atol=1e-5)
+
+
+def test_separate_streaming_resume_config_mismatch(rng, tmp_path):
+    """A resume with configuration different from the one that wrote the
+    checkpoint must RAISE naming the mismatched keys (silent corruption
+    guard, matching parallel/batch.py's membership validation), and a
+    checkpoint without a config stamp must refuse too."""
+    import pytest
+    from scipy.signal import butter, lfilter
+
+    from pyfasst_tpu.audio import wavwrite
+    from pyfasst_tpu.models.streaming import separate_streaming
+
+    fs, n = 8000, 8000 * 6
+    b, a = butter(4, [0.02, 0.3], btype="band")
+    s1 = lfilter(b, a, rng.standard_normal(n))
+    b, a = butter(4, [0.25, 0.8], btype="band")
+    s2 = lfilter(b, a, rng.standard_normal(n))
+    mix = np.outer(s1, [0.95, 0.31]) + np.outer(s2, [0.31, 0.95])
+    mix /= np.max(np.abs(mix)) * 1.05
+    p = str(tmp_path / "cfg.wav")
+    wavwrite(mix, fs, p)
+    ck = str(tmp_path / "stream_cfg.npz")
+    separate_streaming(p, J=2, K=4, wlen=512, frames_per_block=16,
+                       checkpoint_path=ck, checkpoint_every=3,
+                       estimate_blocks=3, verbose=0)
+
+    # wlen mismatch
+    with pytest.raises(ValueError, match="wlen"):
+        separate_streaming(p, J=2, K=4, wlen=1024, frames_per_block=16,
+                           checkpoint_path=ck, verbose=0)
+    # frames_per_block mismatch
+    with pytest.raises(ValueError, match="frames_per_block"):
+        separate_streaming(p, J=2, K=4, wlen=512, frames_per_block=32,
+                           checkpoint_path=ck, verbose=0)
+    # spatial_rank mismatch
+    with pytest.raises(ValueError, match="spatial_rank"):
+        separate_streaming(p, J=2, K=4, wlen=512, frames_per_block=16,
+                           spatial_rank=2, checkpoint_path=ck, verbose=0)
+    # different file (geometry fingerprint): shorter recording
+    p2 = str(tmp_path / "cfg2.wav")
+    wavwrite(mix[: n // 2], fs, p2)
+    with pytest.raises(ValueError, match="file_frames"):
+        separate_streaming(p2, J=2, K=4, wlen=512, frames_per_block=16,
+                           checkpoint_path=ck, verbose=0)
+    # un-stamped (legacy) checkpoint refuses rather than guessing
+    with np.load(ck) as z:
+        legacy = {k: z[k] for k in z.files if k != "config_json"}
+    ck2 = str(tmp_path / "legacy.npz")
+    np.savez(ck2, **legacy)
+    with pytest.raises(ValueError, match="cannot be validated"):
+        separate_streaming(p, J=2, K=4, wlen=512, frames_per_block=16,
+                           checkpoint_path=ck2, verbose=0)
+    # and the matching configuration still resumes fine
+    _, info = separate_streaming(p, J=2, K=4, wlen=512,
+                                 frames_per_block=16,
+                                 checkpoint_path=ck, verbose=0)
+    assert info["resumed_at"] == 3
 
 
 def test_separate_streaming_three_channels(rng, tmp_path):
