@@ -68,7 +68,8 @@ def _cmd_separate(args) -> int:
             t0 = time.perf_counter()
             info = model.estim_param_blind_reverb(
                 reseed_rounds=args.reseed, verbose=not args.quiet,
-                multiscale_wlen=args.multiscale_wlen)
+                multiscale_wlen=args.multiscale_wlen,
+                n_devices=args.n_devices)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -96,7 +97,7 @@ def _cmd_separate(args) -> int:
                 tft.computeTransform(obj.data.astype(np.float32)))
             rank = 2 if args.model == "fullrank" else 1
             init_mixing, tw_prof, fb_prof = full_rank_init(
-                Xh, J=args.sources, rank=rank)
+                Xh, J=args.sources, rank=rank, n_devices=args.n_devices)
             profiles = (tw_prof, fb_prof)
             kw["spatial_hold_frac"] = 0.3
             if not args.quiet:
@@ -340,6 +341,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "selection, N rounds of EM posterior reseeding) "
                         "instead of a single init+fit; STFT front-end, "
                         "any channel count")
+    p.add_argument("--n-devices", dest="n_devices", type=int, default=1,
+                   metavar="N",
+                   help="shard the --spatial-init candidate pool / probe "
+                        "batches over the first N devices of the mesh "
+                        "(DP over (candidate, seed) runs; selection is "
+                        "device-count invariant)")
     p.add_argument("--multiscale-wlen", dest="multiscale_wlen", type=int,
                    default=None, metavar="W",
                    help="with --spatial-init --reseed: run the blind "

@@ -131,10 +131,16 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
 
     records = []
     bests = list(bests or [])
+    # one executable size across chunks, rounded up to a multiple of the
+    # mesh's dp axis (the pool is embarrassingly DP over (candidate, seed)
+    # runs; padded slots repeat sub[0] and are dropped after scoring)
+    dp = mesh.shape.get("dp", 1)
+    csize = min(chunk, len(plist))
+    csize = ((csize + dp - 1) // dp) * dp
     for lo in range(0, len(plist), chunk):
         sub = plist[lo:lo + chunk]
         valid = len(sub)
-        while len(sub) < min(chunk, len(plist)):  # pad: one executable size
+        while len(sub) < csize:                    # pad: one executable size
             sub = sub + [sub[0]]
         C = len(sub)
         params_b = batch_params(sub)
@@ -193,7 +199,7 @@ def blind_reverb_separate(
         env_thr: float = 0.6, share_floor: float = 0.02,
         n_seeds: int = 8, verbose: bool = False, topk: int = 1,
         env_transform: Optional[str] = None,
-        realign_reseeds: bool = False,
+        realign_reseeds: bool = False, n_devices: int = 1,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -204,6 +210,12 @@ def blind_reverb_separate(
     See module docstring for the recipe. All EM runs are batched device
     programs; the pool costs ~(n_candidates * em_seeds / chunk + 1) chunk
     executions of the configs[4] executable plus `reseed_rounds` singles.
+
+    n_devices shards the pool over a device mesh (the pool is the most
+    expensive workload in the library and is embarrassingly DP across
+    (candidate, seed) runs; chunks pad to a multiple of the mesh's dp
+    axis). Selection is device-count invariant: every run's statistics
+    are scored on host through the same selection_key.
 
     env_transform selects the node-envelope transform of the permutation
     alignment (spatial_init._ENV_TRANSFORM): None keeps the module
@@ -238,14 +250,15 @@ def blind_reverb_separate(
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, topk=topk,
-        env_transform=env_transform, realign_reseeds=realign_reseeds)
+        env_transform=env_transform, realign_reseeds=realign_reseeds,
+        n_devices=n_devices)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      nmf_comps, rank, chunk, spatial_hold_frac, env_thr,
                      share_floor, verbose, topk: int = 1, tiers=None,
                      env_transform: Optional[str] = None,
-                     realign_reseeds: bool = False):
+                     realign_reseeds: bool = False, n_devices: int = 1):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
     the multiscale ladder's stages. topk > 1 keeps the best run of each
@@ -270,7 +283,7 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     scale = float(np.sqrt(np.mean(np.abs(X) ** 2)))
     X_d = to_device_complex(np.ascontiguousarray(X)) / scale
     cfg = GEMConfig(niter=iters, spatial_hold_frac=spatial_hold_frac)
-    mesh = make_mesh(1)
+    mesh = make_mesh(n_devices)
     _, sigma1 = annealing_endpoints(X_d, cfg)
 
     records, bests = _run_candidates(
@@ -324,7 +337,7 @@ def blind_reverb_separate_multiscale(
         n_seeds: int = 8, verbose: bool = False, topk: int = 3,
         transform_fine=None, transform_coarse=None,
         env_transform: Optional[str] = None,
-        realign_reseeds: bool = False,
+        realign_reseeds: bool = False, n_devices: int = 1,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -383,7 +396,7 @@ def blind_reverb_separate_multiscale(
         spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
         topk=topk, env_transform=env_transform,
-        realign_reseeds=realign_reseeds)
+        realign_reseeds=realign_reseeds, n_devices=n_devices)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)
@@ -420,7 +433,8 @@ def blind_reverb_separate_multiscale(
         reseed_rounds=reseed_rounds, nmf_comps=nmf_comps, rank=rank,
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, tiers=tiers,
-        env_transform=env_transform, realign_reseeds=realign_reseeds)
+        env_transform=env_transform, realign_reseeds=realign_reseeds,
+        n_devices=n_devices)
     info["fine"] = {k: v for k, v in info_f.items() if k != "params"}
     info["transform"] = tft_c
     return Y, info

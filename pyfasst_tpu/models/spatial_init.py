@@ -964,7 +964,7 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
                               rank: int = 2, probe_iters: int = 60,
                               nmf_comps: int = 6, fs: int = 16000,
                               env_thr: float = 0.6,
-                              verbose: bool = False):
+                              verbose: bool = False, n_devices: int = 1):
     """Pick the repair hypothesis by vetoed model evidence.
 
     Each candidate vote array seeds a full-rank model (mixing + activity
@@ -1023,16 +1023,21 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
     from pyfasst_tpu.parallel.sharding import sharded_batch_separate
 
     C = len(plist)
-    mesh = make_mesh(1)
-    params_b = batch_params(plist)
-    X_b = jnp.broadcast_to(Xd, (C,) + Xd.shape)
+    mesh = make_mesh(n_devices)
+    # pad the probe batch to a multiple of the mesh's dp axis (padded
+    # slots repeat the first probe; their scores are sliced off below)
+    dp = mesh.shape.get("dp", 1)
+    Cp = ((C + dp - 1) // dp) * dp
+    params_b = batch_params(plist + [plist[0]] * (Cp - C))
+    X_b = jnp.broadcast_to(Xd, (Cp,) + Xd.shape)
     params_out, lls = batched_run_gem(params_b, X_b, cfg, mesh)
-    lls = np.asarray(lls[:, -1], np.float64)
+    lls = np.asarray(lls[:C, -1], np.float64)
     _, sigma1 = annealing_endpoints(Xd, cfg)
     Y_b = sharded_batch_separate(params_out, X_b,
-                                 jnp.broadcast_to(sigma1, (C,)
+                                 jnp.broadcast_to(sigma1, (Cp,)
                                                   + sigma1.shape), mesh)
-    ec = np.asarray(jax.jit(jax.vmap(_max_env_corr))(Y_b), np.float64)
+    ec = np.asarray(jax.jit(jax.vmap(_max_env_corr))(Y_b),
+                    np.float64)[:C]
     ok = ec <= env_thr
     if verbose:
         for (name, *_), ll, e in zip(inits, lls, ec):
@@ -1161,7 +1166,7 @@ def activity_profiles(votes: np.ndarray, pw: np.ndarray,
 def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
                    rank: int = 2, kiter: int = 30, backend: str = "jax",
                    repair="select", probe_iters: int = 60,
-                   verbose: bool = False
+                   verbose: bool = False, n_devices: int = 1
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot blind full-rank initialization.
 
@@ -1195,7 +1200,7 @@ def full_rank_init(X: np.ndarray, J: int, n_seeds: int = 8,
             return A, twp, fbp
         A, twp, fbp, name = select_init_by_likelihood(
             X, cands, xx, pw, rank=rank, probe_iters=probe_iters,
-            verbose=verbose)
+            verbose=verbose, n_devices=n_devices)
         if verbose:
             print(f"full_rank_init: selected {name} of {len(cands)}")
         return A, twp, fbp

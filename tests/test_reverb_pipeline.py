@@ -123,6 +123,94 @@ def test_blind_reverb_separate_end_to_end():
     assert 0.2 * pm < ps < 3.0 * pm
 
 
+def _mini_configs2_fixture(seed, fs=8000, dur=4.0):
+    """Miniature configs[2]-family draw: three spectrally distinct
+    amplitude-modulated sources (harmonic / gated low noise / modulated
+    high noise -- the same kinds as tools/validate_hw.py::_sources) mixed
+    through short exponential-decay random stereo filters. Small enough
+    for CPU (F = 257, 4 s) yet reverberant enough that blind quality
+    regressions in the pipeline surface without hardware."""
+    rng = np.random.default_rng(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    harm = sum(np.sin(2 * np.pi * 220 * (k + 1) * t) / (k + 1)
+               for k in range(5)) * (1 + 0.4 * np.sin(2 * np.pi * 2 * t))
+    lo = np.convolve(rng.standard_normal(n), np.ones(24) / 24, "same") \
+        * (np.sin(2 * np.pi * 1.3 * t) > 0)
+    w = rng.standard_normal(n)
+    hi = (w - np.convolve(w, np.ones(8) / 8, "same")) \
+        * (1 + 0.5 * np.sin(2 * np.pi * 0.7 * t + 1))
+    srcs = [s / (np.std(s) + 1e-9) for s in (harm, lo, hi)]
+    ys = []
+    for j, s in enumerate(srcs):
+        chs = []
+        for ch in range(2):
+            h = rng.standard_normal(60) * np.exp(-np.arange(60) / 12.0)
+            h[0] += 1.5 if ch == (j % 2) else 0.4
+            chs.append(np.convolve(s, h, "same"))
+        ys.append(np.stack(chs, 1))
+    ys = np.stack(ys)
+    return ys.sum(0), ys
+
+
+@pytest.mark.slow
+def test_blind_reverb_mini_quality_cpu():
+    """A miniature configs[2] draw the BLIND pipeline must actually
+    separate on CPU (min SDR well above 0) -- the other tests here pin
+    mechanism only, so without this a blind-quality collapse would stay
+    invisible until a hardware run. Measured 6.3 dB min SDR at this
+    configuration (~90 s on one CPU core); the 3 dB bar leaves margin
+    for platform jitter while still failing on any real regression."""
+    from itertools import permutations
+
+    from pyfasst_tpu.tf.stft import STFT
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    fs = 8000
+    mix, ys_true = _mini_configs2_fixture(102, fs=fs)
+    n = mix.shape[0]
+    tft = STFT(wlen=512, fs=fs)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    Y, info = blind_reverb_separate(X, J=3, iters=120, em_seeds=1,
+                                    reseed_rounds=1, n_seeds=4, chunk=8,
+                                    nmf_comps=4)
+    ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
+                   for j in range(3)])
+
+    def sdr(e, r):
+        return 10 * np.log10(np.sum(r ** 2)
+                             / max(np.sum((e - r) ** 2), 1e-12))
+
+    best = max(min(sdr(ys[p[j]], ys_true[j]) for j in range(3))
+               for p in permutations(range(3)))
+    assert best > 3.0, f"blind mini-configs[2] min SDR {best:.2f} dB"
+
+
+def test_blind_reverb_pool_sharded_selection_matches(rng8=None):
+    """The candidate pool sharded over the full virtual 8-device mesh
+    (n_devices=8: DP over (candidate, seed) runs, chunks padded to the dp
+    axis) must make the SAME selection as the single-device run and
+    return numerically close separations -- the pool is the library's
+    most expensive workload and the mesh must not change its answer."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    X = _reverb_mixture(seed=7)
+    kw = dict(iters=30, em_seeds=1, reseed_rounds=1, nmf_comps=3,
+              chunk=4, n_seeds=3)
+    Y1, info1 = blind_reverb_separate(X, J=2, n_devices=1, **kw)
+    Y8, info8 = blind_reverb_separate(X, J=2, n_devices=8, **kw)
+    assert info8["picked"] == info1["picked"]
+    assert [h["picked"] for h in info8["history"]] == \
+        [h["picked"] for h in info1["history"]]
+    np.testing.assert_allclose(info8["final_ll"], info1["final_ll"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.abs(Y8), np.abs(Y1), rtol=2e-2,
+        atol=2e-3 * float(np.abs(Y1).max()))
+
+
 def _time_mixture(fs=4000, dur=1.5, seed=0):
     """Stereo time-domain mixture: two amplitude-gated, band-limited
     sources at distinct pans with short random mixing filters (mild
