@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
-             repair="select", mode="pipeline"):
+             repair="select", mode="pipeline", family="filters"):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -34,17 +34,25 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
 
     rng = np.random.default_rng(fixture_seed)
     n = int(FS * 6.0)
-    srcs = _sources(rng, n, ["harm", "noise_lo", "noise_hi", "clicks"])
-    ys_true = []
-    for j, s in enumerate(srcs):
-        chs = []
-        for ch in range(2):
-            h = rng.standard_normal(100) * np.exp(-np.arange(100) / 20.0)
-            h[0] += 1.5 if ch == (j % 2) else 0.4
-            chs.append(np.convolve(s, h, "same"))
-        ys_true.append(np.stack(chs, 1))
-    ys_true = np.stack(ys_true)
-    mix = ys_true.sum(0)
+    if family == "image":
+        # second, independently-constructed family (threshold-transfer
+        # validation, VERDICT r3 item 4): image-method RIRs, Sabine T60
+        # law, speech-modulated sources -- tools/fixtures2.py
+        from tools.fixtures2 import make_image_fixture
+        mix, ys_true, _meta = make_image_fixture(fixture_seed, fs=FS,
+                                                 dur=6.0, J=4)
+    else:
+        srcs = _sources(rng, n, ["harm", "noise_lo", "noise_hi", "clicks"])
+        ys_true = []
+        for j, s in enumerate(srcs):
+            chs = []
+            for ch in range(2):
+                h = rng.standard_normal(100) * np.exp(-np.arange(100) / 20.0)
+                h[0] += 1.5 if ch == (j % 2) else 0.4
+                chs.append(np.convolve(s, h, "same"))
+            ys_true.append(np.stack(chs, 1))
+        ys_true = np.stack(ys_true)
+        mix = ys_true.sum(0)
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
 
@@ -97,6 +105,12 @@ def main():
     ap.add_argument("--env-transform", default=None,
                     help="override spatial_init._ENV_TRANSFORM "
                          "(log1p | rank)")
+    ap.add_argument("--family", default="filters",
+                    choices=("filters", "image"),
+                    help="fixture family: 'filters' = the original "
+                         "exponential-decay random-FIR family; 'image' = "
+                         "image-method RIRs + speech-modulated sources "
+                         "(tools/fixtures2.py, threshold-transfer check)")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -108,7 +122,9 @@ def main():
             repair = {"select": "select", "heuristic": True,
                       "off": False}[args.repair]
             rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
-                           repair=repair, mode=args.mode)
+                           repair=repair, mode=args.mode,
+                           family=args.family)
+            rec["family"] = args.family
             recs.append(rec)
             print(json.dumps(rec), flush=True)
     mins = [r["min_sdr_db"] for r in recs]
