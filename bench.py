@@ -47,6 +47,7 @@ NITER = 500
 J, K = 2, 8
 TARGET_XRT = 50.0
 BATCH = 8           # throughput-optimal on v5e at flagship shapes (sweep above)
+NITER_ERB = 200     # extra erblet row (its subband plane is ~10x the STFT's)
 
 
 def make_mixture(fs=FS, dur=DUR, seed=0, return_sources=False):
@@ -183,6 +184,84 @@ def _run_single(cfg, window, nsamples):
     return DUR / elapsed
 
 
+def _extra_row_erblet():
+    """stderr-only breadth row: the ERBlet front-end through the same
+    GEM + Wiener pipeline (VERDICT r3 item 5 -- the headline is
+    stereo-STFT-only). 200 iters (the uniform-hop ERBlet plane is ~10x
+    the STFT's bins; the row is a throughput diagnostic, not the
+    headline metric)."""
+    from pyfasst_tpu.tf.erblet import ERBLetTransform
+
+    iters = NITER_ERB
+    mix = make_mixture()
+    tft = ERBLetTransform(fs=FS, n_bands=48)
+    cfg = GEMConfig(niter=iters)
+    # analysis once, eagerly (computeTransform hosts its geometry build);
+    # the timed region is GEM + Wiener + inverse on the subband plane --
+    # the transform itself is a handful of FFT-sized ops, negligible
+    # against `iters` EM iterations. X stays a DEVICE complex array and
+    # enters jit as an ARGUMENT (axon: never capture complex constants).
+    X = tft.computeTransform(mix)
+    F, N = int(X.shape[0]), int(X.shape[1])
+    params = build_params(F, N)
+
+    def run(X, params):
+        params, logliks = run_gem(params, X, cfg)
+        _, sigma1 = annealing_endpoints(X, cfg)
+        Y = separate_sources(params, X, sigma1)
+        ys = jnp.stack([tft.invertTransform(Y[j], nsamples=mix.shape[0])
+                        for j in range(J)])
+        probe = logliks[-1] + 1e-12 * ys[0, 0, 0]
+        return ys, logliks, probe
+
+    run = jax.jit(run)
+    elapsed, _ = _timed(run, (X, params), "erblet-single")
+    print(f"bench: extra-row erblet48 F={F} N={N} iters={iters} "
+          f"xRT={DUR / elapsed:.1f}", file=sys.stderr)
+
+
+def _extra_row_general_i():
+    """stderr-only breadth row: the I=3 square-root general engine
+    (ops/engine_general.py) at flagship shapes, 500 iters."""
+    rng = np.random.default_rng(3)
+    n = int(FS * DUR)
+    t = np.arange(n) / FS
+    s1 = np.sin(2 * np.pi * (200 * t + 3 * np.sin(2 * np.pi * 0.5 * t)))
+    s2 = rng.standard_normal(n) * (np.sin(2 * np.pi * 1.3 * t) > 0)
+    mix = (np.outer(s1, [0.9, 0.5, 0.2])
+           + np.outer(s2, [0.2, 0.6, 0.95])).astype(np.float32)
+    mix /= np.max(np.abs(mix))
+    window = jnp.asarray(sine_window(WLEN), jnp.float32)
+    cfg = GEMConfig(niter=NITER)
+    X0 = _stft_core(jnp.asarray(mix), window, WLEN, HOP, "fft")
+    F, N = int(X0.shape[0]), int(X0.shape[1])
+    rngp = np.random.default_rng(0)
+    spat = tuple(SpatialComp(A=jnp.asarray(
+        0.4 + np.abs(rngp.standard_normal((3, 1))), jnp.float32))
+        for _ in range(J))
+    spec = tuple(SpectralComp(
+        FB=jnp.asarray(0.5 + rngp.random((F, K)), jnp.float32),
+        TW=jnp.asarray(0.5 + rngp.random((K, N)), jnp.float32),
+        spat_ind=j) for j in range(J))
+    params = FasstParams(spat=spat, spec=spec)
+
+    def run(mix_d, params):
+        X = _stft_core(mix_d, window, WLEN, HOP, "fft")
+        params, logliks = run_gem(params, X, cfg)
+        _, sigma1 = annealing_endpoints(X, cfg)
+        Y = separate_sources(params, X, sigma1)
+        ys = jnp.stack([_istft_core(Y[j], window, WLEN, HOP, mix.shape[0])
+                        for j in range(J)])
+        probe = logliks[-1] + 1e-12 * ys[0, 0, 0]
+        return ys, logliks, probe
+
+    run = jax.jit(run)
+    elapsed, _ = _timed(run, (jax.device_put(jnp.asarray(mix)), params),
+                        "general-I3-single")
+    print(f"bench: extra-row general-I3 F={F} N={N} iters={NITER} "
+          f"xRT={DUR / elapsed:.1f}", file=sys.stderr)
+
+
 def main():
     import dataclasses
     nsamples = int(FS * DUR)
@@ -207,6 +286,15 @@ def main():
                   file=sys.stderr)
     if xrt is None:
         raise SystemExit("bench: every path failed")
+
+    # stderr-only breadth rows (VERDICT r3 item 5); failures must not
+    # affect the stdout contract
+    for extra in (_extra_row_erblet, _extra_row_general_i):
+        try:
+            extra()
+        except Exception as e:                    # pragma: no cover
+            print(f"bench: extra row {extra.__name__} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
 
     print(f"bench: path={path} xRT={xrt:.1f}", file=sys.stderr)
     print(json.dumps({
