@@ -59,6 +59,7 @@ __all__ = [
     "tf_covariance_features", "consensus_votes", "mixing_from_votes",
     "activity_profiles", "full_rank_init", "apply_profiles",
     "repair_votes", "candidate_votes", "select_init_by_likelihood",
+    "band_em_votes",
 ]
 
 
@@ -1063,6 +1064,140 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
         pick = int(np.argmax(lls_m))
     name, A, twp, fbp = inits[pick]
     return A, twp, fbp, name
+
+
+def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
+                  iters: int = 150, nmf_comps: int = 3, rank: int = 2,
+                  votes_init: Optional[np.ndarray] = None,
+                  n_seeds: int = 8, em_seeds: int = 2,
+                  env_transform: Optional[str] = None,
+                  n_devices: int = 1, seed: int = 0,
+                  verbose: bool = False) -> np.ndarray:
+    """Per-bin votes from BAND-LOCAL EM probes (model-evidence pooling).
+
+    The fine-grid blind vote quality is capped by per-bin covariance
+    features that saturate at ~0 dB direct-to-reverb (docs/design.md
+    §6e); the one measured signal that beats any initial blind alignment
+    is a converged run's OWN dominance votes (0.64 vs 0.56 accuracy,
+    pool-consensus finding). This pools that evidence at band scale:
+
+    1. Split F into `band_width`-bin bands (last band overlaps to fit).
+    2. Run a FULL GEM per band -- all (band, spectral-seed) runs in one
+       batched device program (the configs[4] executable) -- seeded from
+       the production consensus votes restricted to the band. Within a
+       band there is no cross-frequency permutation problem for the EM
+       to inherit beyond the init's local errors, which the EM is
+       measured to clean.
+    3. Per band pick the spectral seed by final log-likelihood (same
+       data within a band -- directly comparable).
+    4. Align BANDS (B nodes instead of F) by spectral clustering of
+       their at-convergence source envelopes -- far fewer, far cleaner
+       nodes than the per-frequency activity graph.
+    5. Per-bin votes = the aligned bands' Wiener dominance one-hots
+       (overlapped bins average).
+
+    Returns votes (F, N, J) for the candidate pool (the tiered
+    selection arbitrates against the clustering candidates).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, init_nmf_comp,
+    )
+    from pyfasst_tpu.ops.gem import annealing_endpoints
+    from pyfasst_tpu.parallel.sharding import (
+        batch_params, batched_run_gem, make_mesh, sharded_batch_separate,
+    )
+    from pyfasst_tpu.utils.config import GEMConfig
+    from pyfasst_tpu.utils.misc import to_device_complex
+
+    F, N, I = X.shape
+    feat, w, pw, xx = tf_covariance_features(X)
+    if votes_init is None:
+        votes_init = consensus_votes(X, J, n_seeds=n_seeds,
+                                     env_transform=env_transform)
+
+    Fb = min(band_width, F)
+    starts = list(range(0, F - Fb + 1, Fb))
+    if starts[-1] + Fb < F:
+        starts.append(F - Fb)
+    B = len(starts)
+
+    # per-(band, seed) params + per-band normalized spectra
+    names, plist, xlist = [], [], []
+    for bi, s0 in enumerate(starts):
+        sl = slice(s0, s0 + Fb)
+        vb, pwb, xxb = votes_init[sl], pw[sl], xx[sl]
+        A = mixing_from_votes(vb, xxb, pwb, rank=rank)
+        twp, fbp = activity_profiles(vb, pwb)
+        scale = float(np.sqrt(np.mean(np.abs(X[sl]) ** 2))) or 1.0
+        Xb = np.ascontiguousarray(X[sl]) / scale
+        for es in range(em_seeds):
+            keys = list(jax.random.split(
+                jax.random.PRNGKey(seed + 1000 * es + bi), J))
+            spat = tuple(SpatialComp(A=to_device_complex(A[j]),
+                                     mix_type=CONV) for j in range(J))
+            spec = tuple(init_nmf_comp(keys[j], Fb, N, nmf_comps,
+                                       spat_ind=j) for j in range(J))
+            plist.append(apply_profiles(
+                FasstParams(spat=spat, spec=spec), twp, fbp))
+            xlist.append(Xb)
+            names.append((bi, es))
+
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape.get("dp", 1)
+    C = len(plist)
+    Cp = ((C + dp - 1) // dp) * dp
+    plist = plist + [plist[0]] * (Cp - C)
+    xlist = xlist + [xlist[0]] * (Cp - C)
+    params_b = batch_params(plist)
+    X_b = to_device_complex(np.stack(xlist))
+    cfg = GEMConfig(niter=iters, spatial_hold_frac=0.3)
+
+    se_fn = jax.jit(jax.vmap(lambda Xi: annealing_endpoints(Xi, cfg)))
+    s0_b, s1_b = se_fn(X_b)
+    params_b, lls = batched_run_gem(params_b, X_b, cfg, mesh,
+                                    sigma_endpoints_b=(s0_b, s1_b))
+    Y_b = sharded_batch_separate(params_b, X_b, s1_b, mesh)
+
+    @jax.jit
+    def stats(Y):
+        p = jnp.sum(jnp.abs(Y) ** 2, axis=4)           # (C, J, Fb, N)
+        lab = jnp.argmax(p, axis=1)                    # (C, Fb, N)
+        env = jnp.sum(p, axis=2)                       # (C, J, N)
+        return lab.astype(jnp.int32), env
+
+    lab_b, env_b = stats(Y_b)
+    lab_b = np.asarray(lab_b)[:C]
+    env_b = np.asarray(env_b, np.float64)[:C]
+    ll = np.asarray(lls[:C, -1], np.float64)
+
+    # per-band best spectral seed by final loglik
+    pick = np.full(B, -1, np.int64)
+    best = np.full(B, -np.inf)
+    for i, (bi, es) in enumerate(names):
+        if ll[i] > best[bi]:
+            best[bi], pick[bi] = ll[i], i
+    if verbose:
+        print(f"band_em_votes: {B} bands x {em_seeds} seeds, "
+              f"ll range {ll.min():.1f}..{ll.max():.1f}")
+
+    # cross-band alignment on the at-convergence envelopes
+    act = np.stack([env_b[pick[b]] for b in range(B)])   # (B, J, N)
+    pwb = np.stack([pw[s0:s0 + Fb].sum(0) for s0 in starts])
+    U, npow = _embed_nodes(act, pwb, env_transform=env_transform)
+    cent = _spherical_kmeans(U, npow, J, seed=seed)
+    sel = _assignment_from_embedding(U, cent, B, J)
+    inv = np.argsort(sel, axis=1)                        # (B, J)
+
+    votes = np.zeros((F, N, J))
+    counts = np.zeros((F, 1, 1))
+    for b, s0 in enumerate(starts):
+        lab = inv[b][lab_b[pick[b]]]                     # (Fb, N)
+        votes[s0:s0 + Fb] += np.eye(J)[lab]
+        counts[s0:s0 + Fb] += 1.0
+    return votes / counts
 
 
 def repair_votes(votes: np.ndarray, pw: np.ndarray,

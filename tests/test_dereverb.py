@@ -1,0 +1,121 @@
+"""WPE dereverberation (tf/dereverb.py) and band-EM votes
+(spatial_init.band_em_votes)."""
+import numpy as np
+import pytest
+
+from pyfasst_tpu.tf.dereverb import wpe_dereverb
+
+
+def _reverberant_plane(rng, fs=8000, dur=3.0, t60=0.35):
+    """Single source through a synthetic exponential-decay RIR; returns
+    (X reverberant STFT, D direct+early STFT)."""
+    import jax.numpy as jnp
+
+    from pyfasst_tpu.tf.stft import _stft_core, sine_window
+
+    from scipy.signal import butter, lfilter
+
+    # noise-driven source: WPE removes the linearly-PREDICTABLE part of
+    # each bin, so a stationary sine (perfectly predictable from delayed
+    # frames) would be cancelled along with the tail -- that is a
+    # documented property of linear-prediction dereverberation, not a
+    # bug. Speech-like modulated noise is the design regime.
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    b, a = butter(4, [0.05, 0.6], btype="band")
+    s = lfilter(b, a, rng.standard_normal(n))
+    s *= 1.0 + 0.8 * np.sin(2 * np.pi * 2.7 * t)
+    L = int(t60 * fs)
+    xs, ds = [], []
+    for ch in range(2):
+        h = rng.standard_normal(L) * np.exp(-3.0 * np.log(10)
+                                            * np.arange(L) / L)
+        h[0] = 2.0 + 0.5 * ch
+        he = h.copy()
+        he[int(0.01 * fs):] = 0.0
+        xs.append(np.convolve(s, h)[:n])
+        ds.append(np.convolve(s, he)[:n])
+    w = jnp.asarray(sine_window(512), jnp.float32)
+    X = np.asarray(_stft_core(jnp.asarray(np.stack(xs, 1), jnp.float32),
+                              w, 512, 256, "fft"))
+    D = np.asarray(_stft_core(jnp.asarray(np.stack(ds, 1), jnp.float32),
+                              w, 512, 256, "fft"))
+    return X, D
+
+
+def test_wpe_raises_direct_to_reverb(rng):
+    X, D = _reverberant_plane(rng)
+
+    def drr(A):
+        return 10 * np.log10(np.sum(np.abs(D) ** 2)
+                             / np.sum(np.abs(A - D) ** 2))
+
+    Xd = wpe_dereverb(X, order=8, delay=2, iters=3)
+    assert Xd.shape == X.shape
+    assert drr(Xd) > drr(X) + 1.0, (drr(X), drr(Xd))
+    # direct component preserved: the magnitude plane still matches the
+    # direct signal's (a complex inner product would phase-cancel across
+    # bins and says nothing), and the output didn't collapse to silence
+    a, d = np.abs(Xd).ravel(), np.abs(D).ravel()
+    c = float(a @ d / (np.linalg.norm(a) * np.linalg.norm(d)))
+    assert c > 0.8, c
+    assert np.sum(np.abs(Xd) ** 2) > 0.25 * np.sum(np.abs(D) ** 2)
+
+
+def test_wpe_contract():
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((17, 40, 2)) + 1j * rng.standard_normal(
+        (17, 40, 2))
+    Xd = wpe_dereverb(X, order=4, delay=2)
+    assert Xd.shape == X.shape and Xd.dtype == X.dtype
+    # too-short plane: passthrough copy
+    Xs = X[:, :5]
+    np.testing.assert_array_equal(wpe_dereverb(Xs, order=4, delay=2), Xs)
+    with pytest.raises(ValueError, match="delay"):
+        wpe_dereverb(X, delay=0)
+    with pytest.raises(ValueError, match="F, N, I"):
+        wpe_dereverb(X[..., 0])
+
+
+@pytest.mark.slow
+def test_band_em_votes_beats_consensus_on_mini_fixture():
+    """Model-evidence band votes must beat the clustering consensus votes
+    on the miniature configs[2] draw (measured 0.918 vs 0.866 power-
+    weighted oracle accuracy)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_reverb_pipeline import _mini_configs2_fixture
+
+    from pyfasst_tpu.models.spatial_init import (
+        band_em_votes, consensus_votes, tf_covariance_features,
+    )
+    from pyfasst_tpu.tf.stft import STFT
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    fs = 8000
+    mix, ys_true = _mini_configs2_fixture(102, fs=fs)
+    tft = STFT(wlen=512, fs=fs)
+    X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
+    J = 3
+    P = [(np.abs(to_host_complex(tft.computeTransform(
+        np.ascontiguousarray(ys_true[j]).astype(np.float32)))) ** 2
+    ).sum(-1) for j in range(J)]
+    olab = np.argmax(np.stack(P), axis=0)
+    _, _, pw, _ = tf_covariance_features(X)
+
+    def acc(lab):
+        best = 0.0
+        from itertools import permutations
+        for p in permutations(range(J)):
+            m = np.asarray(p)[lab] == olab
+            best = max(best, float((pw * m).sum() / pw.sum()))
+        return best
+
+    v_cons = consensus_votes(X, J, n_seeds=4)
+    v_band = band_em_votes(X, J, band_width=32, iters=100, n_seeds=4,
+                           votes_init=v_cons)
+    a_c, a_b = acc(np.argmax(v_cons, -1)), acc(np.argmax(v_band, -1))
+    assert a_b > a_c - 0.02, (a_b, a_c)
+    assert a_b > 0.85

@@ -35,13 +35,20 @@ C_SOUND = 343.0
 
 
 def image_method_rir(room, src, mic, t60: float, fs: int,
-                     max_len: float | None = None) -> np.ndarray:
+                     max_len: float | None = None,
+                     orient=None) -> np.ndarray:
     """Allen-Berkley image-method room impulse response.
 
     room: (Lx, Ly, Lz) metres; src/mic: 3-vectors inside the room;
     t60: target reverberation time (Sabine law -> uniform wall
     reflection coefficient); returns a 1-D float64 RIR at fs, length
     ~max_len seconds (default 0.9*t60 + direct delay).
+
+    orient: optional unit 3-vector -- the microphone becomes a CARDIOID
+    pointing along it (gain 0.5*(1 + cos angle-of-arrival) applied PER
+    IMAGE, each image arriving from its own direction); None = omni.
+    Cardioid pairs (ORTF) are the standard stereo recording geometry and
+    give the interchannel LEVEL cues a closely-spaced omni pair lacks.
 
     Vectorized over the full image lattice (all 8 parity octants x the
     reflection grid); per-image amplitude beta^(total reflections) /
@@ -81,6 +88,12 @@ def image_method_rir(room, src, mic, t60: float, fs: int,
     refl = (ax_ref[0][:, None, None] + ax_ref[1][None, :, None]
             + ax_ref[2][None, None, :])
     amp = beta ** refl / (4.0 * np.pi * np.maximum(dist, 1e-2))
+    if orient is not None:
+        o = np.asarray(orient, np.float64)
+        o = o / np.linalg.norm(o)
+        cosang = (dx * o[0] + dy * o[1] + dz * o[2]) \
+            / np.maximum(dist, 1e-2)
+        amp = amp * 0.5 * (1.0 + cosang)
     delay = dist / C_SOUND
 
     n = int(np.ceil((horizon + float(dist.min()) / C_SOUND) * fs)) + 1
@@ -146,12 +159,22 @@ def speech_like_sources(rng, n: int, fs: int, kinds) -> list:
 
 
 def make_image_fixture(seed: int, fs: int = 16000, dur: float = 6.0,
-                       J: int = 4, t60: float | None = None):
+                       J: int = 4, t60: float | None = None,
+                       mic_type: str = "ortf"):
     """One draw of the family: (mix (n, 2), ys_true (J, n, 2), meta).
 
     Per-seed randomness: room size, T60 (0.15-0.32 s -- bracketing family
     1's effective decay), mic-pair placement, source positions (distinct
     azimuths, >= 0.5 m from walls), source kinds order, source material.
+
+    mic_type:
+      'ortf' (default) -- cardioid pair at +/-55 degrees, 17 cm: the
+        standard stereo recording geometry (interchannel LEVEL + time
+        cues; what real stereo material carries).
+      'omni' -- omnidirectional pair at 18 cm: time-difference cues only,
+        which spatially alias above c/(2d) ~ 950 Hz -- measured to break
+        the blind pipeline (median ~0 dB); kept as the documented
+        hard-boundary variant.
     """
     rng = np.random.default_rng(seed)
     n = int(fs * dur)
@@ -161,11 +184,19 @@ def make_image_fixture(seed: int, fs: int = 16000, dur: float = 6.0,
     mic_c = np.array([room[0] / 2 + rng.uniform(-0.4, 0.4),
                       room[1] / 2 + rng.uniform(-0.4, 0.4), 1.5])
     mic_axis = rng.uniform(0, np.pi)
-    d_mic = 0.18
-    mics = [mic_c + 0.5 * d_mic * np.array([np.cos(mic_axis),
-                                            np.sin(mic_axis), 0.0]),
-            mic_c - 0.5 * d_mic * np.array([np.cos(mic_axis),
-                                            np.sin(mic_axis), 0.0])]
+    d_mic = 0.17 if mic_type == "ortf" else 0.18
+    u_pair = np.array([np.cos(mic_axis), np.sin(mic_axis), 0.0])
+    mics = [mic_c + 0.5 * d_mic * u_pair, mic_c - 0.5 * d_mic * u_pair]
+    if mic_type == "ortf":
+        # cardioids splayed +/-55 degrees about the pair's broadside
+        fwd = np.array([-u_pair[1], u_pair[0], 0.0])
+        a = np.radians(55.0)
+        orients = [np.cos(a) * fwd + np.sin(a) * u_pair,
+                   np.cos(a) * fwd - np.sin(a) * u_pair]
+    elif mic_type == "omni":
+        orients = [None, None]
+    else:
+        raise ValueError(mic_type)
 
     # distinct azimuths: jittered equal sectors, radius 1.0-1.8 m
     base = rng.uniform(0, 2 * np.pi)
@@ -190,13 +221,14 @@ def make_image_fixture(seed: int, fs: int = 16000, dur: float = 6.0,
     ys = []
     for j in range(J):
         chs = []
-        for m in mics:
-            h = image_method_rir(room, srcs_pos[j], m, t60, fs)
+        for m, o in zip(mics, orients):
+            h = image_method_rir(room, srcs_pos[j], m, t60, fs, orient=o)
             chs.append(fftconvolve(srcs[j], h)[:n])
         y = np.stack(chs, 1)
         ys.append(y / (np.std(y) + 1e-12))       # equal source-image power
     ys = np.stack(ys)
     mix = ys.sum(0)
-    meta = {"room": room.tolist(), "t60": round(t60, 3), "kinds": kinds,
+    meta = {"room": room.tolist(), "t60": round(t60, 3),
+            "kinds": [str(k) for k in kinds], "mic_type": mic_type,
             "mic_axis_deg": round(np.degrees(mic_axis), 1)}
     return mix, ys, meta

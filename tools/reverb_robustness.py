@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
-             repair="select", mode="pipeline", family="filters"):
+             repair="select", mode="pipeline", family="filters",
+             mic_type="ortf"):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -40,7 +41,8 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
         # law, speech-modulated sources -- tools/fixtures2.py
         from tools.fixtures2 import make_image_fixture
         mix, ys_true, _meta = make_image_fixture(fixture_seed, fs=FS,
-                                                 dur=6.0, J=4)
+                                                 dur=6.0, J=4,
+                                                 mic_type=mic_type)
     else:
         srcs = _sources(rng, n, ["harm", "noise_lo", "noise_hi", "clicks"])
         ys_true = []
@@ -111,6 +113,12 @@ def main():
                          "exponential-decay random-FIR family; 'image' = "
                          "image-method RIRs + speech-modulated sources "
                          "(tools/fixtures2.py, threshold-transfer check)")
+    ap.add_argument("--mic-type", default="ortf",
+                    choices=("ortf", "omni"),
+                    help="image family mic pair: ortf = cardioid "
+                         "(standard stereo recording; level+time cues); "
+                         "omni = time-only cues (the measured-hard "
+                         "boundary variant)")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -123,8 +131,10 @@ def main():
                       "off": False}[args.repair]
             rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
                            repair=repair, mode=args.mode,
-                           family=args.family)
+                           family=args.family, mic_type=args.mic_type)
             rec["family"] = args.family
+            if args.family == "image":
+                rec["mic_type"] = args.mic_type
             recs.append(rec)
             print(json.dumps(rec), flush=True)
     mins = [r["min_sdr_db"] for r in recs]
