@@ -200,6 +200,7 @@ def blind_reverb_separate(
         n_seeds: int = 8, verbose: bool = False, topk: int = 1,
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
+        band_em: Optional[int] = None, noalign: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -226,22 +227,45 @@ def blind_reverb_separate(
     chaotic); 'both' builds the candidate pool under BOTH transforms and
     lets the at-convergence selection pick per draw -- roughly double
     pool cost. See tools/env_transform_lab.py and docs/design.md.
+
+    band_em (band width in bins, e.g. 32) adds a `bandem` candidate to
+    the pool: per-bin votes pooled from band-local full-EM probes
+    (spatial_init.band_em_votes) -- the round-4 per-bin feature family
+    measured to raise fine-grid vote accuracy where the covariance
+    features saturate (music consensus 0.56 -> ~0.63, speech
+    0.62 -> 0.87 on one draw; docs/design.md §6g). noalign adds a
+    `noalign` candidate: consensus votes that SKIP the spectral
+    permutation alignment, measured better on the image-method family
+    where the envelope graph is too noisy to align (§6f). Both extend
+    the pool; the tiered at-convergence selection arbitrates.
     """
     from pyfasst_tpu.models.spatial_init import (
-        candidate_votes, consensus_votes, direction_split_candidates,
-        realign_votes, tf_covariance_features,
+        band_em_votes, candidate_votes, consensus_votes,
+        direction_split_candidates, realign_votes, tf_covariance_features,
     )
 
     feat, w, pw, xx = tf_covariance_features(X)
     transforms = [env_transform] if env_transform != "both" \
         else ["log1p", "rank"]
     cands = []
+    votes0 = None
     for ti, tr in enumerate(transforms):
         votes = consensus_votes(X, J, n_seeds=n_seeds, env_transform=tr)
+        if ti == 0:
+            votes0 = votes
         pre = "" if ti == 0 else f"{tr}:"
         cands += [(pre + name, v) for name, v in candidate_votes(votes, pw)]
         cands.append((pre + "realign",
                       realign_votes(votes, pw, J, env_transform=tr)))
+    if noalign:
+        cands.append(("noalign",
+                      consensus_votes(X, J, n_seeds=n_seeds, align="none")))
+    if band_em:
+        tr0 = None if env_transform == "both" else env_transform
+        cands.append(("bandem", band_em_votes(
+            X, J, band_width=int(band_em), votes_init=votes0,
+            n_seeds=n_seeds, env_transform=tr0, n_devices=n_devices,
+            verbose=verbose)))
     if J > 2:
         cands += direction_split_candidates(X, J, pw, n_seeds=n_seeds)
 
@@ -338,6 +362,7 @@ def blind_reverb_separate_multiscale(
         transform_fine=None, transform_coarse=None,
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
+        band_em: Optional[int] = None, noalign: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -396,7 +421,8 @@ def blind_reverb_separate_multiscale(
         spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
         topk=topk, env_transform=env_transform,
-        realign_reseeds=realign_reseeds, n_devices=n_devices)
+        realign_reseeds=realign_reseeds, n_devices=n_devices,
+        band_em=band_em, noalign=noalign)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)

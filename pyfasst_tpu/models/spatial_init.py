@@ -470,7 +470,13 @@ def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
     align='spectral' (default) resolves each seed's per-frequency cluster
     order by spectral clustering of the envelope-correlation graph
     (`_align_spectral` -- measured +4..+6 dB min SDR over 'activity' on
-    the configs[2] family); 'activity' is the older mean-field anchor.
+    the configs[2] family); 'activity' is the older mean-field anchor;
+    'none' trusts the warm-started k-means' own cross-frequency
+    consistency (centroids come from a GLOBAL subsample, so raw labels
+    are already largely globally consistent) -- measured BETTER than
+    'spectral' on the image-method omni/ORTF family, where the
+    envelope graph is so noisy the alignment destroys consistent labels
+    (tools/feat_dereverb_lab.py plain-noalign rows, design.md §6f).
 
     backend='jax' runs the clustering (all seeds vmapped together) as one
     jitted device program -- on TPU this turns a ~40 s host init into ~1 s
@@ -482,15 +488,16 @@ def consensus_votes(X: np.ndarray, J: int, n_seeds: int = 8,
     """
     feat, w, pw, _ = tf_covariance_features(X)
     F, N = pw.shape
-    if align == "spectral":
+    if align in ("spectral", "none"):
         if backend == "jax" and J <= 6:
             labs_all = _cluster_labels_jax(feat, w, J, n_seeds, kiter)
             labs = [np.asarray(labs_all[s]) for s in range(n_seeds)]
         else:
             labs = [_cluster_per_frequency(feat, w, J, seed=s, kiter=kiter)
                     for s in range(n_seeds)]
-        labs = [_align_spectral(L, pw, J, env_transform=env_transform)
-                for L in labs]
+        if align == "spectral":
+            labs = [_align_spectral(L, pw, J, env_transform=env_transform)
+                    for L in labs]
         return _vote_consensus(labs, pw, J, rounds)
     if backend == "jax" and J <= 6:
         return _consensus_votes_jax(feat, w, pw, J, n_seeds, kiter, rounds)

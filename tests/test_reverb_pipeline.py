@@ -186,6 +186,38 @@ def test_blind_reverb_mini_quality_cpu():
     assert best > 3.0, f"blind mini-configs[2] min SDR {best:.2f} dB"
 
 
+def test_blind_reverb_band_em_and_noalign_candidates():
+    """The round-4 pool extensions run end-to-end: `band_em` adds the
+    band-local-EM vote candidate (spatial_init.band_em_votes), `noalign`
+    the alignment-free consensus candidate. Mechanism test (tiny shapes);
+    the quality evidence lives in tools/ labs + docs/design.md §6g."""
+    X = _reverb_mixture(seed=3)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=1, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3, band_em=16, noalign=True)
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    # both new candidates entered the pool (2 extra entries over the
+    # run without the flags)
+    _, info_base = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=1, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3)
+    assert (info["history"][0]["pool"]
+            == info_base["history"][0]["pool"] + 2)
+
+
+def test_consensus_votes_align_none():
+    """align='none' returns a valid vote distribution from the raw
+    warm-started labels (no spectral alignment stage)."""
+    from pyfasst_tpu.models.spatial_init import consensus_votes
+
+    X = _reverb_mixture(seed=5)
+    v = consensus_votes(X, 2, n_seeds=3, align="none")
+    assert v.shape == X.shape[:2] + (2,)
+    assert np.all(v >= 0) and np.all(v <= 1)
+    np.testing.assert_allclose(v.sum(-1), 1.0, atol=1e-9)
+
+
 def test_blind_reverb_pool_sharded_selection_matches(rng8=None):
     """The candidate pool sharded over the full virtual 8-device mesh
     (n_devices=8: DP over (candidate, seed) runs, chunks padded to the dp

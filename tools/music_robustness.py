@@ -37,6 +37,10 @@ def main():
                     help="override spatial_init._ENV_TRANSFORM "
                          "(log1p | rank)")
     ap.add_argument("--realign-reseeds", action="store_true")
+    ap.add_argument("--band-em", type=int, default=None,
+                    help="add band-local-EM vote candidate (band width)")
+    ap.add_argument("--noalign", action="store_true",
+                    help="add alignment-free consensus candidate")
     args = ap.parse_args()
     if args.env_transform and args.env_transform != "both":
         import pyfasst_tpu.models.spatial_init as si
@@ -55,7 +59,8 @@ def main():
             wlen_fine=args.wfine, wlen_coarse=args.wcoarse,
             iters=args.iters, em_seeds=2, chunk=12,
             env_transform=args.env_transform,
-            realign_reseeds=args.realign_reseeds)
+            realign_reseeds=args.realign_reseeds,
+            band_em=args.band_em, noalign=args.noalign)
         tft = info["transform"]
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(args.stems)])

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
              repair="select", mode="pipeline", family="filters",
-             mic_type="ortf"):
+             mic_type="ortf", band_em=None, noalign=False):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -64,7 +64,8 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
         # convergence, degeneracy-statistics selection, EM reseeding
         from pyfasst_tpu.models.reverb import blind_reverb_separate
         Y, info = blind_reverb_separate(X, J=4, iters=iters,
-                                        em_seeds=max(2, em_seed + 1))
+                                        em_seeds=max(2, em_seed + 1),
+                                        band_em=band_em, noalign=noalign)
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(4)])
         wall = time.perf_counter() - t0
@@ -119,6 +120,10 @@ def main():
                          "(standard stereo recording; level+time cues); "
                          "omni = time-only cues (the measured-hard "
                          "boundary variant)")
+    ap.add_argument("--band-em", type=int, default=None,
+                    help="add band-local-EM vote candidate (band width)")
+    ap.add_argument("--noalign", action="store_true",
+                    help="add alignment-free consensus candidate")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -131,7 +136,8 @@ def main():
                       "off": False}[args.repair]
             rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
                            repair=repair, mode=args.mode,
-                           family=args.family, mic_type=args.mic_type)
+                           family=args.family, mic_type=args.mic_type,
+                           band_em=args.band_em, noalign=args.noalign)
             rec["family"] = args.family
             if args.family == "image":
                 rec["mic_type"] = args.mic_type

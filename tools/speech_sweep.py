@@ -59,6 +59,14 @@ CONFIG_SETS = {
         {"name": "w1024-log1p-k10", "wlen": 1024, "nmf_comps": 10},
         {"name": "w1024-log1p-s12", "wlen": 1024, "n_seeds": 12},
     ],
+    "bandem": [
+        # round 4: band-local-EM vote candidates (the new per-bin
+        # feature family; speech lab consensus 0.62 -> 0.87 on seed 120)
+        {"name": "w2048-bandem32", "wlen": 2048, "band_em": 32},
+        {"name": "w1024-bandem32", "wlen": 1024, "band_em": 32},
+        {"name": "ladder1024-4096-bandem32", "mode": "ladder",
+         "wlen": 1024, "wlen_coarse": 4096, "band_em": 32},
+    ],
 }
 
 
@@ -70,7 +78,9 @@ def run_one(mix, ys_true, n, cfg, iters: int, em_seeds: int):
     kw = dict(iters=iters, em_seeds=em_seeds,
               env_transform=cfg.get("env_transform"),
               nmf_comps=cfg.get("nmf_comps", 6),
-              n_seeds=cfg.get("n_seeds", 8))
+              n_seeds=cfg.get("n_seeds", 8),
+              band_em=cfg.get("band_em"),
+              noalign=cfg.get("noalign", False))
     t0 = time.perf_counter()
     if cfg.get("mode") == "ladder":
         Y, info = blind_reverb_separate_multiscale(
