@@ -69,7 +69,8 @@ def _cmd_separate(args) -> int:
             info = model.estim_param_blind_reverb(
                 reseed_rounds=args.reseed, verbose=not args.quiet,
                 multiscale_wlen=args.multiscale_wlen,
-                n_devices=args.n_devices)
+                n_devices=args.n_devices, band_em=args.band_em,
+                noalign=args.noalign)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -347,6 +348,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "batches over the first N devices of the mesh "
                         "(DP over (candidate, seed) runs; selection is "
                         "device-count invariant)")
+    p.add_argument("--band-em", dest="band_em", type=int, default=None,
+                   metavar="W",
+                   help="with --spatial-init --reseed: add the band-local"
+                        "-EM vote candidate to the pool (band width W "
+                        "bins, e.g. 32) -- the round-4 per-bin feature "
+                        "family (docs/design.md §6g)")
+    p.add_argument("--noalign", action="store_true",
+                   help="with --spatial-init --reseed: add the alignment-"
+                        "free consensus candidate (for material where "
+                        "the spectral permutation alignment is "
+                        "destructive, design.md §6f)")
     p.add_argument("--multiscale-wlen", dest="multiscale_wlen", type=int,
                    default=None, metavar="W",
                    help="with --spatial-init --reseed: run the blind "

@@ -262,10 +262,15 @@ def blind_reverb_separate(
                       consensus_votes(X, J, n_seeds=n_seeds, align="none")))
     if band_em:
         tr0 = None if env_transform == "both" else env_transform
-        cands.append(("bandem", band_em_votes(
+        bv = band_em_votes(
             X, J, band_width=int(band_em), votes_init=votes0,
-            n_seeds=n_seeds, env_transform=tr0, n_devices=n_devices,
-            verbose=verbose)))
+            n_seeds=n_seeds, env_transform=tr0, band_align="both",
+            n_devices=n_devices, verbose=verbose)
+        # two candidates from the SAME band probes: envelope-reclustered
+        # (can fix global init errors) and init-anchored (immune to
+        # envelope noise); selection arbitrates (design.md §6g)
+        cands.append(("bandem", bv["envelope"]))
+        cands.append(("bandem-a", bv["init"]))
     if J > 2:
         cands += direction_split_candidates(X, J, pw, n_seeds=n_seeds)
 

@@ -1078,8 +1078,9 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
                   votes_init: Optional[np.ndarray] = None,
                   n_seeds: int = 8, em_seeds: int = 2,
                   env_transform: Optional[str] = None,
+                  band_align: str = "envelope",
                   n_devices: int = 1, seed: int = 0,
-                  verbose: bool = False) -> np.ndarray:
+                  verbose: bool = False):
     """Per-bin votes from BAND-LOCAL EM probes (model-evidence pooling).
 
     The fine-grid blind vote quality is capped by per-bin covariance
@@ -1105,6 +1106,20 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
 
     Returns votes (F, N, J) for the candidate pool (the tiered
     selection arbitrates against the clustering candidates).
+
+    band_align picks step 4's cross-band matching:
+    - 'envelope' (the measured default): re-cluster the B band nodes by
+      their at-convergence envelopes -- can FIX global permutation
+      errors the init carried, but inherits the envelope-alignment
+      failure regime (image family, §6f).
+    - 'init': permute each band's converged stems to agree with the
+      band's own INIT votes (power-weighted label agreement). The init
+      votes are already globally aligned, so this preserves the init's
+      global structure and uses the EM only to clean local errors --
+      immune to envelope noise, blind to global init errors.
+    - 'both': both vote planes from the SAME EM probes (the probes
+      dominate the cost) -> dict {mode: votes}; the caller enters each
+      as its own pool candidate and selection arbitrates.
     """
     import jax
     import jax.numpy as jnp
@@ -1190,21 +1205,41 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
         print(f"band_em_votes: {B} bands x {em_seeds} seeds, "
               f"ll range {ll.min():.1f}..{ll.max():.1f}")
 
-    # cross-band alignment on the at-convergence envelopes
-    act = np.stack([env_b[pick[b]] for b in range(B)])   # (B, J, N)
-    pwb = np.stack([pw[s0:s0 + Fb].sum(0) for s0 in starts])
-    U, npow = _embed_nodes(act, pwb, env_transform=env_transform)
-    cent = _spherical_kmeans(U, npow, J, seed=seed)
-    sel = _assignment_from_embedding(U, cent, B, J)
-    inv = np.argsort(sel, axis=1)                        # (B, J)
+    def _emit(inv):
+        votes = np.zeros((F, N, J))
+        counts = np.zeros((F, 1, 1))
+        for b, s0 in enumerate(starts):
+            lab = inv[b][lab_b[pick[b]]]                 # (Fb, N)
+            votes[s0:s0 + Fb] += np.eye(J)[lab]
+            counts[s0:s0 + Fb] += 1.0
+        return votes / counts
 
-    votes = np.zeros((F, N, J))
-    counts = np.zeros((F, 1, 1))
-    for b, s0 in enumerate(starts):
-        lab = inv[b][lab_b[pick[b]]]                     # (Fb, N)
-        votes[s0:s0 + Fb] += np.eye(J)[lab]
-        counts[s0:s0 + Fb] += 1.0
-    return votes / counts
+    out = {}
+    if band_align in ("envelope", "both"):
+        # cross-band alignment on the at-convergence envelopes
+        act = np.stack([env_b[pick[b]] for b in range(B)])   # (B, J, N)
+        pwb = np.stack([pw[s0:s0 + Fb].sum(0) for s0 in starts])
+        U, npow = _embed_nodes(act, pwb, env_transform=env_transform)
+        cent = _spherical_kmeans(U, npow, J, seed=seed)
+        sel = _assignment_from_embedding(U, cent, B, J)
+        out["envelope"] = _emit(np.argsort(sel, axis=1))     # (B, J)
+    if band_align in ("init", "both"):
+        # anchor each band to its own (globally aligned) init votes:
+        # permutation maximizing power-weighted agreement between the
+        # converged dominance labels and the band's init vote mass
+        inv = np.zeros((B, J), np.int64)
+        for b, s0 in enumerate(starts):
+            oh = np.eye(J)[lab_b[pick[b]]]               # (Fb, N, J)
+            wv = votes_init[s0:s0 + Fb] * pw[s0:s0 + Fb, :, None]
+            T = np.einsum('fna,fnb->ab', oh, wv)[None]   # (1, J, J)
+            # sel[j] = converged label assigned to init channel j;
+            # invert so inv[converged label] = init channel
+            inv[b] = np.argsort(_best_assignment(T)[0])
+        out["init"] = _emit(inv)
+    if not out:
+        raise ValueError(f"band_align must be envelope|init|both, "
+                         f"got {band_align!r}")
+    return out if band_align == "both" else out[band_align]
 
 
 def repair_votes(votes: np.ndarray, pw: np.ndarray,

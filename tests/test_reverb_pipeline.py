@@ -197,13 +197,13 @@ def test_blind_reverb_band_em_and_noalign_candidates():
         chunk=4, n_seeds=3, band_em=16, noalign=True)
     assert Y.shape == (2,) + X.shape
     assert np.all(np.isfinite(Y.view(np.float64)))
-    # both new candidates entered the pool (2 extra entries over the
-    # run without the flags)
+    # all three new candidates entered the pool (bandem envelope-aligned
+    # + bandem init-anchored + noalign) over the run without the flags
     _, info_base = blind_reverb_separate(
         X, J=2, iters=30, em_seeds=1, reseed_rounds=0, nmf_comps=3,
         chunk=4, n_seeds=3)
     assert (info["history"][0]["pool"]
-            == info_base["history"][0]["pool"] + 2)
+            == info_base["history"][0]["pool"] + 3)
 
 
 def test_consensus_votes_align_none():

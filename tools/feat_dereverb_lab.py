@@ -131,14 +131,17 @@ def main():
             from pyfasst_tpu.models.spatial_init import band_em_votes
             bw = int(name[6:]) if len(name) > 6 else 32
             pw = (np.abs(X) ** 2).sum(-1)
-            v = band_em_votes(X, J, band_width=bw, iters=150,
-                              n_seeds=args.n_seeds)
-            lab = np.argmax(v, -1)
-            print(json.dumps({
-                "variant": name,
-                "ub": round(float(_acc_perfreq(lab, olab, pw, J)), 4),
-                "consensus": round(float(_acc(lab, olab, pw, J)), 4),
-            }), flush=True)
+            bv = band_em_votes(X, J, band_width=bw, iters=150,
+                               n_seeds=args.n_seeds, band_align="both")
+            rec = {"variant": name}
+            for mode, v in bv.items():
+                lab = np.argmax(v, -1)
+                key = "" if mode == "envelope" else "_init"
+                rec["ub" + key] = round(
+                    float(_acc_perfreq(lab, olab, pw, J)), 4)
+                rec["consensus" + key] = round(
+                    float(_acc(lab, olab, pw, J)), 4)
+            print(json.dumps(rec), flush=True)
             continue
         noalign = name.endswith("-noalign")
         base = name[:-8] if noalign else name
