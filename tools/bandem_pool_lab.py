@@ -50,6 +50,11 @@ def make_scenario(name: str, seed: int, wlen: int):
         J = 4
         fs = 16000
         mix, ys_true, _meta = make_image_fixture(seed, fs=fs, dur=6.0, J=J)
+    elif name == "reverb":
+        # family-1 configs[2] fixture (the gate regime)
+        from reverb_lab import make_fixture
+        X, Yt, ys_true, mix, tft, n = make_fixture(seed)
+        return X, Yt, 4
     else:
         raise SystemExit(f"unknown scenario {name}")
     tft = STFT(wlen=wlen, fs=fs)
@@ -85,7 +90,8 @@ def build_pool(X, J, band_width: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", default="music3",
-                    choices=("music3", "music4", "speech", "image"))
+                    choices=("music3", "music4", "speech", "image",
+                             "reverb"))
     ap.add_argument("--seeds", type=int, nargs="+", default=[100, 101])
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--em-seeds", type=int, default=2)
