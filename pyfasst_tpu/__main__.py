@@ -24,11 +24,38 @@ def _add_common(p):
     p.add_argument("-q", "--quiet", action="store_true")
 
 
+# measured operating points (tools/speech_sweep.py; docs/design.md §6e/§6g):
+# each preset overwrites the listed knobs wholesale -- vary knobs manually
+# instead of combining them with a preset.
+_PRESETS = {
+    # best of the round-4 speech sweep (5 draws x 8 configs incl. band-EM
+    # pools): the 1024->4096 multiscale ladder -- min-SDR median 0.13 /
+    # mean-SDR mean 2.26 dB over the SiSEC-regime stand-in draws. This is
+    # the measured boundary of blind speech separation here, not a
+    # strong operating point; the sweep table lives in design.md §6e.
+    "speech": dict(model="fullrank", spatial_init=True, reseed=2,
+                   wlen=4096, multiscale_wlen=1024, iters=400,
+                   nmf_comps=6),
+    # the configs[2]-gate recipe (reverberant 4-source family, min SDR
+    # worst/median 6.6/8.3 dB over the validate draws at wlen 1024)
+    "reverb": dict(model="fullrank", spatial_init=True, reseed=2,
+                   wlen=1024, multiscale_wlen=None, iters=400,
+                   nmf_comps=6),
+}
+
+
+def _apply_preset(args) -> None:
+    if getattr(args, "preset", None):
+        for k, v in _PRESETS[args.preset].items():
+            setattr(args, k, v)
+
+
 def _cmd_separate(args) -> int:
     from pyfasst_tpu.models.variants import (
         MultiChanHMM, MultiChanNMFConv, MultiChanNMFInst_FASST,
     )
 
+    _apply_preset(args)
     if args.batch:
         return _cmd_separate_batch(args)
     if args.streaming:
@@ -299,6 +326,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("separate", help="blind source separation")
     _add_common(p)
+    p.add_argument("--preset", default=None, choices=("speech", "reverb"),
+                   help="measured operating point: overwrites model/wlen/"
+                        "iters/init knobs wholesale (see _PRESETS; "
+                        "docs/design.md). 'speech': multiscale 1024->4096 "
+                        "blind pipeline (the measured best -- and the "
+                        "measured boundary -- on the 3-speaker "
+                        "SiSEC-regime stand-in); 'reverb': the configs[2] "
+                        "blind reverberant recipe")
     p.add_argument("--model", default="inst",
                    choices=("inst", "conv", "fullrank", "hmm", "gsmm"),
                    help="spatial/spectral model family")

@@ -204,6 +204,24 @@ def test_separate_multiscale_ladder(mix_wav, tmp_path, capsys):
     assert "finer" in capsys.readouterr().err
 
 
+def test_preset_applies_operating_point():
+    """--preset overwrites the listed knobs wholesale (the measured
+    operating points of tools/speech_sweep.py; values themselves are
+    data-driven and live in _PRESETS)."""
+    import argparse
+
+    from pyfasst_tpu.__main__ import _PRESETS, _apply_preset
+
+    ns = argparse.Namespace(preset="speech", model="inst", wlen=1024,
+                            iters=200, multiscale_wlen=None,
+                            spatial_init=False, reseed=0, nmf_comps=8)
+    _apply_preset(ns)
+    assert ns.model == "fullrank" and ns.spatial_init and ns.reseed > 0
+    assert ns.multiscale_wlen and ns.multiscale_wlen < ns.wlen
+    for name, cfg in _PRESETS.items():
+        assert cfg["model"] == "fullrank" and cfg["spatial_init"], name
+
+
 def test_reseed_rejects_warped_transform(mix_wav, tmp_path, capsys):
     assert main(["separate", mix_wav, "-o", str(tmp_path / "x"),
                  "--model", "fullrank", "--spatial-init", "--reseed", "1",
