@@ -36,11 +36,13 @@ _PRESETS = {
     "speech": dict(model="fullrank", spatial_init=True, reseed=2,
                    wlen=4096, multiscale_wlen=1024, iters=400,
                    nmf_comps=6),
-    # the configs[2]-gate recipe (reverberant 4-source family, min SDR
-    # worst/median 6.6/8.3 dB over the validate draws at wlen 1024)
+    # the configs[2]-gate recipe (reverberant 4-source family): with the
+    # band-EM candidates the gate draws measure min-SDR worst/median
+    # 6.64/8.47 (band_em=32 picked on one draw, +1.0 dB there, identical
+    # elsewhere -- design.md §6g)
     "reverb": dict(model="fullrank", spatial_init=True, reseed=2,
                    wlen=1024, multiscale_wlen=None, iters=400,
-                   nmf_comps=6),
+                   nmf_comps=6, band_em=32),
 }
 
 
