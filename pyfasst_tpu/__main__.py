@@ -99,7 +99,7 @@ def _cmd_separate(args) -> int:
                 reseed_rounds=args.reseed, verbose=not args.quiet,
                 multiscale_wlen=args.multiscale_wlen,
                 n_devices=args.n_devices, band_em=args.band_em,
-                noalign=args.noalign)
+                noalign=args.noalign, select=args.select)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -396,6 +396,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "free consensus candidate (for material where "
                         "the spectral permutation alignment is "
                         "destructive, design.md §6f)")
+    p.add_argument("--select", default="envcorr",
+                   choices=("envcorr", "consistency"),
+                   help="with --spatial-init --reseed: within-tier pool "
+                        "selection rule -- 'envcorr' (default) or "
+                        "'consistency' (cross-seed reproducibility; the "
+                        "measured better rule on speech-like material, "
+                        "design.md §6g)")
     p.add_argument("--multiscale-wlen", dest="multiscale_wlen", type=int,
                    default=None, metavar="W",
                    help="with --spatial-init --reseed: run the blind "

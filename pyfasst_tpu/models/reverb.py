@@ -39,7 +39,7 @@ __all__ = ["blind_reverb_separate", "blind_reverb_separate_multiscale",
 
 
 def selection_key(rec: dict, env_thr: float = 0.6,
-                  share_floor: float = 0.02):
+                  share_floor: float = 0.02, select: str = "envcorr"):
     """Total order over run records; smaller is better.
 
     Components, in order:
@@ -58,12 +58,27 @@ def selection_key(rec: dict, env_thr: float = 0.6,
        0 (once, by 0.12 dB). So tier-1 competes only when every tier-0
        run is vetoed -- the regime it was built for (same-direction
        mixtures where no clustering split isolates the sources).
-    3. the envelope correlation itself.
-    4. final log-likelihood, descending (tiebreak only -- measured
+    3. select == "envcorr" (default): the envelope correlation itself.
+       select == "consistency": cross-seed consistency, DESCENDING --
+       best-permutation mean correlation of the converged separation
+       planes across the candidate's spectral EM seeds. Raw consistency
+       was measured and rejected round 3 (stable-but-wrong merge/split
+       basins reproduce deterministically; design.md §6e) but applied
+       AFTER the veto tier it picks the pool oracle on all measured
+       family-1 gate draws and beats the envcorr order by 2-5 dB on
+       speech; on beat-locked music it stays worse, so it ships
+       regime-scoped (speech/reverb presets), not as the default
+       (design.md §6g). Runs without the statistic (single EM seed)
+       rank after any run that has it.
+    4. envelope correlation (under "consistency": the next tiebreak).
+    5. final log-likelihood, descending (tiebreak only -- measured
        actively misleading as a primary criterion, see module docstring).
     """
     vetoed = rec["envcorr"] > env_thr or rec["min_share"] < share_floor
     tier = rec.get("tier", 1 if rec["name"].startswith("dirs") else 0)
+    if select == "consistency":
+        return (vetoed, tier, -rec.get("consistency", -1.0),
+                rec["envcorr"], -rec["final_ll"])
     return (vetoed, tier, rec["envcorr"], -rec["final_ll"])
 
 
@@ -81,7 +96,8 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                     em_seeds: int, nmf_comps: int, rank: int,
                     chunk: int, bests=None, env_thr: float = 0.6,
                     share_floor: float = 0.02, verbose: bool = False,
-                    topk: int = 1, tiers=None, distinct: bool = False):
+                    topk: int = 1, tiers=None, distinct: bool = False,
+                    select: str = "envcorr"):
     """Run every (candidate, seed) full-rank EM; return (records, bests).
 
     `bests` carries the running top-`topk` runs across calls (sorted by
@@ -89,7 +105,14 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
     params/in-chunk separation -- buffers of non-kept runs are dropped as
     soon as the chunk is scored. `tiers`, if given, maps candidate names
     to explicit selection tiers (rec['tier'], consumed by selection_key;
-    the multiscale ladder uses the FINE-stage rank as the coarse tier)."""
+    the multiscale ladder uses the FINE-stage rank as the coarse tier).
+
+    select == "consistency" additionally computes each candidate's
+    cross-seed consistency (best-permutation mean correlation of the
+    normalized log-power separation planes between the candidate's
+    adjacent spectral-seed runs, which share a chunk because chunk sizes
+    are padded to a multiple of em_seeds) and orders survivors by it
+    (selection_key(select="consistency"))."""
     import jax
     import jax.numpy as jnp
 
@@ -129,12 +152,37 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
         p = jnp.sum(jnp.abs(Y_b) ** 2, axis=(2, 3, 4))
         return p / jnp.maximum(p.sum(1, keepdims=True), 1e-20)
 
+    @jax.jit
+    def agree_fn(Y_b):
+        # (C-1, J, J) correlation of normalized log-power planes between
+        # ADJACENT runs -- consumed on host for same-candidate seed pairs
+        # only (the cross-seed consistency statistic, design.md §6g)
+        P = jnp.log1p(jnp.sum(jnp.abs(Y_b) ** 2, axis=4))   # (C, J, F, N)
+        P = P.reshape(P.shape[:2] + (-1,))
+        P = P - P.mean(-1, keepdims=True)
+        P = P / jnp.maximum(
+            jnp.linalg.norm(P, axis=-1, keepdims=True), 1e-12)
+        return jnp.einsum('cjt,ckt->cjk', P[:-1], P[1:])
+
+    def _best_perm_mean(M):
+        import itertools
+        best = None
+        for p in itertools.permutations(range(J)):
+            v = sum(M[p[k], k] for k in range(J))
+            if best is None or v > best:
+                best = v
+        return float(best) / J
+
+    key_fn = lambda r: selection_key(r, env_thr, share_floor, select)
     records = []
     bests = list(bests or [])
     # one executable size across chunks, rounded up to a multiple of the
     # mesh's dp axis (the pool is embarrassingly DP over (candidate, seed)
     # runs; padded slots repeat sub[0] and are dropped after scoring)
     dp = mesh.shape.get("dp", 1)
+    if select == "consistency" and em_seeds > 1:
+        # seed pairs must share a chunk for the cross-seed statistic
+        chunk = max(em_seeds, chunk - chunk % em_seeds)
     csize = min(chunk, len(plist))
     csize = ((csize + dp - 1) // dp) * dp
     for lo in range(0, len(plist), chunk):
@@ -153,6 +201,7 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
         coh = np.asarray(coh_fn(Y_b), np.float64)
         sh = np.asarray(shares_fn(Y_b), np.float64)
         ll = np.asarray(lls[:, -1], np.float64)
+        chunk_recs = []
         for i in range(valid):
             rec = {"name": names[lo + i], "final_ll": float(ll[i]),
                    "envcorr": round(float(ec[i]), 4),
@@ -162,14 +211,27 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                 cname = rec["name"].split("|")[0]
                 if cname in tiers:
                     rec["tier"] = tiers[cname]
+            chunk_recs.append(rec)
+        if select == "consistency" and valid > 1:
+            agree = np.asarray(agree_fn(Y_b), np.float64)
+            for i in range(valid - 1):
+                if names[lo + i].split("|")[0] \
+                        != names[lo + i + 1].split("|")[0]:
+                    continue
+                c = round(_best_perm_mean(agree[i]), 4)
+                for r in (chunk_recs[i], chunk_recs[i + 1]):
+                    r["consistency"] = max(r.get("consistency", -1.0), c)
+        for i, rec in enumerate(chunk_recs):
             records.append(rec)
+            key = key_fn(rec)
             if verbose:
-                k = selection_key(rec, env_thr, share_floor)
+                cons = rec.get("consistency")
                 print(f"reverb: {rec['name']}: ll {rec['final_ll']:.1f} "
                       f"envcorr {rec['envcorr']:.3f} min_share "
                       f"{rec['min_share']:.3f}"
-                      f"{'  [vetoed]' if k[0] else ''}")
-            key = selection_key(rec, env_thr, share_floor)
+                      + (f" consistency {cons:.3f}"
+                         if cons is not None else "")
+                      + ("  [vetoed]" if key[0] else ""))
             if distinct:
                 # at most one kept run per CANDIDATE (topk > 1 is used to
                 # ladder diverse hypotheses, not spectral-seed twins)
@@ -177,17 +239,15 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                 same = [b for b in bests
                         if b["name"].split("|")[0] == cname]
                 if same:
-                    if key >= selection_key(same[0], env_thr, share_floor):
+                    if key >= key_fn(same[0]):
                         continue
                     bests.remove(same[0])
-            if len(bests) < topk or key < selection_key(
-                    bests[-1], env_thr, share_floor):
+            if len(bests) < topk or key < key_fn(bests[-1]):
                 kept = dict(rec)
                 kept["Y"] = Y_b[i]
                 kept["params"] = jax.tree.map(lambda x: x[i], params_b)
                 bests.append(kept)
-                bests.sort(key=lambda r: selection_key(r, env_thr,
-                                                       share_floor))
+                bests.sort(key=key_fn)
                 del bests[topk:]
     return records, bests
 
@@ -201,6 +261,7 @@ def blind_reverb_separate(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
+        select: str = "envcorr",
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -238,6 +299,13 @@ def blind_reverb_separate(
     permutation alignment, measured better on the image-method family
     where the envelope graph is too noisy to align (§6f). Both extend
     the pool; the tiered at-convergence selection arbitrates.
+
+    select ("envcorr" | "consistency") picks the within-tier ordering of
+    unvetoed runs (selection_key). "consistency" orders by cross-seed
+    reproducibility of the converged separation (needs em_seeds >= 2)
+    and is the measured better rule on speech-like material and the
+    family-1 reverb regime; "envcorr" remains the default and the
+    measured better rule on beat-locked music (design.md §6g).
     """
     from pyfasst_tpu.models.spatial_init import (
         band_em_votes, candidate_votes, consensus_votes,
@@ -280,14 +348,15 @@ def blind_reverb_separate(
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, topk=topk,
         env_transform=env_transform, realign_reseeds=realign_reseeds,
-        n_devices=n_devices)
+        n_devices=n_devices, select=select)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      nmf_comps, rank, chunk, spatial_hold_frac, env_thr,
                      share_floor, verbose, topk: int = 1, tiers=None,
                      env_transform: Optional[str] = None,
-                     realign_reseeds: bool = False, n_devices: int = 1):
+                     realign_reseeds: bool = False, n_devices: int = 1,
+                     select: str = "envcorr"):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
     the multiscale ladder's stages. topk > 1 keeps the best run of each
@@ -318,7 +387,8 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     records, bests = _run_candidates(
         X_d, cands, pw, xx, None, cfg, mesh, sigma1, em_seeds, nmf_comps,
         rank, chunk, env_thr=env_thr, share_floor=share_floor,
-        verbose=verbose, topk=topk, tiers=tiers, distinct=topk > 1)
+        verbose=verbose, topk=topk, tiers=tiers, distinct=topk > 1,
+        select=select)
     best = bests[0]
     history = [{"stage": "pool", "picked": best["name"],
                 "envcorr": best["envcorr"], "min_share": best["min_share"],
@@ -340,7 +410,7 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
             X_d, cands_r, pw, xx, None, cfg, mesh,
             sigma1, em_seeds, nmf_comps, rank, chunk, bests=bests,
             env_thr=env_thr, share_floor=share_floor, verbose=verbose,
-            topk=topk, tiers=tiers, distinct=topk > 1)
+            topk=topk, tiers=tiers, distinct=topk > 1, select=select)
         best = bests[0]
         history.append({"stage": f"reseed{r + 1}", "picked": best["name"],
                         "envcorr": best["envcorr"],
@@ -352,6 +422,8 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     info = {"picked": best["name"], "envcorr": best["envcorr"],
             "min_share": best["min_share"], "final_ll": best["final_ll"],
             "history": history, "params": best["params"]}
+    if "consistency" in best:
+        info["consistency"] = best["consistency"]
     if topk > 1:
         info["tops"] = bests
     return Y, info
@@ -368,6 +440,7 @@ def blind_reverb_separate_multiscale(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
+        select: str = "envcorr",
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -427,7 +500,7 @@ def blind_reverb_separate_multiscale(
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
         topk=topk, env_transform=env_transform,
         realign_reseeds=realign_reseeds, n_devices=n_devices,
-        band_em=band_em, noalign=noalign)
+        band_em=band_em, noalign=noalign, select=select)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)
@@ -465,7 +538,7 @@ def blind_reverb_separate_multiscale(
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, tiers=tiers,
         env_transform=env_transform, realign_reseeds=realign_reseeds,
-        n_devices=n_devices)
+        n_devices=n_devices, select=select)
     info["fine"] = {k: v for k, v in info_f.items() if k != "params"}
     info["transform"] = tft_c
     return Y, info

@@ -43,6 +43,46 @@ def test_selection_key_order():
     assert selection_key(explicit)[1] == 1
 
 
+def test_selection_key_consistency_mode():
+    """select='consistency' orders unvetoed same-tier runs by DESCENDING
+    cross-seed consistency; veto and tier still dominate; runs without
+    the statistic rank after any run that has it; envcorr then ll break
+    ties (design.md §6g)."""
+    hi = {"name": "bandem", "envcorr": 0.3, "min_share": 0.2,
+          "final_ll": 5.0, "consistency": 0.95}
+    lo = {"name": "raw", "envcorr": 0.1, "min_share": 0.2,
+          "final_ll": 50.0, "consistency": 0.7}
+    none = {"name": "single", "envcorr": 0.05, "min_share": 0.2,
+            "final_ll": 99.0}
+    vetoed = {"name": "dup", "envcorr": 0.9, "min_share": 0.2,
+              "final_ll": 99.0, "consistency": 0.99}
+    tier1 = {"name": "dirs2+alloc(1, 1)#s0", "envcorr": 0.01,
+             "min_share": 0.2, "final_ll": 99.0, "consistency": 0.999}
+    key = lambda r: selection_key(r, select="consistency")
+    order = sorted([lo, vetoed, none, hi, tier1], key=key)
+    assert order == [hi, lo, none, tier1, vetoed]
+    # default mode ignores the consistency field entirely
+    assert selection_key(lo) < selection_key(hi)
+    # ties fall through to envcorr then ll
+    a = dict(hi, envcorr=0.2)
+    assert key(a) < key(hi)
+
+
+def test_blind_reverb_consistency_select():
+    """select='consistency' end to end: every candidate runs >= 2 spectral
+    seeds in one chunk, the cross-seed statistic is computed and the
+    winner carries it. Mechanism test; the quality evidence (speech +
+    family-1 gate) lives in tools/bandem_pool_lab.py + design.md §6g."""
+    X = _reverb_mixture(seed=9)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=2, reseed_rounds=1, nmf_comps=3,
+        chunk=4, n_seeds=3, select="consistency")
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    assert "consistency" in info
+    assert -1.0 <= info["consistency"] <= 1.0
+
+
 def test_hard_votes_from_sep():
     import jax.numpy as jnp
 
