@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
              repair="select", mode="pipeline", family="filters",
-             mic_type="ortf", band_em=None, noalign=False):
+             mic_type="ortf", band_em=None, noalign=False,
+             select="envcorr"):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -65,7 +66,8 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
         from pyfasst_tpu.models.reverb import blind_reverb_separate
         Y, info = blind_reverb_separate(X, J=4, iters=iters,
                                         em_seeds=max(2, em_seed + 1),
-                                        band_em=band_em, noalign=noalign)
+                                        band_em=band_em, noalign=noalign,
+                                        select=select)
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(4)])
         wall = time.perf_counter() - t0
@@ -124,6 +126,9 @@ def main():
                     help="add band-local-EM vote candidate (band width)")
     ap.add_argument("--noalign", action="store_true",
                     help="add alignment-free consensus candidate")
+    ap.add_argument("--select", default="envcorr",
+                    choices=("envcorr", "consistency"),
+                    help="within-tier pool selection rule (design.md §6g)")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
@@ -137,7 +142,8 @@ def main():
             rec = run_draw(args.base_seed + d, em_seed=e, iters=args.iters,
                            repair=repair, mode=args.mode,
                            family=args.family, mic_type=args.mic_type,
-                           band_em=args.band_em, noalign=args.noalign)
+                           band_em=args.band_em, noalign=args.noalign,
+                           select=args.select)
             rec["family"] = args.family
             if args.family == "image":
                 rec["mic_type"] = args.mic_type

@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--env-transform", default=None,
                     help="override spatial_init._ENV_TRANSFORM "
                          "(log1p | rank) for the blind pipeline")
+    ap.add_argument("--band-em", type=int, default=None)
+    ap.add_argument("--noalign", action="store_true")
+    ap.add_argument("--select", default="envcorr",
+                    choices=("envcorr", "consistency"))
     ap.add_argument("--realign-reseeds", action="store_true",
                     help="add realigned-reseed hypotheses to the pool")
     args = ap.parse_args()
@@ -95,11 +99,14 @@ def main():
                 X, J=J, iters=args.iters, em_seeds=args.em_seeds,
                 chunk=12 if F <= 2049 else 6,
                 env_transform=args.env_transform,
-                realign_reseeds=args.realign_reseeds)
+                realign_reseeds=args.realign_reseeds,
+                band_em=args.band_em, noalign=args.noalign,
+                select=args.select)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
                 "spk": J, "t60": args.t60, "wlen": wlen, "mode": "blind",
+                "select": args.select,
                 "min_sdr_db": round(mn, 2), "mean_sdr_db": round(mean, 2),
                 "picked": info["picked"],
                 "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
@@ -118,12 +125,14 @@ def main():
                 wlen_coarse=wc, iters=args.iters,
                 em_seeds=args.em_seeds, chunk=12,
                 env_transform=args.env_transform,
-                realign_reseeds=args.realign_reseeds)
+                realign_reseeds=args.realign_reseeds,
+                band_em=args.band_em, noalign=args.noalign,
+                select=args.select)
             ys = _istft_images(info["transform"], Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
                 "spk": J, "t60": args.t60, "wlen": wlen, "mode": "ladder",
-                "wlen_coarse": wc,
+                "wlen_coarse": wc, "select": args.select,
                 "min_sdr_db": round(mn, 2), "mean_sdr_db": round(mean, 2),
                 "picked": info["picked"],
                 "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
