@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--noalign", action="store_true")
     ap.add_argument("--select", default="envcorr",
                     choices=("envcorr", "consistency"))
+    ap.add_argument("--reseed-rounds", type=int, default=2)
     ap.add_argument("--realign-reseeds", action="store_true",
                     help="add realigned-reseed hypotheses to the pool")
     args = ap.parse_args()
@@ -101,7 +102,7 @@ def main():
                 env_transform=args.env_transform,
                 realign_reseeds=args.realign_reseeds,
                 band_em=args.band_em, noalign=args.noalign,
-                select=args.select)
+                select=args.select, reseed_rounds=args.reseed_rounds)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
             print(json.dumps({
