@@ -301,6 +301,31 @@ class FASST:
         self.params = info["params"]
         return info
 
+    def estim_param_blind_mono(self, nmf_iters: int = 200,
+                               n_seeds: int = 4, seed: int = 0):
+        """Blind MONO estimation: mixture-NMF + envelope-clustering init
+        (models/mono.py), then the normal GEM fit.
+
+        Mono input has no spatial cues, so the spatial-clustering blind
+        pipeline (estim_param_blind_reverb) has nothing to cluster on and
+        a random spectral init is the whole quality gap (measured 3.2 dB
+        random vs 11.5 from this init on the validation mono fixture —
+        above the per-source oracle-FB ceiling; docs/design.md §6h).
+        Returns the GEM log-likelihood trace.
+        """
+        from pyfasst_tpu.models.mono import apply_mono_init, nmf_cluster_init
+        from pyfasst_tpu.utils.misc import to_host_complex
+
+        if int(self.Xs.shape[-1]) != 1:
+            raise ValueError("estim_param_blind_mono needs mono input; "
+                             "use estim_param_blind_reverb for I >= 2")
+        nmf_comps = int(self.params.spec[0].FB.shape[1])
+        init = nmf_cluster_init(
+            to_host_complex(self.Xs), len(self.params.spec),
+            nmf_comps, nmf_iters=nmf_iters, n_seeds=n_seeds, seed=seed)
+        self.params = apply_mono_init(self.params, init)
+        return self.estim_param_a_posteriori()
+
     def separated_images(self) -> np.ndarray:
         """Posterior-mean source images, time domain: (J, nsamples, I)."""
         Y = wiener.separate_sources(self.params, self.Xs, self._final_sigma())
