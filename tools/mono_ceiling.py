@@ -107,7 +107,27 @@ def main():
             "bss512_mean_sdr_db": round(float(out["sdr"].mean()), 2),
             "wall_s": round(wall, 1)}), flush=True)
 
+    def run_nmf_cluster():
+        """The round-4 production blind mono init (models/mono.py)."""
+        model = MultiChanNMFInst_FASST(mix, fs=FS, nbComps=2,
+                                       nbNMFComps=args.nmf_comps,
+                                       wlen=WLEN, iter_num=args.iters,
+                                       seed=0)
+        t0 = time.perf_counter()
+        model.estim_param_blind_mono()
+        ys = model.separated_images()
+        wall = time.perf_counter() - t0
+        mn, mean = _best_perm_sdr(ys, ys_true)
+        out = bss_eval_images(ys, ys_true, filt_len=512)
+        print(json.dumps({
+            "mode": "nmf-cluster", "min_sdr_db": round(float(mn), 2),
+            "mean_sdr_db": round(float(mean), 2),
+            "bss512_min_sdr_db": round(float(out["sdr"].min()), 2),
+            "bss512_mean_sdr_db": round(float(out["sdr"].mean()), 2),
+            "wall_s": round(wall, 1)}), flush=True)
+
     run("blind", oracle_fb=False, fix_fb=False)
+    run_nmf_cluster()
     run("oracle-fb", oracle_fb=True, fix_fb=False)
     run("oracle-fb-fixed", oracle_fb=True, fix_fb=True)
 
