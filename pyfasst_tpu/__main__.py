@@ -36,13 +36,14 @@ _PRESETS = {
     "speech": dict(model="fullrank", spatial_init=True, reseed=2,
                    wlen=4096, multiscale_wlen=1024, iters=400,
                    nmf_comps=6),
-    # the configs[2]-gate recipe (reverberant 4-source family): with the
-    # band-EM candidates the gate draws measure min-SDR worst/median
-    # 6.64/8.47 (band_em=32 picked on one draw, +1.0 dB there, identical
-    # elsewhere -- design.md §6g)
+    # the configs[2]-gate recipe (reverberant 4-source family): band-EM
+    # candidates + cross-seed-consistency selection measure min-SDR
+    # worst/median/best 8.02/8.73/11.44 on the gate draws 102-106
+    # (envcorr selection: 6.64/8.47/11.14; design.md §6g -- the pool
+    # picked a bandem candidate on two of five draws)
     "reverb": dict(model="fullrank", spatial_init=True, reseed=2,
                    wlen=1024, multiscale_wlen=None, iters=400,
-                   nmf_comps=6, band_em=32),
+                   nmf_comps=6, band_em=32, select="consistency"),
 }
 
 
