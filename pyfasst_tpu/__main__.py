@@ -123,7 +123,8 @@ def _cmd_separate(args) -> int:
                 reseed_rounds=args.reseed, verbose=not args.quiet,
                 multiscale_wlen=args.multiscale_wlen,
                 n_devices=args.n_devices, band_em=args.band_em,
-                noalign=args.noalign, select=args.select)
+                noalign=args.noalign, select=args.select,
+                reseed_select=args.reseed_select)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -426,6 +427,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "selection rule -- 'envcorr' (default) or "
                         "'consistency' (cross-seed reproducibility; the "
                         "measured better rule on speech-like material, "
+                        "design.md §6g)")
+    p.add_argument("--reseed-select", dest="reseed_select", default=None,
+                   choices=("envcorr",),
+                   help="with --select consistency: guard RESEED "
+                        "acceptance by the envelope-correlation key "
+                        "instead of consistency (a warm-restart reseed's "
+                        "cross-seed consistency is structurally inflated; "
                         "design.md §6g)")
     p.add_argument("--multiscale-wlen", dest="multiscale_wlen", type=int,
                    default=None, metavar="W",

@@ -261,7 +261,8 @@ def blind_reverb_separate(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
-        select: str = "envcorr",
+        select: str = "envcorr", reseed_select: Optional[str] = None,
+        keep_pool_sep: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -306,6 +307,23 @@ def blind_reverb_separate(
     and is the measured better rule on speech-like material and the
     family-1 reverb regime; "envcorr" remains the default and the
     measured better rule on beat-locked music (design.md §6g).
+
+    reseed_select (None | "envcorr") guards RESEED acceptance under a
+    different key than the pool selection. A reseed is a warm restart
+    from the winner's own votes, so its spectral seeds converge
+    near-identically and its cross-seed consistency is structurally
+    inflated (~1); under select="consistency" reseeds therefore always
+    out-rank the pool, and on material where a reseed can collapse
+    (speech 121/122: 1.43 -> -0.22, 0.74 -> -0.38 dB) the acceptance is
+    too eager. reseed_select="envcorr" accepts a reseed only when it
+    improves the envelope-correlation key (the round-3 guarded rule,
+    immune to the inflation). None keeps acceptance under `select`
+    (measured the better choice on the configs[2] family, where
+    consistency-accepted reseeds exceed even the pool-oracle ceiling).
+
+    keep_pool_sep=True additionally returns the POOL-stage winner's
+    separation in info["pool_Y"] (host) / info["pool_picked"], for labs
+    that score stages independently.
     """
     from pyfasst_tpu.models.spatial_init import (
         band_em_votes, candidate_votes, consensus_votes,
@@ -348,7 +366,8 @@ def blind_reverb_separate(
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, topk=topk,
         env_transform=env_transform, realign_reseeds=realign_reseeds,
-        n_devices=n_devices, select=select)
+        n_devices=n_devices, select=select, reseed_select=reseed_select,
+        keep_pool_sep=keep_pool_sep)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
@@ -356,13 +375,22 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      share_floor, verbose, topk: int = 1, tiers=None,
                      env_transform: Optional[str] = None,
                      realign_reseeds: bool = False, n_devices: int = 1,
-                     select: str = "envcorr"):
+                     select: str = "envcorr",
+                     reseed_select: Optional[str] = None,
+                     keep_pool_sep: bool = False):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
     the multiscale ladder's stages. topk > 1 keeps the best run of each
     of the top-k CANDIDATES alive (info['tops'] carries their device
     separations for the ladder); reseeding always restarts from the
     overall winner.
+
+    reseed_select (see blind_reverb_separate): when set and different
+    from `select`, reseed rounds are scored in a SEPARATE pool and
+    accepted only if they improve the `reseed_select` key over the
+    current best — immunizing acceptance against the structurally
+    inflated cross-seed consistency of warm restarts. An accepted
+    reseed takes the winner slot (and tops[0] when topk > 1).
 
     realign_reseeds adds a second hypothesis per reseed round: the
     winner's dominance votes re-passed through the spectral permutation
@@ -393,7 +421,12 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     history = [{"stage": "pool", "picked": best["name"],
                 "envcorr": best["envcorr"], "min_share": best["min_share"],
                 "pool": len(records)}]
+    pool_stage = None
+    if keep_pool_sep:
+        pool_stage = {"name": best["name"],
+                      "Y": to_host_complex(best["Y"]) * scale}
 
+    guarded = reseed_select is not None and reseed_select != select
     for r in range(reseed_rounds):
         rs = _hard_votes_from_sep(best["Y"], J)
         prev_name = best["name"]
@@ -406,6 +439,31 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                             realign_votes(rs, pw, J, env_transform=tr)))
             if tiers is not None:
                 tiers.setdefault(f"reseed{r + 1}r", 0)
+        if guarded:
+            # reseeds compete in their own pool under the guard key,
+            # then must BEAT the current best on that key to be kept
+            recs_r, bests_r = _run_candidates(
+                X_d, cands_r, pw, xx, None, cfg, mesh,
+                sigma1, em_seeds, nmf_comps, rank, chunk, bests=None,
+                env_thr=env_thr, share_floor=share_floor, verbose=verbose,
+                topk=1, tiers=tiers, select=reseed_select)
+            gkey = lambda rec: selection_key(rec, env_thr, share_floor,
+                                             reseed_select)
+            cand_r = bests_r[0]
+            accepted = gkey(cand_r) < gkey(best)
+            if accepted:
+                best = cand_r
+                bests = [cand_r] + [b for b in bests
+                                    if b is not cand_r][:max(topk - 1, 0)]
+            history.append({"stage": f"reseed{r + 1}",
+                            "picked": best["name"],
+                            "candidate": cand_r["name"],
+                            "accepted": accepted,
+                            "envcorr": best["envcorr"],
+                            "min_share": best["min_share"]})
+            if not accepted:               # guard key did not improve
+                break
+            continue
         recs_r, bests = _run_candidates(
             X_d, cands_r, pw, xx, None, cfg, mesh,
             sigma1, em_seeds, nmf_comps, rank, chunk, bests=bests,
@@ -424,6 +482,9 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
             "history": history, "params": best["params"]}
     if "consistency" in best:
         info["consistency"] = best["consistency"]
+    if pool_stage is not None:
+        info["pool_picked"] = pool_stage["name"]
+        info["pool_Y"] = pool_stage["Y"]
     if topk > 1:
         info["tops"] = bests
     return Y, info
@@ -440,7 +501,7 @@ def blind_reverb_separate_multiscale(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
-        select: str = "envcorr",
+        select: str = "envcorr", reseed_select: Optional[str] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -500,7 +561,8 @@ def blind_reverb_separate_multiscale(
         share_floor=share_floor, n_seeds=n_seeds, verbose=verbose,
         topk=topk, env_transform=env_transform,
         realign_reseeds=realign_reseeds, n_devices=n_devices,
-        band_em=band_em, noalign=noalign, select=select)
+        band_em=band_em, noalign=noalign, select=select,
+        reseed_select=reseed_select)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)
@@ -538,7 +600,7 @@ def blind_reverb_separate_multiscale(
         chunk=chunk, spatial_hold_frac=spatial_hold_frac, env_thr=env_thr,
         share_floor=share_floor, verbose=verbose, tiers=tiers,
         env_transform=env_transform, realign_reseeds=realign_reseeds,
-        n_devices=n_devices, select=select)
+        n_devices=n_devices, select=select, reseed_select=reseed_select)
     info["fine"] = {k: v for k, v in info_f.items() if k != "params"}
     info["transform"] = tft_c
     return Y, info

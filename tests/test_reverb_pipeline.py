@@ -83,6 +83,37 @@ def test_blind_reverb_consistency_select():
     assert -1.0 <= info["consistency"] <= 1.0
 
 
+def test_blind_reverb_guarded_reseed_acceptance():
+    """reseed_select='envcorr' under select='consistency': reseed rounds
+    are accepted only when the envelope-correlation key improves (a
+    warm-restart reseed's cross-seed consistency is structurally
+    inflated, design.md §6g). Every reseed history entry records the
+    accept/reject decision; keep_pool_sep exposes the pool-stage winner
+    so labs can score both stages from ONE pool run."""
+    X = _reverb_mixture(seed=9)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=2, reseed_rounds=2, nmf_comps=3,
+        chunk=4, n_seeds=3, select="consistency", reseed_select="envcorr",
+        keep_pool_sep=True)
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    assert info["pool_picked"] == info["history"][0]["picked"]
+    assert info["pool_Y"].shape == Y.shape
+    reseed_stages = [h for h in info["history"]
+                     if h["stage"].startswith("reseed")]
+    assert reseed_stages, "at least one reseed round must have run"
+    for h in reseed_stages:
+        assert "accepted" in h and "candidate" in h
+        if not h["accepted"]:
+            # rejected reseed leaves the pick unchanged
+            assert h["picked"] == info["history"][0]["picked"] or any(
+                p["accepted"] for p in reseed_stages
+                if p["stage"] < h["stage"])
+    if not any(h["accepted"] for h in reseed_stages):
+        assert info["picked"] == info["pool_picked"]
+        np.testing.assert_allclose(Y, info["pool_Y"], rtol=0, atol=0)
+
+
 def test_hard_votes_from_sep():
     import jax.numpy as jnp
 

@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--select", default="envcorr",
                     choices=("envcorr", "consistency"))
     ap.add_argument("--reseed-rounds", type=int, default=2)
+    ap.add_argument("--reseed-select", default=None,
+                    choices=("envcorr",),
+                    help="guard reseed acceptance by the envcorr key "
+                         "(immune to warm-restart consistency inflation)")
     ap.add_argument("--realign-reseeds", action="store_true",
                     help="add realigned-reseed hypotheses to the pool")
     args = ap.parse_args()
@@ -102,15 +106,28 @@ def main():
                 env_transform=args.env_transform,
                 realign_reseeds=args.realign_reseeds,
                 band_em=args.band_em, noalign=args.noalign,
-                select=args.select, reseed_rounds=args.reseed_rounds)
+                select=args.select, reseed_rounds=args.reseed_rounds,
+                reseed_select=args.reseed_select,
+                keep_pool_sep=args.reseed_rounds > 0)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)
-            print(json.dumps({
+            row = {
                 "spk": J, "t60": args.t60, "wlen": wlen, "mode": "blind",
                 "select": args.select,
                 "min_sdr_db": round(mn, 2), "mean_sdr_db": round(mean, 2),
                 "picked": info["picked"],
-                "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
+                "wall_s": round(time.perf_counter() - t0, 1)}
+            if args.reseed_select:
+                row["reseed_select"] = args.reseed_select
+            if "pool_Y" in info and info["pool_picked"] != info["picked"]:
+                # score the POOL-stage winner too (what reseed-free
+                # selection would have shipped)
+                ysp = _istft_images(tft, info["pool_Y"], n)
+                mnp, meanp = _best_perm_sdr(ysp, ys_true)
+                row["pool_min_sdr_db"] = round(mnp, 2)
+                row["pool_mean_sdr_db"] = round(meanp, 2)
+                row["pool_picked"] = info["pool_picked"]
+            print(json.dumps(row), flush=True)
         if "ladder" in modes:
             # multiscale: alignment evidence at `wlen` (alive at 128 ms
             # for syllabic envelopes, dead at 256 ms -- measured blind
