@@ -186,6 +186,19 @@ def test_separate_reseed_pipeline(mix_wav, tmp_path, capsys):
     assert rep["stages"] and isinstance(rep["picked"], str)
 
 
+def test_separate_reseed_pipeline_guarded(mix_wav, tmp_path, capsys):
+    """--select consistency --reseed-select envcorr: consistency pool
+    selection with envcorr-guarded reseed acceptance (design.md §6g)."""
+    out_dir = str(tmp_path / "rg")
+    assert main(["separate", mix_wav, "-o", out_dir, "--model", "fullrank",
+                 "--spatial-init", "--reseed", "1", "--iters", "8",
+                 "--nmf-comps", "3", "--wlen", "256", "-q",
+                 "--select", "consistency",
+                 "--reseed-select", "envcorr"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["files"]) == 2 and np.isfinite(rep["final_loglik"])
+
+
 def test_separate_multiscale_ladder(mix_wav, tmp_path, capsys):
     """--multiscale-wlen W runs the fine->coarse ladder; W must be finer
     than --wlen."""

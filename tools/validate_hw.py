@@ -590,10 +590,14 @@ def scenario_general_I(rng):
     model = MultiChanNMFInst_FASST(mix_m, fs=FS, nbComps=2, nbNMFComps=6,
                                    wlen=WLEN, iter_num=300, seed=0)
     t0 = time.perf_counter()
-    model.estim_param_a_posteriori()
+    # production blind-mono path (models/mono.py nmf_cluster_init):
+    # random init measured 3.2 dB on this fixture vs 11.4 from the
+    # mixture-NMF envelope-clustering init (tools/mono_ceiling.py,
+    # design.md §6h)
+    model.estim_param_blind_mono()
     ys = model.separated_images()
     wall = time.perf_counter() - t0
-    r2 = _report("mono 2src (spectral-only, no spatial cues)",
+    r2 = _report("mono 2src blind (spectral-only, nmf-cluster init)",
                  _best_perm_sdr(ys, ys_true_m), wall, 300,
                  images=(ys, ys_true_m))
     return [r1, r2]
