@@ -1117,9 +1117,25 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
       votes are already globally aligned, so this preserves the init's
       global structure and uses the EM only to clean local errors --
       immune to envelope noise, blind to global init errors.
-    - 'both': both vote planes from the SAME EM probes (the probes
-      dominate the cost) -> dict {mode: votes}; the caller enters each
-      as its own pool candidate and selection arbitrates.
+    - 'spatial': align bands on their converged stems' SPATIAL feature
+      centroids -- each (band, stem) node is the dominance-weighted
+      mean of the normalized covariance features (the same space the
+      global clustering runs in) over the whole band, then J-community
+      spherical k-means with the per-band all-different assignment
+      (the envelope alignment's machinery, envelope-free node
+      features). MEASURED AND REJECTED as a quality lever (round 4,
+      kept for the catalogue): with ORACLE dominance labels the band
+      feature centroids align only 30/72 adjacent-band pairs on the
+      mini configs[2] draw and 134-164/272 on image seeds 202-203 --
+      the cross-frequency spatial signal saturates even after
+      band-level power pooling, so no assignment machinery on top can
+      work (a greedy edge-covariance chain variant measured 0.66 vs
+      the envelope alignment's 0.92 before this). Do not re-try
+      without a feature that is actually comparable across bands.
+    - 'both': envelope + init vote planes from the SAME EM probes (the
+      probes dominate the cost) -> dict {mode: votes}; the caller
+      enters each as its own pool candidate and selection arbitrates.
+    - 'all': all three planes -> dict.
     """
     import jax
     import jax.numpy as jnp
@@ -1215,7 +1231,7 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
         return votes / counts
 
     out = {}
-    if band_align in ("envelope", "both"):
+    if band_align in ("envelope", "both", "all"):
         # cross-band alignment on the at-convergence envelopes
         act = np.stack([env_b[pick[b]] for b in range(B)])   # (B, J, N)
         pwb = np.stack([pw[s0:s0 + Fb].sum(0) for s0 in starts])
@@ -1223,7 +1239,7 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
         cent = _spherical_kmeans(U, npow, J, seed=seed)
         sel = _assignment_from_embedding(U, cent, B, J)
         out["envelope"] = _emit(np.argsort(sel, axis=1))     # (B, J)
-    if band_align in ("init", "both"):
+    if band_align in ("init", "both", "all"):
         # anchor each band to its own (globally aligned) init votes:
         # permutation maximizing power-weighted agreement between the
         # converged dominance labels and the band's init vote mass
@@ -1236,10 +1252,35 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
             # invert so inv[converged label] = init channel
             inv[b] = np.argsort(_best_assignment(T)[0])
         out["init"] = _emit(inv)
+    if band_align in ("spatial", "all"):
+        # (band, stem) nodes = dominance-weighted covariance-feature
+        # centroids over the WHOLE band; J-community spherical k-means
+        # + per-band all-different assignment. Decision path: host
+        # float64 (the bf16-victim class never touches the device).
+        D = feat.shape[-1]
+        nodes = np.zeros((B, J, D))
+        npow_s = np.zeros((B, J))
+        for b, s0 in enumerate(starts):
+            sl = slice(s0, s0 + Fb)
+            lab = lab_b[pick[b]]                           # (Fb, N)
+            wts = np.asarray(pw[sl], np.float64)
+            fb = np.asarray(feat[sl], np.float64)
+            for k in range(J):
+                m = (lab == k) * wts
+                tot = float(m.sum())
+                if tot > 0:
+                    nodes[b, k] = np.einsum('fn,fnd->d', m, fb) / tot
+                npow_s[b, k] = tot
+        U = nodes.reshape(B * J, D)
+        U = U / np.maximum(
+            np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
+        cent = _spherical_kmeans(U, npow_s.reshape(-1), J, seed=seed)
+        sel = _assignment_from_embedding(U, cent, B, J)
+        out["spatial"] = _emit(np.argsort(sel, axis=1))
     if not out:
-        raise ValueError(f"band_align must be envelope|init|both, "
-                         f"got {band_align!r}")
-    return out if band_align == "both" else out[band_align]
+        raise ValueError(f"band_align must be envelope|init|spatial|"
+                         f"both|all, got {band_align!r}")
+    return out if band_align in ("both", "all") else out[band_align]
 
 
 def repair_votes(votes: np.ndarray, pw: np.ndarray,

@@ -132,11 +132,11 @@ def main():
             bw = int(name[6:]) if len(name) > 6 else 32
             pw = (np.abs(X) ** 2).sum(-1)
             bv = band_em_votes(X, J, band_width=bw, iters=150,
-                               n_seeds=args.n_seeds, band_align="both")
+                               n_seeds=args.n_seeds, band_align="all")
             rec = {"variant": name}
             for mode, v in bv.items():
                 lab = np.argmax(v, -1)
-                key = "" if mode == "envelope" else "_init"
+                key = "" if mode == "envelope" else f"_{mode}"
                 rec["ub" + key] = round(
                     float(_acc_perfreq(lab, olab, pw, J)), 4)
                 rec["consensus" + key] = round(
