@@ -28,14 +28,18 @@ def _add_common(p):
 # each preset overwrites the listed knobs wholesale -- vary knobs manually
 # instead of combining them with a preset.
 _PRESETS = {
-    # best of the round-4 speech sweep (5 draws x 8 configs incl. band-EM
-    # pools): the 1024->4096 multiscale ladder -- min-SDR median 0.13 /
-    # mean-SDR mean 2.26 dB over the SiSEC-regime stand-in draws. This is
-    # the measured boundary of blind speech separation here, not a
-    # strong operating point; the sweep table lives in design.md §6e.
-    "speech": dict(model="fullrank", spatial_init=True, reseed=2,
-                   wlen=4096, multiscale_wlen=1024, iters=400,
-                   nmf_comps=6),
+    # the round-4 speech A/B winner (design.md §6g): band-EM pool +
+    # cross-seed-consistency selection, NO reseeds -- a reseed is a warm
+    # restart whose seeds agree deterministically, and on speech both
+    # acceptance rules let it drop the best draws. Measured min SDR per
+    # draw (seeds 120-124): {9.47, 0.60, 0.20, 0.64, 0.34} -- worst
+    # 0.20 / median 0.60 / mean 2.25, no negative draw (the previous
+    # ladder preset: median 0.13; the r3 envcorr rule: median -0.09).
+    # Still the measured boundary of blind 3-spk reverberant speech from
+    # 2 mics, not a strong operating point.
+    "speech": dict(model="fullrank", spatial_init=True, reseed=0,
+                   wlen=2048, multiscale_wlen=None, iters=400,
+                   nmf_comps=6, band_em=32, select="consistency"),
     # the configs[2]-gate recipe (reverberant 4-source family): band-EM
     # candidates + cross-seed-consistency selection measure min-SDR
     # worst/median/best 8.02/8.73/11.44 on the gate draws 102-106
@@ -109,7 +113,7 @@ def _cmd_separate(args) -> int:
     elif args.model in ("conv", "fullrank"):
         init_mixing = None
         profiles = None
-        if args.spatial_init and args.reseed > 0:
+        if args.spatial_init and args.reseed >= 0:
             if getattr(args, "transform", "stft") != "stft":
                 raise ValueError("--reseed pipeline supports the STFT "
                                  "front-end only")
@@ -397,13 +401,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "reverberant conv/fullrank models (overrides "
                         "--demix; holds the mixing for the first 30%% of "
                         "iterations)")
-    p.add_argument("--reseed", type=int, default=0, metavar="N",
+    p.add_argument("--reseed", type=int, default=-1, metavar="N",
                    help="with --spatial-init on conv/fullrank: run the "
                         "full blind reverberant pipeline (candidate pool "
                         "at full convergence, degeneracy-statistics "
-                        "selection, N rounds of EM posterior reseeding) "
-                        "instead of a single init+fit; STFT front-end, "
-                        "any channel count")
+                        "selection, N rounds of EM posterior reseeding; "
+                        "N=0 runs pool+selection with no reseeds -- the "
+                        "measured speech operating point) instead of a "
+                        "single init+fit; STFT front-end, any channel "
+                        "count")
     p.add_argument("--n-devices", dest="n_devices", type=int, default=1,
                    metavar="N",
                    help="shard the --spatial-init candidate pool / probe "

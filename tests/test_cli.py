@@ -227,12 +227,15 @@ def test_preset_applies_operating_point():
 
     ns = argparse.Namespace(preset="speech", model="inst", wlen=1024,
                             iters=200, multiscale_wlen=None,
-                            spatial_init=False, reseed=0, nmf_comps=8)
+                            spatial_init=False, reseed=-1, nmf_comps=8)
     _apply_preset(ns)
-    assert ns.model == "fullrank" and ns.spatial_init and ns.reseed > 0
-    assert ns.multiscale_wlen and ns.multiscale_wlen < ns.wlen
+    # reseed >= 0 triggers the pool pipeline (0 = pool+selection, no
+    # reseeds -- the measured speech operating point, design.md §6g)
+    assert ns.model == "fullrank" and ns.spatial_init and ns.reseed >= 0
+    assert ns.select == "consistency" and ns.band_em
     for name, cfg in _PRESETS.items():
         assert cfg["model"] == "fullrank" and cfg["spatial_init"], name
+        assert cfg["reseed"] >= 0, name
 
 
 def test_reseed_rejects_warped_transform(mix_wav, tmp_path, capsys):

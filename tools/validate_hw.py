@@ -447,12 +447,14 @@ def scenario_speech(rng):
     syllable timing) under T60=0.25 s reverb, 2 channels, 10 s — the
     reference's headline campaign regime (SURVEY.md §6: underdetermined
     reverberant speech; no network access for the real corpus). Blind
-    pipeline at the production speech wlen (2048, tools/speech_lab.py
-    sweep). Report-only boundary row like the music rows: measured lab
-    range over seeds 120-122 was +2.2 / -0.7 / -0.1 dB min SDR — blind
-    separation of 3 overlapped reverberant speakers from 2 mics sits at
-    the capability edge of this model family, and the row records it
-    honestly (the matrix seed lands in that range)."""
+    pipeline at the SHIPPED `--preset speech` operating point (band-EM
+    pool + cross-seed-consistency selection, no reseeds -- the round-4
+    A/B winner, design.md §6g). Report-only boundary row like the music
+    rows: measured min SDR over seeds 120-124 was
+    {9.47, 0.60, 0.20, 0.64, 0.34} -- blind separation of 3 overlapped
+    reverberant speakers from 2 mics sits at the capability edge of
+    this model family, and the row records it honestly (the matrix
+    seed is the range's best draw)."""
     import speech_lab
 
     mix, ys_true, n = speech_lab._fixture(3, 0.25, 120)
@@ -460,7 +462,10 @@ def scenario_speech(rng):
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
     from pyfasst_tpu.models.reverb import blind_reverb_separate
     t0 = time.perf_counter()
-    Y, info = blind_reverb_separate(X, J=3, iters=400, em_seeds=2)
+    Y, info = blind_reverb_separate(X, J=3, iters=400, em_seeds=2,
+                                    reseed_rounds=0, band_em=32,
+                                    select="consistency",
+                                    chunk=12)
     ys = _istft_images(tft, Y, n)
     wall = time.perf_counter() - t0
     return _report("speech 3-spk T60=0.25s 2ch (SiSEC-regime stand-in, "
