@@ -53,6 +53,12 @@ print("wrote:", *model.separate_spat_comps(out_dir), sep="\n  ")
 #   print("picked:", info["picked"])
 #   model.separate_spat_comps(out_dir)
 #
+# The measured operating points ship as CLI presets: `--preset reverb`
+# (adds band-local-EM pool candidates + cross-seed-consistency
+# selection: min-SDR worst/median/best 8.02/8.73/11.44 on the gate
+# draws) and `--preset speech` (reseed-free pool + consistency
+# selection; docs/design.md section 6g).
+#
 # For material whose alignment evidence lives at a finer time scale than
 # the best model grid (e.g. beat-locked music at 44.1 kHz under real
 # reverb), run the MULTISCALE LADDER instead (docs/design.md section 6e):

@@ -24,8 +24,9 @@ def _add_common(p):
     p.add_argument("-q", "--quiet", action="store_true")
 
 
-# measured operating points (tools/speech_sweep.py; docs/design.md §6e/§6g):
-# each preset overwrites the listed knobs wholesale -- vary knobs manually
+# measured operating points (tools/speech_sweep.py round-4 sweep, then the
+# speech reseed A/B in tools/speech_lab.py; docs/design.md §6e/§6g): each
+# preset overwrites the listed knobs wholesale -- vary knobs manually
 # instead of combining them with a preset.
 _PRESETS = {
     # the round-4 speech A/B winner (design.md §6g): band-EM pool +
