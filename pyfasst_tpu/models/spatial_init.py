@@ -51,7 +51,7 @@ the EM itself stays the jitted device program).
 from __future__ import annotations
 
 from itertools import permutations
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -59,7 +59,7 @@ __all__ = [
     "tf_covariance_features", "consensus_votes", "mixing_from_votes",
     "activity_profiles", "full_rank_init", "apply_profiles",
     "repair_votes", "candidate_votes", "select_init_by_likelihood",
-    "band_em_votes",
+    "band_em_votes", "glue_band_perms",
 ]
 
 
@@ -1073,70 +1073,34 @@ def select_init_by_likelihood(X: np.ndarray, cands, xx, pw,
     return A, twp, fbp, name
 
 
-def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
-                  iters: int = 150, nmf_comps: int = 3, rank: int = 2,
-                  votes_init: Optional[np.ndarray] = None,
-                  n_seeds: int = 8, em_seeds: int = 2,
-                  env_transform: Optional[str] = None,
-                  band_align: str = "envelope",
-                  n_devices: int = 1, seed: int = 0,
-                  verbose: bool = False):
-    """Per-bin votes from BAND-LOCAL EM probes (model-evidence pooling).
+class BandProbes(NamedTuple):
+    """Converged band-local EM probe products (see _band_em_probes)."""
+    starts: tuple          # band start bins (last band may overlap)
+    Fb: int                # band width in bins
+    pick: np.ndarray       # (B,) winning run index per band (by loglik)
+    lab: np.ndarray        # (C, Fb, N) converged Wiener dominance labels
+    env: np.ndarray        # (C, J, N) converged per-stem envelopes
+    ll: np.ndarray         # (C,) final log-likelihoods
+    names: tuple           # (band, em_seed) per run
+    votes_init: np.ndarray  # (F, N, J) the init vote plane used
+    feat: np.ndarray       # tf_covariance_features of the full plane
+    w: np.ndarray
+    pw: np.ndarray
+    xx: np.ndarray
 
-    The fine-grid blind vote quality is capped by per-bin covariance
-    features that saturate at ~0 dB direct-to-reverb (docs/design.md
-    §6e); the one measured signal that beats any initial blind alignment
-    is a converged run's OWN dominance votes (0.64 vs 0.56 accuracy,
-    pool-consensus finding). This pools that evidence at band scale:
 
-    1. Split F into `band_width`-bin bands (last band overlaps to fit).
-    2. Run a FULL GEM per band -- all (band, spectral-seed) runs in one
-       batched device program (the configs[4] executable) -- seeded from
-       the production consensus votes restricted to the band. Within a
-       band there is no cross-frequency permutation problem for the EM
-       to inherit beyond the init's local errors, which the EM is
-       measured to clean.
-    3. Per band pick the spectral seed by final log-likelihood (same
-       data within a band -- directly comparable).
-    4. Align BANDS (B nodes instead of F) by spectral clustering of
-       their at-convergence source envelopes -- far fewer, far cleaner
-       nodes than the per-frequency activity graph.
-    5. Per-bin votes = the aligned bands' Wiener dominance one-hots
-       (overlapped bins average).
-
-    Returns votes (F, N, J) for the candidate pool (the tiered
-    selection arbitrates against the clustering candidates).
-
-    band_align picks step 4's cross-band matching:
-    - 'envelope' (the measured default): re-cluster the B band nodes by
-      their at-convergence envelopes -- can FIX global permutation
-      errors the init carried, but inherits the envelope-alignment
-      failure regime (image family, §6f).
-    - 'init': permute each band's converged stems to agree with the
-      band's own INIT votes (power-weighted label agreement). The init
-      votes are already globally aligned, so this preserves the init's
-      global structure and uses the EM only to clean local errors --
-      immune to envelope noise, blind to global init errors.
-    - 'spatial': align bands on their converged stems' SPATIAL feature
-      centroids -- each (band, stem) node is the dominance-weighted
-      mean of the normalized covariance features (the same space the
-      global clustering runs in) over the whole band, then J-community
-      spherical k-means with the per-band all-different assignment
-      (the envelope alignment's machinery, envelope-free node
-      features). MEASURED AND REJECTED as a quality lever (round 4,
-      kept for the catalogue): with ORACLE dominance labels the band
-      feature centroids align only 30/72 adjacent-band pairs on the
-      mini configs[2] draw and 134-164/272 on image seeds 202-203 --
-      the cross-frequency spatial signal saturates even after
-      band-level power pooling, so no assignment machinery on top can
-      work (a greedy edge-covariance chain variant measured 0.66 vs
-      the envelope alignment's 0.92 before this). Do not re-try
-      without a feature that is actually comparable across bands.
-    - 'both': envelope + init vote planes from the SAME EM probes (the
-      probes dominate the cost) -> dict {mode: votes}; the caller
-      enters each as its own pool candidate and selection arbitrates.
-    - 'all': all three planes -> dict.
-    """
+def _band_em_probes(X: np.ndarray, J: int, *, band_width: int = 32,
+                    iters: int = 150, nmf_comps: int = 3, rank: int = 2,
+                    votes_init: Optional[np.ndarray] = None,
+                    n_seeds: int = 8, em_seeds: int = 2,
+                    env_transform: Optional[str] = None,
+                    n_devices: int = 1, seed: int = 0,
+                    verbose: bool = False) -> BandProbes:
+    """Steps 1-3 of band_em_votes: run a full GEM per frequency band
+    (all (band, spectral-seed) runs in one batched device program),
+    pick each band's seed by final log-likelihood, and return the
+    converged dominance labels / envelopes for the alignment emitters
+    (band_em_votes) and the gluing scorer (glue_band_perms)."""
     import jax
     import jax.numpy as jnp
 
@@ -1220,6 +1184,240 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
     if verbose:
         print(f"band_em_votes: {B} bands x {em_seeds} seeds, "
               f"ll range {ll.min():.1f}..{ll.max():.1f}")
+    return BandProbes(starts=tuple(starts), Fb=Fb, pick=pick, lab=lab_b,
+                      env=env_b, ll=ll, names=tuple(names),
+                      votes_init=votes_init, feat=feat, w=w, pw=pw, xx=xx)
+
+
+def glue_band_perms(X: np.ndarray, J: int, probes: BandProbes, *,
+                    glue_iters: int = 20, nmf_comps: int = 2,
+                    rank: int = 2, fixed_spatial: bool = True,
+                    n_devices: int = 1, seed: int = 0,
+                    chunk: int = 128, verbose: bool = False):
+    """MODEL-EVIDENCE pairwise band gluing (docs/design.md §6i).
+
+    For each ADJACENT band pair (b, b+1) and each relative permutation
+    rho of band b+1's converged stems against band b's, run a SHORT
+    joint EM over the two-band slab, seeded from the GLUED dominance
+    votes (band b's labels below, rho-permuted band b+1's labels
+    above), and pick rho by final log-likelihood. All (pair, rho) runs
+    share the batched configs[4] executable in chunked device programs.
+
+    Why this can see what the rejected aligners cannot: within a pair
+    every rho fits the SAME slab data with the SAME spectral seeds, so
+    the final logliks are directly comparable, and the only cross-band
+    tying in the FASST model is the spectral factors (conv mixing is
+    per-frequency) -- a correct glue lets nmf_comps shared time
+    activations explain both bands' dominance patterns, a wrong glue
+    forces them to cover two different sources' time structure.
+    Per-bin spatial signatures (saturated, §6f) and pooled envelopes
+    (noisy, §6f) never enter the decision.
+
+    Known risk (measured, tools/glue_lab.py): converged likelihoods can
+    be blind to permutations when the model has enough freedom to
+    specialize per band -- free-spatial glue EMs measured WORSE the
+    longer they run (mini draws: pair_acc 0.375 at 40 iters, 0.0-0.125
+    at 80; wrong glues won confidently) because per-frequency conv
+    mixing lets the spatial side absorb any glue. fixed_spatial=True
+    freezes the spatial comps at the vote-derived mixing so the
+    likelihood can only move through the SHARED spectral factors --
+    the coupling the glue hypothesis is about. SHORT EMs (glue_iters)
+    and small nmf_comps keep the expressivity penalty of a wrong glue
+    alive either way. The overlap bins of a ragged last band are
+    double-counted in its pair's slab (evidence only; harmless).
+
+    Returns (perms, margins): perms (B-1, J) with perms[p][a] = stem of
+    band p+1 glued to stem a of band p; margins (B-1,) the loglik gap
+    between the winning rho and the runner-up (small margin = weak
+    link; diagnostic).
+    """
+    import jax
+
+    from pyfasst_tpu.models.components import (
+        CONV, FasstParams, SpatialComp, init_nmf_comp,
+    )
+    from pyfasst_tpu.ops.gem import annealing_endpoints
+    from pyfasst_tpu.parallel.sharding import (
+        batch_params, batched_run_gem, make_mesh,
+    )
+    from pyfasst_tpu.utils.config import GEMConfig
+    from pyfasst_tpu.utils.misc import to_device_complex
+
+    starts, Fb, pick = probes.starts, probes.Fb, probes.pick
+    B = len(starts)
+    pw, xx = probes.pw, probes.xx
+    P, Pinv = _perm_tables(J)
+    nP = len(P)
+
+    plist, xlist = [], []
+    for pi in range(B - 1):
+        sl0 = slice(starts[pi], starts[pi] + Fb)
+        sl1 = slice(starts[pi + 1], starts[pi + 1] + Fb)
+        lab0 = probes.lab[pick[pi]]
+        lab1 = probes.lab[pick[pi + 1]]
+        Xs = np.concatenate([X[sl0], X[sl1]], axis=0)
+        xxs = np.concatenate([xx[sl0], xx[sl1]], axis=0)
+        pws = np.concatenate([pw[sl0], pw[sl1]], axis=0)
+        scale = float(np.sqrt(np.mean(np.abs(Xs) ** 2))) or 1.0
+        Xs = np.ascontiguousarray(Xs) / scale
+        v0 = np.eye(J)[lab0]
+        # same spectral seeds for every rho within a pair: logliks
+        # differ only through the glue hypothesis
+        keys = list(jax.random.split(jax.random.PRNGKey(seed + pi), J))
+        for ri in range(nP):
+            v1 = np.eye(J)[Pinv[ri][lab1]]
+            votes = np.concatenate([v0, v1], axis=0)       # (2Fb, N, J)
+            A = mixing_from_votes(votes, xxs, pws, rank=rank)
+            twp, fbp = activity_profiles(votes, pws)
+            spat = tuple(SpatialComp(A=to_device_complex(A[j]),
+                                     mix_type=CONV,
+                                     free=not fixed_spatial)
+                         for j in range(J))
+            spec = tuple(init_nmf_comp(keys[j], 2 * Fb, votes.shape[1],
+                                       nmf_comps, spat_ind=j)
+                         for j in range(J))
+            plist.append(apply_profiles(
+                FasstParams(spat=spat, spec=spec), twp, fbp))
+            xlist.append(Xs)
+
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape.get("dp", 1)
+    cfg = GEMConfig(niter=glue_iters, spatial_hold_frac=0.3)
+    nruns = len(plist)
+    lls = np.full(nruns, -np.inf)
+    se_fn = None
+    for c0 in range(0, nruns, chunk):
+        pc = plist[c0:c0 + chunk]
+        xc = xlist[c0:c0 + chunk]
+        Cc = len(pc)
+        Cp = ((Cc + dp - 1) // dp) * dp
+        pc = pc + [pc[0]] * (Cp - Cc)
+        xc = xc + [xc[0]] * (Cp - Cc)
+        params_b = batch_params(pc)
+        X_b = to_device_complex(np.stack(xc))
+        if se_fn is None:
+            se_fn = jax.jit(jax.vmap(
+                lambda Xi: annealing_endpoints(Xi, cfg)))
+        s0_b, s1_b = se_fn(X_b)
+        _, ll_b = batched_run_gem(params_b, X_b, cfg, mesh,
+                                  sigma_endpoints_b=(s0_b, s1_b))
+        lls[c0:c0 + Cc] = np.asarray(ll_b[:Cc, -1], np.float64)
+    llm = lls.reshape(B - 1, nP)
+    order = np.argsort(llm, axis=1)[:, ::-1]
+    perms = P[order[:, 0]]
+    margins = llm[np.arange(B - 1), order[:, 0]] \
+        - llm[np.arange(B - 1), order[:, 1]]
+    if verbose:
+        print(f"glue_band_perms: {B - 1} pairs x {nP} perms, "
+              f"margins {margins.min():.2f}..{margins.max():.2f}")
+    return perms, margins
+
+
+def _chain_glue(perms: np.ndarray, J: int) -> np.ndarray:
+    """Compose pairwise gluings into a global band alignment.
+
+    inv[b][a] = output channel of band b's stem a; band 0 anchors the
+    channels, then inv[b+1][a'] = inv[b][rho^-1[a']] for each glued
+    pair (one wrong link misaligns everything above it -- the margins
+    say which links are weak)."""
+    B = perms.shape[0] + 1
+    inv = np.zeros((B, J), np.int64)
+    inv[0] = np.arange(J)
+    for b in range(B - 1):
+        inv[b + 1] = inv[b][np.argsort(perms[b])]
+    return inv
+
+
+def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
+                  iters: int = 150, nmf_comps: int = 3, rank: int = 2,
+                  votes_init: Optional[np.ndarray] = None,
+                  n_seeds: int = 8, em_seeds: int = 2,
+                  env_transform: Optional[str] = None,
+                  band_align: str = "envelope",
+                  glue_iters: int = 20,
+                  n_devices: int = 1, seed: int = 0,
+                  probes: Optional[BandProbes] = None,
+                  return_detail: bool = False,
+                  verbose: bool = False):
+    """Per-bin votes from BAND-LOCAL EM probes (model-evidence pooling).
+
+    The fine-grid blind vote quality is capped by per-bin covariance
+    features that saturate at ~0 dB direct-to-reverb (docs/design.md
+    §6e); the one measured signal that beats any initial blind alignment
+    is a converged run's OWN dominance votes (0.64 vs 0.56 accuracy,
+    pool-consensus finding). This pools that evidence at band scale:
+
+    1. Split F into `band_width`-bin bands (last band overlaps to fit).
+    2. Run a FULL GEM per band -- all (band, spectral-seed) runs in one
+       batched device program (the configs[4] executable) -- seeded from
+       the production consensus votes restricted to the band. Within a
+       band there is no cross-frequency permutation problem for the EM
+       to inherit beyond the init's local errors, which the EM is
+       measured to clean.
+    3. Per band pick the spectral seed by final log-likelihood (same
+       data within a band -- directly comparable).
+    4. Align BANDS (B nodes instead of F) by spectral clustering of
+       their at-convergence source envelopes -- far fewer, far cleaner
+       nodes than the per-frequency activity graph.
+    5. Per-bin votes = the aligned bands' Wiener dominance one-hots
+       (overlapped bins average).
+
+    Returns votes (F, N, J) for the candidate pool (the tiered
+    selection arbitrates against the clustering candidates).
+
+    band_align picks step 4's cross-band matching:
+    - 'envelope' (the measured default): re-cluster the B band nodes by
+      their at-convergence envelopes -- can FIX global permutation
+      errors the init carried, but inherits the envelope-alignment
+      failure regime (image family, §6f).
+    - 'init': permute each band's converged stems to agree with the
+      band's own INIT votes (power-weighted label agreement). The init
+      votes are already globally aligned, so this preserves the init's
+      global structure and uses the EM only to clean local errors --
+      immune to envelope noise, blind to global init errors.
+    - 'spatial': align bands on their converged stems' SPATIAL feature
+      centroids -- each (band, stem) node is the dominance-weighted
+      mean of the normalized covariance features (the same space the
+      global clustering runs in) over the whole band, then J-community
+      spherical k-means with the per-band all-different assignment
+      (the envelope alignment's machinery, envelope-free node
+      features). MEASURED AND REJECTED as a quality lever (round 4,
+      kept for the catalogue): with ORACLE dominance labels the band
+      feature centroids align only 30/72 adjacent-band pairs on the
+      mini configs[2] draw and 134-164/272 on image seeds 202-203 --
+      the cross-frequency spatial signal saturates even after
+      band-level power pooling, so no assignment machinery on top can
+      work (a greedy edge-covariance chain variant measured 0.66 vs
+      the envelope alignment's 0.92 before this). Do not re-try
+      without a feature that is actually comparable across bands.
+    - 'glue': MODEL-EVIDENCE pairwise gluing (glue_band_perms): a short
+      joint EM per adjacent band pair and relative permutation, link
+      picked by final likelihood, links chained from band 0. The one
+      alignment family whose decision statistic is neither a per-bin
+      spatial signature nor a pooled envelope (docs/design.md §6i).
+    - 'both': envelope + init vote planes from the SAME EM probes (the
+      probes dominate the cost) -> dict {mode: votes}; the caller
+      enters each as its own pool candidate and selection arbitrates.
+    - 'all': envelope + init + spatial planes -> dict.
+    - 'all+glue': all four planes -> dict.
+
+    return_detail=True additionally returns {"probes": BandProbes,
+    "inv": {mode: (B, J) band alignment}} for diagnostics/labs; pass a
+    precomputed `probes` to reuse one probe set across calls (the
+    probes dominate the cost).
+    """
+    if probes is None:
+        probes = _band_em_probes(
+            X, J, band_width=band_width, iters=iters,
+            nmf_comps=nmf_comps, rank=rank, votes_init=votes_init,
+            n_seeds=n_seeds, em_seeds=em_seeds,
+            env_transform=env_transform, n_devices=n_devices,
+            seed=seed, verbose=verbose)
+    F, N = X.shape[:2]
+    starts, Fb, pick = probes.starts, probes.Fb, probes.pick
+    lab_b, env_b = probes.lab, probes.env
+    feat, pw, votes_init = probes.feat, probes.pw, probes.votes_init
+    B = len(starts)
 
     def _emit(inv):
         votes = np.zeros((F, N, J))
@@ -1230,16 +1428,17 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
             counts[s0:s0 + Fb] += 1.0
         return votes / counts
 
-    out = {}
-    if band_align in ("envelope", "both", "all"):
+    out, invs = {}, {}
+    if band_align in ("envelope", "both", "all", "all+glue"):
         # cross-band alignment on the at-convergence envelopes
         act = np.stack([env_b[pick[b]] for b in range(B)])   # (B, J, N)
         pwb = np.stack([pw[s0:s0 + Fb].sum(0) for s0 in starts])
         U, npow = _embed_nodes(act, pwb, env_transform=env_transform)
         cent = _spherical_kmeans(U, npow, J, seed=seed)
         sel = _assignment_from_embedding(U, cent, B, J)
-        out["envelope"] = _emit(np.argsort(sel, axis=1))     # (B, J)
-    if band_align in ("init", "both", "all"):
+        invs["envelope"] = np.argsort(sel, axis=1)           # (B, J)
+        out["envelope"] = _emit(invs["envelope"])
+    if band_align in ("init", "both", "all", "all+glue"):
         # anchor each band to its own (globally aligned) init votes:
         # permutation maximizing power-weighted agreement between the
         # converged dominance labels and the band's init vote mass
@@ -1251,8 +1450,9 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
             # sel[j] = converged label assigned to init channel j;
             # invert so inv[converged label] = init channel
             inv[b] = np.argsort(_best_assignment(T)[0])
+        invs["init"] = inv
         out["init"] = _emit(inv)
-    if band_align in ("spatial", "all"):
+    if band_align in ("spatial", "all", "all+glue"):
         # (band, stem) nodes = dominance-weighted covariance-feature
         # centroids over the WHOLE band; J-community spherical k-means
         # + per-band all-different assignment. Decision path: host
@@ -1276,11 +1476,24 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
             np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
         cent = _spherical_kmeans(U, npow_s.reshape(-1), J, seed=seed)
         sel = _assignment_from_embedding(U, cent, B, J)
-        out["spatial"] = _emit(np.argsort(sel, axis=1))
+        invs["spatial"] = np.argsort(sel, axis=1)
+        out["spatial"] = _emit(invs["spatial"])
+    if band_align in ("glue", "all+glue"):
+        # glue EMs keep their own measured operating point (fixed
+        # spatial, short, small K) -- NOT the probe stage's knobs
+        perms, margins = glue_band_perms(
+            X, J, probes, glue_iters=glue_iters, rank=rank,
+            n_devices=n_devices, seed=seed, verbose=verbose)
+        invs["glue"] = _chain_glue(perms, J)
+        out["glue"] = _emit(invs["glue"])
     if not out:
         raise ValueError(f"band_align must be envelope|init|spatial|"
-                         f"both|all, got {band_align!r}")
-    return out if band_align in ("both", "all") else out[band_align]
+                         f"glue|both|all|all+glue, got {band_align!r}")
+    multi = band_align in ("both", "all", "all+glue")
+    res = out if multi else out[band_align]
+    if return_detail:
+        return res, {"probes": probes, "inv": invs}
+    return res
 
 
 def repair_votes(votes: np.ndarray, pw: np.ndarray,
