@@ -1196,6 +1196,17 @@ def glue_band_perms(X: np.ndarray, J: int, probes: BandProbes, *,
                     chunk: int = 128, verbose: bool = False):
     """MODEL-EVIDENCE pairwise band gluing (docs/design.md §6i).
 
+    MEASURED AND REJECTED as a quality lever (round 4, kept for the
+    catalogue): with fixed_spatial=True + 20 iters (the honest form,
+    below) the glue reaches pair_acc 1.0/0.75 on the mini configs[2]
+    draws but NEVER strictly beats the best existing aligner on any
+    hard draw (image 0.06-0.31 vs init's 0.25-0.50; music3 ties init;
+    reverb ties), chaining amplifies its single-link errors into
+    global misalignment, and the loglik margins carry no confidence
+    signal (median margin on WRONG links exceeds right links on 6 of
+    8 hard draws). Full table in design.md §6i; this closed the last
+    untried cross-band alignment family.
+
     For each ADJACENT band pair (b, b+1) and each relative permutation
     rho of band b+1's converged stems against band b's, run a SHORT
     joint EM over the two-band slab, seeded from the GLUED dominance
@@ -1394,7 +1405,10 @@ def band_em_votes(X: np.ndarray, J: int, *, band_width: int = 32,
       joint EM per adjacent band pair and relative permutation, link
       picked by final likelihood, links chained from band 0. The one
       alignment family whose decision statistic is neither a per-bin
-      spatial signature nor a pooled envelope (docs/design.md §6i).
+      spatial signature nor a pooled envelope — MEASURED AND REJECTED
+      round 4 (never strictly beats init/envelope on any hard draw,
+      margins uninformative; docs/design.md §6i has the full table).
+      Kept for the catalogue; never enters the production pool.
     - 'both': envelope + init vote planes from the SAME EM probes (the
       probes dominate the cost) -> dict {mode: votes}; the caller
       enters each as its own pool candidate and selection arbitrates.

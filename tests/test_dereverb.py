@@ -77,6 +77,29 @@ def test_wpe_contract():
         wpe_dereverb(X[..., 0])
 
 
+def test_chain_glue_composition():
+    """_chain_glue composes pairwise relative perms into a global band
+    alignment: inv[b+1] = inv[b] rearranged by the glue, anchored at
+    band 0; a known chain must invert exactly."""
+    from pyfasst_tpu.models.spatial_init import _chain_glue
+
+    J = 3
+    # rel[b][a] = stem of band b+1 glued to stem a of band b
+    perms = np.array([[1, 2, 0],   # band1 stem1 carries band0 stem0's src
+                      [0, 1, 2],   # identity link
+                      [2, 1, 0]])  # swap outer
+    inv = _chain_glue(perms, J)
+    assert inv.shape == (4, J)
+    np.testing.assert_array_equal(inv[0], [0, 1, 2])
+    # every row is a permutation
+    for b in range(4):
+        assert sorted(inv[b]) == list(range(J))
+    # chaining consistency: channel of band b stem a must equal channel
+    # of band b+1 stem perms[b][a] (they are glued together)
+    for b in range(3):
+        np.testing.assert_array_equal(inv[b], inv[b + 1][perms[b]])
+
+
 @pytest.mark.slow
 def test_band_em_votes_beats_consensus_on_mini_fixture():
     """Model-evidence band votes must beat the clustering consensus votes
@@ -114,9 +137,11 @@ def test_band_em_votes_beats_consensus_on_mini_fixture():
         return best
 
     v_cons = consensus_votes(X, J, n_seeds=4)
-    v_all = band_em_votes(X, J, band_width=32, iters=100, n_seeds=4,
-                          votes_init=v_cons, band_align="all")
-    assert set(v_all) == {"envelope", "init", "spatial"}
+    v_all, detail = band_em_votes(X, J, band_width=32, iters=100,
+                                  n_seeds=4, votes_init=v_cons,
+                                  band_align="all+glue", glue_iters=10,
+                                  return_detail=True)
+    assert set(v_all) == {"envelope", "init", "spatial", "glue"}
     a_c = acc(np.argmax(v_cons, -1))
     a_b = acc(np.argmax(v_all["envelope"], -1))
     assert a_b > a_c - 0.02, (a_b, a_c)
@@ -127,3 +152,14 @@ def test_band_em_votes_beats_consensus_on_mini_fixture():
     v_s = v_all["spatial"]
     assert v_s.shape == v_all["envelope"].shape
     np.testing.assert_allclose(v_s.sum(-1), 1.0, atol=1e-6)
+    # the glue plane is likewise measured-and-rejected (design.md §6i:
+    # never strictly beats init/envelope on any hard draw, margins
+    # uninformative); assert mechanism only — valid vote plane and a
+    # valid permutation per band in the chained alignment
+    v_g = v_all["glue"]
+    assert v_g.shape == v_all["envelope"].shape
+    np.testing.assert_allclose(v_g.sum(-1), 1.0, atol=1e-6)
+    inv_g = detail["inv"]["glue"]
+    assert inv_g.shape[1] == J
+    for row in inv_g:
+        assert sorted(row) == list(range(J))
