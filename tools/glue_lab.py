@@ -77,6 +77,12 @@ def _fixture(family: str, seed: int):
         from music_lab import _fixture as mfix
         mix, ys, _n = mfix(3, 0.12, seed)
         return mix, ys, 44100, 2048, 3
+    if family == "speech":
+        # the speech preset's operating point (3 spk, T60 0.25, wlen
+        # 2048) -- the one regime where band-EM votes are pool-picked
+        from speech_lab import _fixture as sfix
+        mix, ys, _n = sfix(3, 0.25, seed)
+        return mix, ys, 16000, 2048, 3
     raise SystemExit(f"unknown family {family}")
 
 
@@ -124,7 +130,8 @@ def _band_acc(inv, sigma):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="image",
-                    choices=("mini", "reverb", "image", "music3"))
+                    choices=("mini", "reverb", "image", "music3",
+                             "speech"))
     ap.add_argument("--seeds", default="202,203")
     ap.add_argument("--band-width", type=int, default=32)
     ap.add_argument("--iters", type=int, default=150)
