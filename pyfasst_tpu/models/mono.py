@@ -16,7 +16,7 @@ sources by clustering their time-envelope correlations, and initialize
 each source's FB/TW from its group. The EM then refines from a basin
 where each source already owns its spectral dictionary. Measured on the
 validation fixture (CPU + hardware, 200-300 iters): random 3.28 ->
-nmf-cluster 11.45 dB min SDR — ABOVE the oracle-FB ceiling (10.19),
+nmf-cluster 11.45 dB min SDR — ABOVE the oracle-FB ceiling (9.79),
 because the mixture factorization allocates components by what the
 mixture actually needs instead of per-source equal splits.
 
