@@ -428,13 +428,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "free consensus candidate (for material where "
                         "the spectral permutation alignment is "
                         "destructive, design.md §6f)")
-    p.add_argument("--select", default="envcorr",
+    p.add_argument("--select", default=None,
                    choices=("envcorr", "consistency"),
                    help="with --spatial-init --reseed: within-tier pool "
-                        "selection rule -- 'envcorr' (default) or "
-                        "'consistency' (cross-seed reproducibility; the "
-                        "measured better rule on speech-like material, "
-                        "design.md §6g)")
+                        "selection rule. Default auto: 'consistency' "
+                        "(cross-seed reproducibility) on the flat "
+                        "pipeline -- the measured better rule on reverb/"
+                        "speech regimes -- and 'envcorr' under "
+                        "--multiscale-wlen (beat-locked music, where "
+                        "consistency is measured worse; design.md §6g)")
     p.add_argument("--reseed-select", dest="reseed_select", default=None,
                    choices=("envcorr",),
                    help="with --select consistency: guard RESEED "

@@ -58,7 +58,7 @@ def selection_key(rec: dict, env_thr: float = 0.6,
        0 (once, by 0.12 dB). So tier-1 competes only when every tier-0
        run is vetoed -- the regime it was built for (same-direction
        mixtures where no clustering split isolates the sources).
-    3. select == "envcorr" (default): the envelope correlation itself.
+    3. select == "envcorr": the envelope correlation itself.
        select == "consistency": cross-seed consistency, DESCENDING --
        best-permutation mean correlation of the converged separation
        planes across the candidate's spectral EM seeds. Raw consistency
@@ -66,10 +66,12 @@ def selection_key(rec: dict, env_thr: float = 0.6,
        basins reproduce deterministically; design.md §6e) but applied
        AFTER the veto tier it picks the pool oracle on all measured
        family-1 gate draws and beats the envcorr order by 2-5 dB on
-       speech; on beat-locked music it stays worse, so it ships
-       regime-scoped (speech/reverb presets), not as the default
-       (design.md §6g). Runs without the statistic (single EM seed)
-       rank after any run that has it.
+       speech; on beat-locked music it stays worse. It is therefore the
+       DEFAULT of the flat pipeline (blind_reverb_separate resolves
+       select=None to consistency when em_seeds >= 2, round 5) while
+       the multiscale ladder -- the music entry point -- resolves to
+       envcorr (design.md §6g). Runs without the statistic (single EM
+       seed) rank after any run that has it.
     4. envelope correlation (under "consistency": the next tiebreak).
     5. final log-likelihood, descending (tiebreak only -- measured
        actively misleading as a primary criterion, see module docstring).
@@ -261,7 +263,7 @@ def blind_reverb_separate(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
-        select: str = "envcorr", reseed_select: Optional[str] = None,
+        select: Optional[str] = None, reseed_select: Optional[str] = None,
         keep_pool_sep: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
@@ -301,12 +303,18 @@ def blind_reverb_separate(
     where the envelope graph is too noisy to align (§6f). Both extend
     the pool; the tiered at-convergence selection arbitrates.
 
-    select ("envcorr" | "consistency") picks the within-tier ordering of
-    unvetoed runs (selection_key). "consistency" orders by cross-seed
-    reproducibility of the converged separation (needs em_seeds >= 2)
-    and is the measured better rule on speech-like material and the
-    family-1 reverb regime; "envcorr" remains the default and the
-    measured better rule on beat-locked music (design.md §6g).
+    select (None | "envcorr" | "consistency") picks the within-tier
+    ordering of unvetoed runs (selection_key). "consistency" orders by
+    cross-seed reproducibility of the converged separation (needs
+    em_seeds >= 2) and is the measured better rule on speech-like
+    material and the family-1 reverb regime (configs[2] gate
+    8.02/8.73/11.44 vs envcorr's 6.64/8.47/11.14, design.md §6g); None
+    (the default) resolves to "consistency" when em_seeds >= 2 (this
+    function's namesake regime is flat reverberant mixtures) and
+    "envcorr" otherwise. "envcorr" is the measured better rule on
+    beat-locked music, where degenerate basins are MORE seed-stable
+    than correct ones -- the multiscale ladder (the music entry point)
+    resolves its own None to "envcorr".
 
     reseed_select (None | "envcorr") guards RESEED acceptance under a
     different key than the pool selection. A reseed is a warm restart
@@ -330,6 +338,8 @@ def blind_reverb_separate(
         direction_split_candidates, realign_votes, tf_covariance_features,
     )
 
+    if select is None:
+        select = "consistency" if em_seeds >= 2 else "envcorr"
     feat, w, pw, xx = tf_covariance_features(X)
     transforms = [env_transform] if env_transform != "both" \
         else ["log1p", "rank"]
@@ -479,7 +489,7 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
     Y = to_host_complex(best["Y"]) * scale
     info = {"picked": best["name"], "envcorr": best["envcorr"],
             "min_share": best["min_share"], "final_ll": best["final_ll"],
-            "history": history, "params": best["params"]}
+            "select": select, "history": history, "params": best["params"]}
     if "consistency" in best:
         info["consistency"] = best["consistency"]
     if pool_stage is not None:
@@ -501,10 +511,15 @@ def blind_reverb_separate_multiscale(
         env_transform: Optional[str] = None,
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
-        select: str = "envcorr", reseed_select: Optional[str] = None,
+        select: Optional[str] = None, reseed_select: Optional[str] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
+
+    select=None resolves to "envcorr" here (NOT blind_reverb_separate's
+    consistency default): the ladder's regime is beat-locked music,
+    where cross-seed consistency is the measured WORSE rule -- stable
+    degenerate basins reproduce across seeds (design.md §6g).
 
     Measured motivation (tools/ladder_lab.py, music 3-stem T60=0.12 s,
     44.1 kHz): the envelope-correlation alignment signal is DEAD at
@@ -546,6 +561,8 @@ def blind_reverb_separate_multiscale(
     from pyfasst_tpu.tf.stft import STFT
     from pyfasst_tpu.utils.misc import to_host_complex
 
+    if select is None:
+        select = "envcorr"
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError("x must be (nsamples, I) time-domain audio")

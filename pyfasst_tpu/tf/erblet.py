@@ -24,7 +24,9 @@ When the storage/bandwidth matters more than one rectangular plane,
 coefficient count at auditory band counts) while every group stays a
 static dense array.
 
-Construction (finite, circular over the padded length Tp = N * hop):
+Construction (finite, circular over the padded length Tp ~ N * hop; both
+Tp and N are independently rounded up to TPU-FFT-friendly sizes — PR never
+needs Tp = N * hop, only band support <= N):
 
     analysis:  C_b = fold_N( rfft(x) * W_b ),    c_b = ifft_N(C_b)
     synthesis: X^[k] = sum_b unfold_b( fft_N(c_b) )[k] * W_b[k] / S[k],
@@ -51,6 +53,28 @@ import numpy as np
 
 from pyfasst_tpu.tf.filterbank import erb_to_hz, hz_to_erb
 from pyfasst_tpu.utils.misc import czeros
+
+# FFT lengths the TPU backend compiles natively. Measured (round-5 probe,
+# axon v5e): rfft at f * 2^k for f in {1, 3, 5, 9, 15} compiles and runs
+# (e.g. 15*2^15 = 491520 in ~9 s), while 441000 = 2^3*3^2*5^3*7^2 ABORTS
+# the backend compiler (the round-4 bench erblet row died here: the
+# full-signal rfft lowered to a dense f32[441000, 441000] DFT, 778 GB).
+# CPU FFT handles any length, so friendliness costs only <= 25%
+# zero-padding and buys the device path at flagship signal lengths.
+_FFT_FRIENDLY_ODD = (1, 3, 5, 9, 15)
+
+
+def _fft_friendly(n: int) -> int:
+    """Smallest m >= n of the form f * 2^k with f in _FFT_FRIENDLY_ODD."""
+    n = max(int(n), 1)
+    best = None
+    for f in _FFT_FRIENDLY_ODD:
+        m = f
+        while m < n:
+            m *= 2
+        if best is None or m < best:
+            best = m
+    return best
 
 
 class ERBLetTransform:
@@ -101,9 +125,14 @@ class ERBLetTransform:
 
     # -- geometry (host, cached per padded length) ---------------------------
     def _geometry(self, T: int):
-        N = -(-T // self.hop)                 # subband samples (frames)
-        Tp = N * self.hop
-        key = Tp
+        # Both FFT sizes are rounded up to TPU-friendly lengths
+        # (_fft_friendly). The construction never needs Tp = N * hop:
+        # perfect reconstruction only requires Tp >= T (zero-pad) and
+        # every band support <= N (fold injectivity); the effective
+        # subband period becomes Tp / N in [hop, 1.25 * hop).
+        N = _fft_friendly(-(-T // self.hop))  # subband samples (frames)
+        Tp = _fft_friendly(N * self.hop)
+        key = (Tp, N)
         if key in self._cache:
             return self._cache[key]
         K = Tp // 2 + 1                        # rfft bins
@@ -251,10 +280,15 @@ class MultiRateERBLet(ERBLetTransform):
         Gmax = self.max_decimation
         while Gmax > 1 and N0 < 2 * Gmax:      # keep at least 2 rows/group
             Gmax //= 2
-        N0 = -(-N0 // Gmax) * Gmax             # divisible by every rate
-        Tp = N0 * self.hop
-        if Tp in self._cache:
-            return self._cache[Tp]
+        # friendly multiple of every rate: _fft_friendly gives f * 2^k,
+        # so N0 = f * 2^k * Gmax and every group size N0 / d (d <= Gmax,
+        # power of two) stays TPU-FFT-friendly; Tp rounds independently
+        # (PR never needs Tp = N0 * hop, see ERBLetTransform._geometry)
+        N0 = _fft_friendly(-(-N0 // Gmax)) * Gmax
+        Tp = _fft_friendly(N0 * self.hop)
+        key = (Tp, N0)
+        if key in self._cache:
+            return self._cache[key]
         K = Tp // 2 + 1
         df = self.fs / Tp
         c = self.centers_hz
@@ -314,7 +348,7 @@ class MultiRateERBLet(ERBLetTransform):
                     np.arange(len(bands))[:, None], idx.shape)),
             ))
         geo = dict(N0=N0, Tp=Tp, K=K, groups=groups)
-        self._cache[Tp] = geo
+        self._cache[key] = geo
         return geo
 
     @property

@@ -83,6 +83,24 @@ def test_blind_reverb_consistency_select():
     assert -1.0 <= info["consistency"] <= 1.0
 
 
+def test_blind_reverb_select_auto_resolution():
+    """select=None auto-resolves: 'consistency' when em_seeds >= 2 (the
+    flat pipeline's namesake regime, measured better on reverb/speech —
+    the round-5 default flip, VERDICT r4 item 7), 'envcorr' when a
+    single EM seed makes the cross-seed statistic unavailable. The
+    resolved rule is recorded in info['select']."""
+    X = _reverb_mixture(seed=9)
+    _, info2 = blind_reverb_separate(
+        X, J=2, iters=20, em_seeds=2, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3)
+    assert info2["select"] == "consistency"
+    assert "consistency" in info2
+    _, info1 = blind_reverb_separate(
+        X, J=2, iters=20, em_seeds=1, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3)
+    assert info1["select"] == "envcorr"
+
+
 def test_blind_reverb_guarded_reseed_acceptance():
     """reseed_select='envcorr' under select='consistency': reseed rounds
     are accepted only when the envelope-correlation key improves (a

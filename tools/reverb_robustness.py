@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
              repair="select", mode="pipeline", family="filters",
              mic_type="ortf", band_em=None, noalign=False,
-             select="envcorr"):
+             select=None):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -126,9 +126,11 @@ def main():
                     help="add band-local-EM vote candidate (band width)")
     ap.add_argument("--noalign", action="store_true",
                     help="add alignment-free consensus candidate")
-    ap.add_argument("--select", default="envcorr",
+    ap.add_argument("--select", default=None,
                     choices=("envcorr", "consistency"),
-                    help="within-tier pool selection rule (design.md §6g)")
+                    help="within-tier pool selection rule; default None = "
+                         "the pipeline's auto rule (consistency when "
+                         "em_seeds >= 2; design.md §6g)")
     args = ap.parse_args()
     if args.env_transform:
         import pyfasst_tpu.models.spatial_init as si
