@@ -261,6 +261,7 @@ def _cmd_separate_streaming(args) -> int:
         checkpoint_every=args.checkpoint_every or 0,
         estimate_blocks=args.estimate_blocks,
         spatial_rank=-1 if args.model == "fullrank" else 1,
+        init="blind" if args.spatial_init else "random",
         verbose=0 if args.quiet else 1)
     wall = time.perf_counter() - t0
     dur = info["nsamples"] / info["fs"]

@@ -108,6 +108,87 @@ def _load_stream_state(path: str, expect_config: dict):
                 int(z["next_block"]), [float(v) for v in z["lls"]])
 
 
+def _blind_prefix_init(tft, filename, Nb: int, J: int, K: int, R: int,
+                       channels: int, init_seconds: float, fs: int,
+                       seed: int, verbose: int):
+    """Blind init from a bounded prefix of the recording (VERDICT r4
+    item 9: compose streaming with the round-4 blind machinery).
+
+    Reads ceil(init_seconds*fs / hop) frames of blocks (memory stays
+    O(prefix)), then seeds the online state: stereo -> DEMIX anechoic
+    direction estimates (global direction-space clustering; see inline
+    comment for why the consensus-vote machinery is the WRONG tool here);
+    mono -> mixture IS-NMF + envelope clustering
+    (models/mono.nmf_cluster_init). Returns (A0_host or None, FB0 (J,F,K)
+    np or None, valid (J,F) bool or None) -- None keeps the caller's
+    random/default init for that part. All decision-feeding computation
+    runs on HOST float64 (the bf16-victim rule, CLAUDE.md)."""
+    from pyfasst_tpu.utils.misc import to_host_complex
+
+    hop = tft.wlen // 2
+    need_frames = max(int(np.ceil(init_seconds * fs / hop)), Nb)
+    blocks = []
+    got = 0
+    for Xb in tft.stream_blocks(filename, Nb):
+        blocks.append(to_host_complex(Xb))
+        got += blocks[-1].shape[1]
+        if got >= need_frames:
+            break
+    X = np.concatenate(blocks, axis=1)                    # (F, Np, I)
+    if verbose:
+        print(f"blind prefix init: {X.shape[1]} frames "
+              f"({X.shape[1] * hop / fs:.1f} s)")
+    from pyfasst_tpu.models.mono import nmf_cluster_init
+
+    if channels == 1:
+        groups = nmf_cluster_init(X[..., 0], J, K, seed=seed)
+        FB0 = np.stack([g[0] * np.maximum(g[1].mean(1), 1e-12)
+                        for g in groups])                  # scale into FB
+        return None, FB0, None
+    if channels != 2:
+        # no DEMIX for I != 2: keep the caller's default init entirely
+        return None, None, None
+
+    # DEMIX on the prefix: GLOBAL clustering in direction space. The
+    # consensus-vote machinery was measured to fail here -- its
+    # per-frequency permutation alignment is envelope-based, and on
+    # stationary material (dense-band noise, the long-form regime's
+    # fixture) envelopes are flat, the alignment is coin-flip per f, and
+    # the pooled per-source directions collapse onto the mixture's global
+    # principal direction (-0.3 to -32 dB vs the default init; the TRUE
+    # directions through the same plumbing score +39.7). DEMIX clusters
+    # local directions over ALL bins at once, so no alignment exists to
+    # fail, and stationarity is irrelevant.
+    from pyfasst_tpu.models.demix import DEMIX
+
+    dmx = DEMIX(X=X)
+    dmx.comp_pcafeatures()
+    dmx.comp_parameters(J)
+    Afull = dmx.mixing(X.shape[0])                    # (J, F, 2, 1) complex
+    Acols = Afull[..., 0]                             # (J, F, 2)
+    Acols = Acols / np.maximum(
+        np.linalg.norm(Acols, axis=-1, keepdims=True), 1e-12)
+    if R > 1:
+        # rank expansion: orthogonal complement column at 0.2 scale
+        # (variants.py recipe), per (j, f)
+        orth = np.stack([-np.conj(Acols[..., 1]),
+                         np.conj(Acols[..., 0])], -1)
+        A = np.stack([Acols, 0.2 * orth], -1)         # (J, F, 2, 2)
+    else:
+        A = Acols[..., None]                          # (J, F, 2, 1)
+
+    # SPECTRAL side: keep the random FB. Direction-masked IS-NMF
+    # dictionaries were measured to TRAP the online spectral update on
+    # the dense-band fixture (A-only 37.4 dB, A+FB 15.1, FB-only 3.0 vs
+    # random-init 5.6): a structured-but-imperfect dictionary is harder
+    # for the forgetting EM to reshape than a flat random start, while
+    # the direction seed alone leaves the spectral side fully plastic.
+    # (Mono has no direction evidence, so its nmf_cluster_init FB seed
+    # stays -- measured +8 dB there, models/mono.py.)
+    valid = np.ones((J, X.shape[0]), bool)
+    return (A if R > 1 else A[..., 0]), None, valid
+
+
 def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                        frames_per_block: int = 64, forgetting: float = 0.95,
                        inner_iters: int = 6, noise_rel: float = 1e-3,
@@ -116,6 +197,7 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
                        checkpoint_every: int = 0,
                        estimate_blocks: Optional[int] = None,
                        spatial_rank: int = 1,
+                       init: str = "random", init_seconds: float = 12.0,
                        verbose: int = 1):
     """Two-pass blind streaming separation of a WAV on disk (any I).
 
@@ -147,6 +229,15 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     estimate_blocks caps pass 1
     (learn from the first N blocks, then separate the WHOLE recording
     with the frozen parameters -- also the test hook for interruption).
+
+    init="blind" seeds the online state from the first `init_seconds` of
+    the recording before any online EM runs (stereo: DEMIX anechoic
+    direction estimates -- measured +31.8 dB over the default-direction
+    init on the dense-band streaming fixture; mono: mixture IS-NMF +
+    envelope clustering spectral seed, models/mono.py). Memory stays
+    bounded: only the prefix plane is materialized. init="random"
+    (default) keeps the round-3 behavior. I >= 3 recordings keep the
+    default init (DEMIX is a stereo estimator).
     """
     import jax.numpy as jnp
 
@@ -211,10 +302,32 @@ def separate_streaming(filename, J: int = 2, K: int = 8, wlen: int = 1024,
     FB0 = jnp.asarray(0.5 + rng.random((J, F, K)), jnp.float32)
     TW0 = jnp.asarray(0.5 + rng.random((J, K, Nb)), jnp.float32)
 
+    if init not in ("random", "blind"):
+        raise ValueError(f"init must be 'random' or 'blind', got {init!r}")
+    if init == "blind":
+        from pyfasst_tpu.utils.misc import to_device_complex
+
+        A_h, FB_h, valid = _blind_prefix_init(tft, filename, Nb, J, K, R,
+                                              channels, init_seconds, fs,
+                                              seed, verbose)
+        if A_h is not None:
+            # no-vote-mass frequencies keep the default direction
+            seeds_h = mats if R > 1 else dirs     # (I, R) / (I,) per source
+            A_default = np.stack([np.broadcast_to(
+                np.asarray(s, np.complex64), A_h.shape[1:])
+                for s in seeds_h])
+            vmask = valid[:, :, None] if R == 1 \
+                else valid[:, :, None, None]
+            A_h = np.where(vmask, A_h, A_default)
+            A0 = to_device_complex(np.ascontiguousarray(A_h, np.complex64))
+        if FB_h is not None:
+            FB0 = jnp.asarray(np.maximum(FB_h, 1e-8), jnp.float32)
+
     # configuration fingerprint stamped into checkpoints; resume refuses a
     # mismatch (file identity = geometry: frames/channels/samplerate)
     ckpt_cfg = {"J": int(J), "K": int(K), "wlen": int(wlen),
                 "frames_per_block": int(Nb), "spatial_rank": int(R),
+                "init": str(init),
                 "seed": int(seed), "forgetting": float(forgetting),
                 "file_frames": int(nsamples), "file_channels": int(channels),
                 "file_samplerate": int(fs)}

@@ -102,3 +102,22 @@ def test_blind_mono_rejects_multichannel():
                                wlen=256, iter_num=5, seed=0)
     with pytest.raises(ValueError, match="mono"):
         m.estim_param_blind_mono()
+
+
+def test_nmf_cluster_init_degenerate_fallback():
+    """A rank-1 mixture (every NMF component shares one envelope) makes
+    every k-means restart collapse to < J clusters; the init must fall
+    back to round-robin labels (mono.py fallback path) and still return
+    J well-formed (FB, TW) pairs."""
+    from pyfasst_tpu.models.mono import nmf_cluster_init
+
+    rng = np.random.default_rng(3)
+    w = rng.random(65) + 0.1
+    h = rng.random(40) + 0.1
+    X = np.sqrt(np.outer(w, h)).astype(np.complex128)   # rank-1 power
+    init = nmf_cluster_init(X, J=3, nmf_comps=4)
+    assert len(init) == 3
+    for FB, TW in init:
+        assert FB.shape == (65, 4) and TW.shape == (4, 40)
+        assert np.all(FB >= 0) and np.all(TW > 0)
+        assert np.isfinite(FB).all() and np.isfinite(TW).all()

@@ -15,6 +15,12 @@ oracle frequency-basis init:
                 source's spectral dictionary).
 
 Usage: python tools/mono_ceiling.py [--iters 300] [--nmf-comps 6]
+
+Round-5 addition (VERDICT r4 item 5): `--sweep N` replaces the single
+fixture with N independent mono draws (varying source-kind pairs/triples,
+J in {2,3}, per-draw rng) and reports blind-random vs nmf-cluster init on
+every draw plus worst/median/mean summaries:
+  python tools/mono_ceiling.py --sweep 6 --iters 300
 """
 from __future__ import annotations
 
@@ -48,11 +54,79 @@ def _is_nmf(P, K, iters=150, seed=0, eps=1e-9):
     return W / np.maximum(s, eps), H * s.T
 
 
+def _sweep(args):
+    """Blind mono robustness over independent draws (VERDICT r4 item 5).
+
+    Per draw: J sampled in {2,3}, source kinds sampled from spectrally
+    distinct pairs/triples, fresh rng. Runs the production blind path
+    (estim_param_blind_mono = mixture IS-NMF + envelope clustering init)
+    against the random-init reference on the identical model."""
+    import jax  # noqa: F401  (device selection happens at import)
+
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+    from pyfasst_tpu.tf.stft import STFT  # noqa: F401
+    from pyfasst_tpu.utils.metrics import bss_eval_images
+
+    kind_sets = [
+        ["harm", "noise_lo"], ["harm", "noise_hi"],
+        ["tone_switch", "noise_lo"], ["clicks", "harm"],
+        ["harm", "noise_lo", "noise_hi"],
+        ["tone_switch", "clicks", "noise_lo"],
+        ["band:0.02-0.2", "band:0.3-0.8"],
+        ["harm", "band:0.25-0.7"],
+    ]
+    n = int(FS * DUR)
+    rows = []
+    for d in range(args.sweep):
+        seed = args.sweep_seed0 + d
+        rng = np.random.default_rng(seed)
+        kinds = kind_sets[int(rng.integers(0, len(kind_sets)))]
+        J = len(kinds)
+        srcs = _sources(rng, n, kinds)
+        lev = 10 ** (rng.uniform(-2, 2, J) / 20)
+        ys_true = np.stack([lev[j] * srcs[j][:, None] for j in range(J)])
+        mix = ys_true.sum(0).astype(np.float32)
+        for mode in ("random", "nmf-cluster"):
+            model = MultiChanNMFInst_FASST(mix, fs=FS, nbComps=J,
+                                           nbNMFComps=args.nmf_comps,
+                                           wlen=WLEN, iter_num=args.iters,
+                                           seed=0)
+            t0 = time.perf_counter()
+            if mode == "nmf-cluster":
+                model.estim_param_blind_mono()
+            else:
+                model.estim_param_a_posteriori()
+            ys = model.separated_images()
+            wall = time.perf_counter() - t0
+            mn, mean = _best_perm_sdr(ys, ys_true)
+            out = bss_eval_images(ys, ys_true, filt_len=512)
+            row = {"draw": seed, "J": J, "kinds": kinds, "mode": mode,
+                   "min_sdr_db": round(float(mn), 2),
+                   "mean_sdr_db": round(float(mean), 2),
+                   "bss512_min_sdr_db": round(float(out["sdr"].min()), 2),
+                   "wall_s": round(wall, 1)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    for mode in ("random", "nmf-cluster"):
+        mns = [r["min_sdr_db"] for r in rows if r["mode"] == mode]
+        print(json.dumps({
+            "mode": mode, "n_draws": len(mns),
+            "min_sdr worst/median/mean":
+                [round(float(np.min(mns)), 2),
+                 round(float(np.median(mns)), 2),
+                 round(float(np.mean(mns)), 2)]}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--nmf-comps", type=int, default=6)
+    ap.add_argument("--sweep", type=int, default=0)
+    ap.add_argument("--sweep-seed0", type=int, default=500)
     args = ap.parse_args()
+    if args.sweep:
+        _sweep(args)
+        return
 
     import jax.numpy as jnp
 

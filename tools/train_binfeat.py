@@ -151,14 +151,20 @@ def _crops(inp, lab, pw, rng, n_crops):
     (the net is translation-equivariant in f -- it never sees absolute
     frequency -- so f-crops are legitimate training patches)."""
     F, N = pw.shape
+    if N < N_CROP:  # short plane: zero-pad frames (pw=0 -> no loss weight)
+        pad = N_CROP - N
+        inp = np.pad(inp, ((0, 0), (0, pad), (0, 0)))
+        lab = np.pad(lab, ((0, 0), (0, pad)))
+        pw = np.pad(pw, ((0, 0), (0, pad)))
+        N = N_CROP
     out = []
     for c in range(n_crops):
         f0 = 0 if F <= F_CROP else (0 if c == 0 else
                                     int(rng.integers(0, F - F_CROP + 1)))
-        n0 = int(rng.integers(0, max(N - N_CROP, 0) + 1))
+        n0 = int(rng.integers(0, N - N_CROP + 1))
         sl = (slice(f0, f0 + F_CROP), slice(n0, n0 + N_CROP))
         if inp[sl].shape[:2] != (F_CROP, N_CROP):
-            continue  # plane too short; skip
+            continue  # plane too short in frequency; skip
         out.append((inp[sl].astype(np.float16), lab[sl],
                     pw[sl].astype(np.float32)))
     return out
@@ -253,21 +259,26 @@ def cmd_train(args):
             bpw.sum(axis=(1, 2), keepdims=True), 1e-20)
         return binfeat.dc_loss(V, Y, wb)
 
+    # NOTE: the dataset arrays are ARGUMENTS, not closure captures -- a
+    # captured array is embedded as an mlir constant and shipped with the
+    # compile request (the axon remote-compile rejects >~100 MB bodies
+    # with HTTP 413; same mechanism as CLAUDE.md's closed-over-complex
+    # trap).
     @jax.jit
-    def run_chunk(p, s, idx):
+    def run_chunk(p, s, idx, di, dl, dp):
         def step(carry, ix):
             p, s = carry
             loss, g = jax.value_and_grad(loss_of)(
-                p, jnp.take(d_inp, ix, 0), jnp.take(d_lab, ix, 0),
-                jnp.take(d_pw, ix, 0))
+                p, jnp.take(di, ix, 0), jnp.take(dl, ix, 0),
+                jnp.take(dp, ix, 0))
             upd, s = opt.update(g, s, p)
             return (optax.apply_updates(p, upd), s), loss
         (p, s), losses = jax.lax.scan(step, (p, s), idx)
         return p, s, losses.mean()
 
     @jax.jit
-    def hold_loss(p):
-        return loss_of(p, h_inp, h_lab, h_pw)
+    def hold_loss(p, hi, hl, hp):
+        return loss_of(p, hi, hl, hp)
 
     n_train = M - n_hold
     chunk = args.log_every
@@ -276,8 +287,10 @@ def cmd_train(args):
         k = min(chunk, args.steps - c0)
         idx = rng.integers(0, n_train, size=(k, args.batch))
         params, opt_state, tr = run_chunk(params, opt_state,
-                                          jnp.asarray(idx))
-        hl = float(hold_loss(params)) if n_hold else float("nan")
+                                          jnp.asarray(idx),
+                                          d_inp, d_lab, d_pw)
+        hl = float(hold_loss(params, h_inp, h_lab, h_pw)) \
+            if n_hold else float("nan")
         print(json.dumps({"step": c0 + k, "train_loss": round(float(tr), 4),
                           "holdout_loss": round(hl, 4),
                           "secs": round(time.time() - t0, 1)}),
@@ -286,7 +299,8 @@ def cmd_train(args):
         {**{k: np.asarray(v) for k, v in params.items()}, "_meta": meta},
         args.out)
     print(json.dumps({"saved": out, "steps": args.steps,
-                      "final_holdout_loss": round(float(hold_loss(params)), 4)
+                      "final_holdout_loss":
+                      round(float(hold_loss(params, h_inp, h_lab, h_pw)), 4)
                       if n_hold else None}), flush=True)
 
 
