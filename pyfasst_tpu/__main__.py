@@ -129,7 +129,7 @@ def _cmd_separate(args) -> int:
                 multiscale_wlen=args.multiscale_wlen,
                 n_devices=args.n_devices, band_em=args.band_em,
                 noalign=args.noalign, select=args.select,
-                reseed_select=args.reseed_select)
+                reseed_select=args.reseed_select, learned=args.learned)
             paths = model.separate_spat_comps(args.out)
             wall = time.perf_counter() - t0
             print(json.dumps({
@@ -429,8 +429,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "free consensus candidate (for material where "
                         "the spectral permutation alignment is "
                         "destructive, design.md §6f)")
+    p.add_argument("--learned", action="store_true",
+                   help="with --spatial-init --reseed: add the LEARNED "
+                        "per-bin vote candidate to the pool (trained "
+                        "deep-clustering embedding, models/binfeat; "
+                        "needs pyfasst_tpu/data/binfeat.npz)")
     p.add_argument("--select", default=None,
-                   choices=("envcorr", "consistency"),
+                   choices=("envcorr", "consistency", "learned"),
                    help="with --spatial-init --reseed: within-tier pool "
                         "selection rule. Default auto: 'consistency' "
                         "(cross-seed reproducibility) on the flat "
@@ -439,7 +444,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--multiscale-wlen (beat-locked music, where "
                         "consistency is measured worse; design.md §6g)")
     p.add_argument("--reseed-select", dest="reseed_select", default=None,
-                   choices=("envcorr",),
+                   choices=("envcorr", "learned"),
                    help="with --select consistency: guard RESEED "
                         "acceptance by the envelope-correlation key "
                         "instead of consistency (a warm-restart reseed's "

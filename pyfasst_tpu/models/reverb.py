@@ -81,6 +81,15 @@ def selection_key(rec: dict, env_thr: float = 0.6,
     if select == "consistency":
         return (vetoed, tier, -rec.get("consistency", -1.0),
                 rec["envcorr"], -rec["final_ll"])
+    if select == "learned":
+        # power-weighted best-permutation agreement of the run's converged
+        # stem-dominance plane with the learned per-bin votes
+        # (models/binfeat), DESCENDING; runs without the statistic rank
+        # after any run that has it. Round-5 judge for the speech-regime
+        # selection gap (design.md par-6g: the pool holds 2-5 dB the
+        # envcorr/consistency keys cannot see).
+        return (vetoed, tier, -rec.get("learned", -1.0),
+                rec["envcorr"], -rec["final_ll"])
     return (vetoed, tier, rec["envcorr"], -rec["final_ll"])
 
 
@@ -99,7 +108,7 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
                     chunk: int, bests=None, env_thr: float = 0.6,
                     share_floor: float = 0.02, verbose: bool = False,
                     topk: int = 1, tiers=None, distinct: bool = False,
-                    select: str = "envcorr"):
+                    select: str = "envcorr", judge_votes=None):
     """Run every (candidate, seed) full-rank EM; return (records, bests).
 
     `bests` carries the running top-`topk` runs across calls (sorted by
@@ -148,6 +157,23 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
 
     envcorr_fn = jax.jit(jax.vmap(_max_env_corr))
     coh_fn = jax.jit(jax.vmap(_min_band_coherence))
+
+    judge_fn = None
+    if judge_votes is not None:
+        jv_d = jnp.asarray(np.asarray(judge_votes, np.float32))
+        pw_d = jnp.asarray(np.asarray(pw, np.float32))
+
+        @jax.jit
+        def judge_fn(Y_b):
+            # (C, J_votes, J_runs) power-weighted confusion between the
+            # learned vote plane and each run's stem-dominance argmax;
+            # best-permutation trace resolved on host. Precision pinned:
+            # the einsum feeds a selection decision (bf16 victim class).
+            with jax.default_matmul_precision("highest"):
+                P = jnp.sum(jnp.abs(Y_b) ** 2, axis=4)      # (C, J, F, N)
+                oh = jax.nn.one_hot(jnp.argmax(P, axis=1), P.shape[1],
+                                    dtype=jnp.float32)      # (C, F, N, J)
+                return jnp.einsum('fnj,cfnk,fn->cjk', jv_d, oh, pw_d)
 
     @jax.jit
     def shares_fn(Y_b):
@@ -203,12 +229,18 @@ def _run_candidates(X_d, cands, pw, xx, Yref, cfg, mesh, sigma1,
         coh = np.asarray(coh_fn(Y_b), np.float64)
         sh = np.asarray(shares_fn(Y_b), np.float64)
         ll = np.asarray(lls[:, -1], np.float64)
+        jconf = np.asarray(judge_fn(Y_b), np.float64) \
+            if judge_fn is not None else None
         chunk_recs = []
         for i in range(valid):
             rec = {"name": names[lo + i], "final_ll": float(ll[i]),
                    "envcorr": round(float(ec[i]), 4),
                    "band_coh": round(float(coh[i]), 4),
                    "min_share": round(float(sh[i].min()), 4)}
+            if jconf is not None:
+                rec["learned"] = round(
+                    _best_perm_mean(jconf[i]) * J / max(pw.sum(), 1e-20),
+                    4)
             if tiers is not None:
                 cname = rec["name"].split("|")[0]
                 if cname in tiers:
@@ -264,7 +296,8 @@ def blind_reverb_separate(
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
         select: Optional[str] = None, reseed_select: Optional[str] = None,
-        keep_pool_sep: bool = False,
+        keep_pool_sep: bool = False, learned: bool = False,
+        learned_params=None,
 ) -> Tuple[np.ndarray, dict]:
     """Blind separation of a reverberant mixture STFT.
 
@@ -332,6 +365,17 @@ def blind_reverb_separate(
     keep_pool_sep=True additionally returns the POOL-stage winner's
     separation in info["pool_Y"] (host) / info["pool_picked"], for labs
     that score stages independently.
+
+    learned=True adds a `learned` candidate to the pool: the per-bin
+    vote plane of the trained deep-clustering embedding
+    (models/binfeat.learned_votes; weights from
+    pyfasst_tpu/data/binfeat.npz or `learned_params`). Globally aligned
+    by construction -- the per-frequency permutation step every
+    hand-crafted family loses accuracy to never arises.
+    select="learned" (also valid for reseed_select) instead/additionally
+    uses the learned votes as the pool JUDGE: runs are ordered by the
+    power-weighted best-permutation agreement between their converged
+    stem-dominance planes and the learned votes (rec["learned"]).
     """
     from pyfasst_tpu.models.spatial_init import (
         band_em_votes, candidate_votes, consensus_votes,
@@ -340,6 +384,14 @@ def blind_reverb_separate(
 
     if select is None:
         select = "consistency" if em_seeds >= 2 else "envcorr"
+    lv = None
+    if learned or select == "learned" or reseed_select == "learned":
+        # learned per-bin votes (models/binfeat): one embedding call plus
+        # a global spherical k-means -- used as a pool CANDIDATE
+        # (learned=True) and/or the selection JUDGE (select="learned")
+        from pyfasst_tpu.models.binfeat import learned_votes
+
+        lv = learned_votes(X, J, params=learned_params)
     feat, w, pw, xx = tf_covariance_features(X)
     transforms = [env_transform] if env_transform != "both" \
         else ["log1p", "rank"]
@@ -367,6 +419,8 @@ def blind_reverb_separate(
         # envelope noise); selection arbitrates (design.md §6g)
         cands.append(("bandem", bv["envelope"]))
         cands.append(("bandem-a", bv["init"]))
+    if learned:
+        cands.append(("learned", lv))
     if J > 2:
         cands += direction_split_candidates(X, J, pw, n_seeds=n_seeds)
 
@@ -377,7 +431,9 @@ def blind_reverb_separate(
         share_floor=share_floor, verbose=verbose, topk=topk,
         env_transform=env_transform, realign_reseeds=realign_reseeds,
         n_devices=n_devices, select=select, reseed_select=reseed_select,
-        keep_pool_sep=keep_pool_sep)
+        keep_pool_sep=keep_pool_sep,
+        judge_votes=lv if (select == "learned"
+                           or reseed_select == "learned") else None)
 
 
 def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
@@ -387,7 +443,7 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                      realign_reseeds: bool = False, n_devices: int = 1,
                      select: str = "envcorr",
                      reseed_select: Optional[str] = None,
-                     keep_pool_sep: bool = False):
+                     keep_pool_sep: bool = False, judge_votes=None):
     """Run a candidate pool to convergence, select by `selection_key`,
     apply guarded EM reseeding; shared by the single-grid pipeline and
     the multiscale ladder's stages. topk > 1 keeps the best run of each
@@ -426,7 +482,7 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
         X_d, cands, pw, xx, None, cfg, mesh, sigma1, em_seeds, nmf_comps,
         rank, chunk, env_thr=env_thr, share_floor=share_floor,
         verbose=verbose, topk=topk, tiers=tiers, distinct=topk > 1,
-        select=select)
+        select=select, judge_votes=judge_votes)
     best = bests[0]
     history = [{"stage": "pool", "picked": best["name"],
                 "envcorr": best["envcorr"], "min_share": best["min_share"],
@@ -456,7 +512,8 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
                 X_d, cands_r, pw, xx, None, cfg, mesh,
                 sigma1, em_seeds, nmf_comps, rank, chunk, bests=None,
                 env_thr=env_thr, share_floor=share_floor, verbose=verbose,
-                topk=1, tiers=tiers, select=reseed_select)
+                topk=1, tiers=tiers, select=reseed_select,
+                judge_votes=judge_votes)
             gkey = lambda rec: selection_key(rec, env_thr, share_floor,
                                              reseed_select)
             cand_r = bests_r[0]
@@ -478,7 +535,8 @@ def _pool_and_reseed(X, cands, J, *, iters, em_seeds, reseed_rounds,
             X_d, cands_r, pw, xx, None, cfg, mesh,
             sigma1, em_seeds, nmf_comps, rank, chunk, bests=bests,
             env_thr=env_thr, share_floor=share_floor, verbose=verbose,
-            topk=topk, tiers=tiers, distinct=topk > 1, select=select)
+            topk=topk, tiers=tiers, distinct=topk > 1, select=select,
+            judge_votes=judge_votes)
         best = bests[0]
         history.append({"stage": f"reseed{r + 1}", "picked": best["name"],
                         "envcorr": best["envcorr"],
@@ -512,6 +570,7 @@ def blind_reverb_separate_multiscale(
         realign_reseeds: bool = False, n_devices: int = 1,
         band_em: Optional[int] = None, noalign: bool = False,
         select: Optional[str] = None, reseed_select: Optional[str] = None,
+        learned: bool = False, learned_params=None,
 ) -> Tuple[np.ndarray, dict]:
     """Multiscale blind separation for material whose permutation-alignment
     evidence lives at a finer time scale than the best model grid.
@@ -579,7 +638,8 @@ def blind_reverb_separate_multiscale(
         topk=topk, env_transform=env_transform,
         realign_reseeds=realign_reseeds, n_devices=n_devices,
         band_em=band_em, noalign=noalign, select=select,
-        reseed_select=reseed_select)
+        reseed_select=reseed_select, learned=learned,
+        learned_params=learned_params)
 
     # rung 2: each kept fine run's images -> coarse-grid dominance votes.
     # Laddering the top-k DISTINCT fine candidates (not just the winner)

@@ -431,3 +431,26 @@ def test_blind_reverb_dual_transform_pool():
     base = info["picked"].split("|")[0]
     assert base.startswith(("raw", "rank:", "merge", "split", "realign",
                             "reseed", "dirs"))
+
+
+def test_blind_reverb_learned_candidate_and_judge():
+    """Round-5 pool extensions (models/binfeat): `learned=True` adds the
+    learned-vote candidate; select='learned' orders runs by agreement of
+    their converged stem-dominance planes with the learned votes.
+    Mechanism test with a tiny untrained net (explicit params) -- the
+    quality evidence lives in tools/train_binfeat.py + design.md §6j."""
+    from pyfasst_tpu.models.binfeat import init_params
+
+    tiny = init_params(seed=0, c_in=5, width=8, emb_dim=4,
+                       layers=((3, 3, 1, 1), (3, 3, 2, 2)))
+    X = _reverb_mixture(seed=5)
+    Y, info = blind_reverb_separate(
+        X, J=2, iters=30, em_seeds=1, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3, learned=True, learned_params=tiny,
+        select="learned")
+    assert Y.shape == (2,) + X.shape
+    assert np.all(np.isfinite(Y.view(np.float64)))
+    assert info["select"] == "learned"
+    # the learned agreement statistic was computed for the winner
+    names = [h["picked"] for h in info["history"]]
+    assert names, names

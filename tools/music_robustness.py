@@ -41,6 +41,13 @@ def main():
                     help="add band-local-EM vote candidate (band width)")
     ap.add_argument("--noalign", action="store_true",
                     help="add alignment-free consensus candidate")
+    ap.add_argument("--learned", action="store_true",
+                    help="add the learned-vote candidate on the fine "
+                         "grid (models/binfeat; needs trained weights)")
+    ap.add_argument("--select", default=None,
+                    choices=("envcorr", "consistency", "learned"),
+                    help="fine-stage selection rule (None = ladder auto "
+                         "= envcorr)")
     args = ap.parse_args()
     if args.env_transform and args.env_transform != "both":
         import pyfasst_tpu.models.spatial_init as si
@@ -60,7 +67,8 @@ def main():
             iters=args.iters, em_seeds=2, chunk=12,
             env_transform=args.env_transform,
             realign_reseeds=args.realign_reseeds,
-            band_em=args.band_em, noalign=args.noalign)
+            band_em=args.band_em, noalign=args.noalign,
+            learned=args.learned, select=args.select)
         tft = info["transform"]
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(args.stems)])

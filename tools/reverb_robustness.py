@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def run_draw(fixture_seed: int, em_seed: int, iters: int,
              repair="select", mode="pipeline", family="filters",
              mic_type="ortf", band_em=None, noalign=False,
-             select=None):
+             select=None, learned=False):
     from tools.validate_hw import FS, WLEN, _best_perm_sdr, _sources
     from pyfasst_tpu.models.spatial_init import apply_profiles, full_rank_init
     from pyfasst_tpu.models.variants import MultiChanNMFConv
@@ -67,7 +67,7 @@ def run_draw(fixture_seed: int, em_seed: int, iters: int,
         Y, info = blind_reverb_separate(X, J=4, iters=iters,
                                         em_seeds=max(2, em_seed + 1),
                                         band_em=band_em, noalign=noalign,
-                                        select=select)
+                                        select=select, learned=learned)
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(4)])
         wall = time.perf_counter() - t0
@@ -126,8 +126,11 @@ def main():
                     help="add band-local-EM vote candidate (band width)")
     ap.add_argument("--noalign", action="store_true",
                     help="add alignment-free consensus candidate")
+    ap.add_argument("--learned", action="store_true",
+                    help="add the learned-vote candidate "
+                         "(models/binfeat; needs trained weights)")
     ap.add_argument("--select", default=None,
-                    choices=("envcorr", "consistency"),
+                    choices=("envcorr", "consistency", "learned"),
                     help="within-tier pool selection rule; default None = "
                          "the pipeline's auto rule (consistency when "
                          "em_seeds >= 2; design.md §6g)")
@@ -145,7 +148,7 @@ def main():
                            repair=repair, mode=args.mode,
                            family=args.family, mic_type=args.mic_type,
                            band_em=args.band_em, noalign=args.noalign,
-                           select=args.select)
+                           select=args.select, learned=args.learned)
             rec["family"] = args.family
             if args.family == "image":
                 rec["mic_type"] = args.mic_type

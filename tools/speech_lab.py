@@ -64,10 +64,13 @@ def main():
     ap.add_argument("--band-em", type=int, default=None)
     ap.add_argument("--noalign", action="store_true")
     ap.add_argument("--select", default="envcorr",
-                    choices=("envcorr", "consistency"))
+                    choices=("envcorr", "consistency", "learned"))
+    ap.add_argument("--learned", action="store_true",
+                    help="add the learned-vote candidate "
+                         "(models/binfeat; needs trained weights)")
     ap.add_argument("--reseed-rounds", type=int, default=2)
     ap.add_argument("--reseed-select", default=None,
-                    choices=("envcorr",),
+                    choices=("envcorr", "learned"),
                     help="guard reseed acceptance by the envcorr key "
                          "(immune to warm-restart consistency inflation)")
     ap.add_argument("--realign-reseeds", action="store_true",
@@ -107,7 +110,7 @@ def main():
                 realign_reseeds=args.realign_reseeds,
                 band_em=args.band_em, noalign=args.noalign,
                 select=args.select, reseed_rounds=args.reseed_rounds,
-                reseed_select=args.reseed_select,
+                reseed_select=args.reseed_select, learned=args.learned,
                 keep_pool_sep=args.reseed_rounds > 0)
             ys = _istft_images(tft, Y, n)
             mn, mean = _best_perm_sdr(ys, ys_true)

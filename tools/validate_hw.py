@@ -340,6 +340,38 @@ def scenario_anechoic(rng):
                    images=(ys, ys_true))
 
 
+def scenario_erblet(rng):
+    """ERBlet front-end END TO END on hardware (VERDICT r4 item 2): the
+    configs[1]-style anechoic 3-source scenario separated entirely on the
+    perfect-reconstruction ERBlet grid (FASST(transform=ERBLetTransform),
+    GEM on warped subbands, inverse NSGT synthesis). Exercises the
+    round-5 TPU-friendly FFT geometry (tf/erblet.py: Tp/N rounded to
+    f*2^k sizes -- the round-4 flagship-length compile abort)."""
+    n = int(FS * DUR)
+    srcs = _sources(rng, n, ["band:0.01-0.2", "band:0.15-0.55",
+                             "band:0.45-0.95"])
+    dirs = [(0.95, 0.31), (0.31, 0.95), (0.71, 0.71)]
+    ys_true = np.stack([np.stack([a * s, b * s], 1)
+                        for s, (a, b) in zip(srcs, dirs)])
+    mix = ys_true.sum(0)
+
+    from pyfasst_tpu.models.variants import MultiChanNMFInst_FASST
+    from pyfasst_tpu.tf.erblet import ERBLetTransform
+
+    t0 = time.perf_counter()
+    model = MultiChanNMFInst_FASST(
+        mix.astype(np.float32), fs=FS, nbComps=3, nbNMFComps=8,
+        iter_num=400, seed=0, verbose=0,
+        transform=ERBLetTransform(fs=FS, n_bands=48))
+    lls = model.estim_param_a_posteriori()
+    ys = np.asarray(model.separated_images())
+    wall = time.perf_counter() - t0
+    return _report("erblet front-end anechoic 3src (end-to-end warped "
+                   "grid)", _best_perm_sdr(ys[:, :n], ys_true), wall, 400,
+                   {"final_ll": round(float(np.asarray(lls)[-1]), 1)},
+                   images=(ys[:, :n], ys_true))
+
+
 def scenario_reverb(rng):
     """configs[2]: reverberant full-rank, 4 sources, rank-2, 400 iters."""
     n = int(FS * DUR)
@@ -902,7 +934,7 @@ def main():
              (scenario_general_I, 110), (scenario_lead, 111),
              (scenario_streaming, 112), (scenario_streaming_fullrank, 113),
              (scenario_batch, 104), (scenario_music, 105),
-             (scenario_speech, 120)]
+             (scenario_speech, 120), (scenario_erblet, 130)]
     # optional substring filter for standalone scenario development:
     #   python tools/validate_hw.py streaming
     # (filtered runs print rows but do NOT rewrite docs/validation.md)
