@@ -243,7 +243,10 @@ def cmd_train(args):
     h_inp = jnp.asarray(inp[:n_hold]); h_lab = jnp.asarray(lab[:n_hold])
     h_pw = jnp.asarray(pw[:n_hold])
 
-    params = binfeat.init_params(seed=args.init_seed)
+    if args.init_from:
+        params = binfeat.load_params(args.init_from)
+    else:
+        params = binfeat.init_params(seed=args.init_seed)
     meta = params.pop("_meta")
     params = {k: jnp.asarray(v) for k, v in params.items()}
 
@@ -410,6 +413,8 @@ def main():
     t.add_argument("--holdout", type=int, default=12)
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--init-seed", type=int, default=0)
+    t.add_argument("--init-from", default=None,
+                   help="warm-start from an existing weights .npz")
     t.add_argument("--shuffle-seed", type=int, default=7)
     t.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
     t.add_argument("--out", default=None)
