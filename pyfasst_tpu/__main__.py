@@ -115,9 +115,14 @@ def _cmd_separate(args) -> int:
         init_mixing = None
         profiles = None
         if args.spatial_init and args.reseed >= 0:
-            if getattr(args, "transform", "stft") != "stft":
-                raise ValueError("--reseed pipeline supports the STFT "
-                                 "front-end only")
+            if (getattr(args, "transform", "stft") != "stft"
+                    and args.multiscale_wlen):
+                # the flat pipeline runs on the model's own plane (any
+                # front-end: estim_param_blind_reverb uses self.Xs);
+                # only the LADDER builds its own STFT grids
+                raise ValueError("--multiscale-wlen requires the STFT "
+                                 "front-end (the ladder re-analyzes on "
+                                 "its own fine/coarse STFT grids)")
             model = MultiChanNMFConv(
                 args.audio, nbComps=args.sources,
                 nbNMFComps=args.nmf_comps,

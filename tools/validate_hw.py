@@ -774,15 +774,34 @@ def scenario_streaming(rng):
     n_sep = min(n, len(blocks) * Nb * tft.hop - tft.wlen)
     ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                    for j in range(J)])[:, :n_sep]
-    os.unlink(path)
     sdrs = _best_perm_sdr(ys, ys_true[:, :n_sep])
-    return _report(
+    rows = [_report(
         "long-form streaming 120s (online GEM, block-paged off disk)",
         sdrs, wall, len(blocks),
         {"stream_xrt": round(dur / wall, 1),
          "block_frames": Nb, "total_frames": len(blocks) * Nb,
          "final_ll": round(float(jnp.real(ll)), 1)},
-        images=(ys, ys_true[:, :n_sep]))
+        images=(ys, ys_true[:, :n_sep]))]
+
+    # round-5 (VERDICT r4 item 9): the SAME 120 s fixture through the
+    # PUBLIC bounded-memory pipeline with the blind prefix init
+    # (models/streaming._blind_prefix_init: DEMIX anechoic directions
+    # from the first 12 s; memory stays O(prefix))
+    from pyfasst_tpu.models.streaming import separate_streaming
+    t0 = time.perf_counter()
+    ys_b, info_b = separate_streaming(path, J=J, K=K, wlen=WLEN,
+                                      frames_per_block=Nb, init="blind",
+                                      verbose=0)
+    wall_b = time.perf_counter() - t0
+    os.unlink(path)
+    sdrs_b = _best_perm_sdr(ys_b[:, :n_sep], ys_true[:, :n_sep])
+    rows.append(_report(
+        "long-form streaming 120s blind init (public pipeline, DEMIX "
+        "prefix seed)", sdrs_b, wall_b, info_b["blocks"],
+        {"stream_xrt": round(dur / wall_b, 1),
+         "final_ll": round(info_b["logliks"][-1], 1)},
+        images=(ys_b[:, :n_sep], ys_true[:, :n_sep])))
+    return rows
 
 
 def scenario_streaming_fullrank(rng):
