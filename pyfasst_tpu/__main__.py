@@ -444,8 +444,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --spatial-init --reseed: within-tier pool "
                         "selection rule. Default auto: 'consistency' "
                         "(cross-seed reproducibility) on the flat "
-                        "pipeline -- the measured better rule on reverb/"
-                        "speech regimes -- and 'envcorr' under "
+                        "pipeline WHEN --band-em is set (its measured "
+                        "winning operating point on reverb/speech; on "
+                        "the bare pool it collapses a gate draw, so "
+                        "bare runs keep 'envcorr'), and 'envcorr' under "
                         "--multiscale-wlen (beat-locked music, where "
                         "consistency is measured worse; design.md §6g)")
     p.add_argument("--reseed-select", dest="reseed_select", default=None,

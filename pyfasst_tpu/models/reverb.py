@@ -66,12 +66,15 @@ def selection_key(rec: dict, env_thr: float = 0.6,
        basins reproduce deterministically; design.md §6e) but applied
        AFTER the veto tier it picks the pool oracle on all measured
        family-1 gate draws and beats the envcorr order by 2-5 dB on
-       speech; on beat-locked music it stays worse. It is therefore the
-       DEFAULT of the flat pipeline (blind_reverb_separate resolves
-       select=None to consistency when em_seeds >= 2, round 5) while
-       the multiscale ladder -- the music entry point -- resolves to
-       envcorr (design.md §6g). Runs without the statistic (single EM
-       seed) rank after any run that has it.
+       speech; on beat-locked music it stays worse. It is the DEFAULT
+       of the flat pipeline ONLY at its measured operating point
+       (blind_reverb_separate resolves select=None to consistency when
+       em_seeds >= 2 AND band-EM candidates are in the pool; the bare
+       pool keeps envcorr -- the round-5 gate re-run measured bare
+       consistency collapsing draw 102 to 0.31 dB) while the multiscale
+       ladder -- the music entry point -- resolves to envcorr
+       (design.md §6g). Runs without the statistic (single EM seed)
+       rank after any run that has it.
     4. envelope correlation (under "consistency": the next tiebreak).
     5. final log-likelihood, descending (tiebreak only -- measured
        actively misleading as a primary criterion, see module docstring).
@@ -336,18 +339,21 @@ def blind_reverb_separate(
     where the envelope graph is too noisy to align (§6f). Both extend
     the pool; the tiered at-convergence selection arbitrates.
 
-    select (None | "envcorr" | "consistency") picks the within-tier
-    ordering of unvetoed runs (selection_key). "consistency" orders by
-    cross-seed reproducibility of the converged separation (needs
-    em_seeds >= 2) and is the measured better rule on speech-like
-    material and the family-1 reverb regime (configs[2] gate
-    8.02/8.73/11.44 vs envcorr's 6.64/8.47/11.14, design.md §6g); None
-    (the default) resolves to "consistency" when em_seeds >= 2 (this
-    function's namesake regime is flat reverberant mixtures) and
-    "envcorr" otherwise. "envcorr" is the measured better rule on
-    beat-locked music, where degenerate basins are MORE seed-stable
-    than correct ones -- the multiscale ladder (the music entry point)
-    resolves its own None to "envcorr".
+    select (None | "envcorr" | "consistency" | "learned") picks the
+    within-tier ordering of unvetoed runs (selection_key).
+    "consistency" orders by cross-seed reproducibility of the converged
+    separation (needs em_seeds >= 2) and is the measured better rule on
+    speech-like material and the family-1 reverb regime AT ITS MEASURED
+    OPERATING POINT -- with band-EM candidates in the pool (configs[2]
+    gate 8.02/8.73/11.44 vs envcorr's 6.64/8.47/11.14, design.md §6g).
+    On the BARE pool the round-5 gate re-run measured it collapsing
+    draw 102 to 0.31 dB (a degenerate merge/split candidate reproduces
+    across seeds), so None (the default) resolves to "consistency" only
+    when em_seeds >= 2 AND band_em is set, and to "envcorr" otherwise.
+    "envcorr" is the measured better rule on beat-locked music, where
+    degenerate basins are MORE seed-stable than correct ones -- the
+    multiscale ladder (the music entry point) resolves its own None to
+    "envcorr".
 
     reseed_select (None | "envcorr") guards RESEED acceptance under a
     different key than the pool selection. A reseed is a warm restart
@@ -383,7 +389,15 @@ def blind_reverb_separate(
     )
 
     if select is None:
-        select = "consistency" if em_seeds >= 2 else "envcorr"
+        # auto rule, gate-measured (round 5): consistency's §6g win over
+        # envcorr was measured WITH band-EM candidates in the pool (the
+        # preset operating point). On the BARE pool it collapses gate
+        # draw 102 to 0.31 dB (vs envcorr's 6.64 worst) -- a degenerate
+        # merge/split candidate reproduces across seeds -- while with
+        # band_em the same rule measures 8.02/8.73/11.44. So consistency
+        # is the default only in the regime it was measured in.
+        select = "consistency" if (em_seeds >= 2 and band_em is not None) \
+            else "envcorr"
     lv = None
     if learned or select == "learned" or reseed_select == "learned":
         # learned per-bin votes (models/binfeat): one embedding call plus

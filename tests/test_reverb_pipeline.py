@@ -84,17 +84,21 @@ def test_blind_reverb_consistency_select():
 
 
 def test_blind_reverb_select_auto_resolution():
-    """select=None auto-resolves: 'consistency' when em_seeds >= 2 (the
-    flat pipeline's namesake regime, measured better on reverb/speech —
-    the round-5 default flip, VERDICT r4 item 7), 'envcorr' when a
-    single EM seed makes the cross-seed statistic unavailable. The
-    resolved rule is recorded in info['select']."""
+    """select=None auto-resolves to 'consistency' ONLY at its measured
+    operating point — em_seeds >= 2 AND band-EM candidates in the pool
+    (VERDICT r4 item 7; the round-5 gate re-run measured BARE-pool
+    consistency collapsing draw 102 to 0.31 dB, so the bare pool keeps
+    'envcorr'). The resolved rule is recorded in info['select']."""
     X = _reverb_mixture(seed=9)
     _, info2 = blind_reverb_separate(
         X, J=2, iters=20, em_seeds=2, reseed_rounds=0, nmf_comps=3,
-        chunk=4, n_seeds=3)
+        chunk=4, n_seeds=3, band_em=16)
     assert info2["select"] == "consistency"
     assert "consistency" in info2
+    _, info_bare = blind_reverb_separate(
+        X, J=2, iters=20, em_seeds=2, reseed_rounds=0, nmf_comps=3,
+        chunk=4, n_seeds=3)
+    assert info_bare["select"] == "envcorr"
     _, info1 = blind_reverb_separate(
         X, J=2, iters=20, em_seeds=1, reseed_rounds=0, nmf_comps=3,
         chunk=4, n_seeds=3)

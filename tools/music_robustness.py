@@ -48,6 +48,16 @@ def main():
                     choices=("envcorr", "consistency", "learned"),
                     help="fine-stage selection rule (None = ladder auto "
                          "= envcorr)")
+    ap.add_argument("--flat", action="store_true",
+                    help="run the FLAT pipeline directly on the COARSE "
+                         "grid (--wcoarse) instead of the ladder. The "
+                         "ladder exists to transport envelope-alignment "
+                         "evidence from the fine grid; learned votes "
+                         "(--learned) are globally aligned by "
+                         "construction, so with them the fine stage may "
+                         "be unnecessary and the coarse grid's higher EM "
+                         "ceiling (13.1 vs 7.1 dB oracle-init, design.md "
+                         "§6e) becomes directly reachable")
     args = ap.parse_args()
     if args.env_transform and args.env_transform != "both":
         import pyfasst_tpu.models.spatial_init as si
@@ -55,21 +65,38 @@ def main():
     t60 = args.t60 if args.t60 is not None else (
         0.12 if args.stems == 3 else 0.25)
 
-    from pyfasst_tpu.models.reverb import blind_reverb_separate_multiscale
+    from pyfasst_tpu.models.reverb import (
+        blind_reverb_separate, blind_reverb_separate_multiscale,
+    )
 
     mins, means = [], []
     for draw in args.draws:
         mix, ys_true, n = _fixture(args.stems, t60, draw)
         t0 = time.perf_counter()
-        Y, info = blind_reverb_separate_multiscale(
-            mix.astype(np.float32), J=args.stems, fs=FS,
-            wlen_fine=args.wfine, wlen_coarse=args.wcoarse,
-            iters=args.iters, em_seeds=2, chunk=12,
-            env_transform=args.env_transform,
-            realign_reseeds=args.realign_reseeds,
-            band_em=args.band_em, noalign=args.noalign,
-            learned=args.learned, select=args.select)
-        tft = info["transform"]
+        if args.flat:
+            from pyfasst_tpu.tf.stft import STFT
+            from pyfasst_tpu.utils.misc import to_host_complex
+
+            tft = STFT(wlen=args.wcoarse, fs=FS)
+            X = to_host_complex(tft.computeTransform(
+                mix.astype(np.float32)))
+            Y, info = blind_reverb_separate(
+                X, J=args.stems, iters=args.iters, em_seeds=2, chunk=12,
+                env_transform=args.env_transform,
+                realign_reseeds=args.realign_reseeds,
+                band_em=args.band_em, noalign=args.noalign,
+                learned=args.learned, select=args.select)
+            info["fine"] = {"picked": "(flat)"}
+        else:
+            Y, info = blind_reverb_separate_multiscale(
+                mix.astype(np.float32), J=args.stems, fs=FS,
+                wlen_fine=args.wfine, wlen_coarse=args.wcoarse,
+                iters=args.iters, em_seeds=2, chunk=12,
+                env_transform=args.env_transform,
+                realign_reseeds=args.realign_reseeds,
+                band_em=args.band_em, noalign=args.noalign,
+                learned=args.learned, select=args.select)
+            tft = info["transform"]
         ys = np.stack([np.asarray(tft.invertTransform(Y[j], nsamples=n))
                        for j in range(args.stems)])
         wall = time.perf_counter() - t0
