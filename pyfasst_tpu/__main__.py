@@ -38,9 +38,27 @@ _PRESETS = {
     # ladder preset: median 0.13; the r3 envcorr rule: median -0.09).
     # Still the measured boundary of blind 3-spk reverberant speech from
     # 2 mics, not a strong operating point.
+    # ROUND 5: the learned-vote candidate + learned-judge selection
+    # (models/binfeat, design.md §6j) rewrote this A/B: per-seed min SDR
+    # {9.46, 9.25, 6.84, 12.77, 11.38} over the same seeds — worst
+    # 6.84 / median 9.46 — with the learned candidate picked 5/5 and
+    # draw 120 preserved (9.46 vs 9.47). The preset ships that point;
+    # band-EM candidates stay in the pool (breadth costs one probe set
+    # and protects draws where the embedding transfers poorly).
     "speech": dict(model="fullrank", spatial_init=True, reseed=0,
                    wlen=2048, multiscale_wlen=None, iters=400,
-                   nmf_comps=6, band_em=32, select="consistency"),
+                   nmf_comps=6, band_em=32, select="learned",
+                   learned=True),
+    # music (round 5): multiscale ladder with the learned fine candidate
+    # + learned fine-stage selection — min SDR worst/median/best
+    # 5.18/8.67/10.74 over draws 100-104 of the 3-stem 44.1 kHz fixture
+    # (the round-4 ladder: min ~0, mean ~2.2; design.md §6j). Fine grid
+    # 2048 (learned votes + envelope evidence), coarse model grid 8192
+    # (the higher EM ceiling).
+    "music": dict(model="fullrank", spatial_init=True, reseed=2,
+                  wlen=8192, multiscale_wlen=2048, iters=400,
+                  nmf_comps=6, band_em=None, select="learned",
+                  learned=True),
     # the configs[2]-gate recipe (reverberant 4-source family): band-EM
     # candidates + cross-seed-consistency selection measure min-SDR
     # worst/median/best 8.02/8.73/11.44 on the gate draws 102-106
@@ -364,14 +382,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("separate", help="blind source separation")
     _add_common(p)
-    p.add_argument("--preset", default=None, choices=("speech", "reverb"),
+    p.add_argument("--preset", default=None,
+                   choices=("speech", "reverb", "music"),
                    help="measured operating point: overwrites model/wlen/"
                         "iters/init knobs wholesale (see _PRESETS; "
-                        "docs/design.md). 'speech': multiscale 1024->4096 "
-                        "blind pipeline (the measured best -- and the "
-                        "measured boundary -- on the 3-speaker "
-                        "SiSEC-regime stand-in); 'reverb': the configs[2] "
-                        "blind reverberant recipe")
+                        "docs/design.md §6j). 'speech': learned-vote "
+                        "blind pipeline (min-SDR median 9.46 on the "
+                        "3-speaker SiSEC-regime stand-in); 'reverb': the "
+                        "configs[2] blind reverberant recipe; 'music': "
+                        "multiscale ladder + learned votes (median 8.67 "
+                        "on the 3-stem fixture)")
     p.add_argument("--model", default="inst",
                    choices=("inst", "conv", "fullrank", "hmm", "gsmm"),
                    help="spatial/spectral model family")

@@ -230,9 +230,9 @@ def test_preset_applies_operating_point():
                             spatial_init=False, reseed=-1, nmf_comps=8)
     _apply_preset(ns)
     # reseed >= 0 triggers the pool pipeline (0 = pool+selection, no
-    # reseeds -- the measured speech operating point, design.md §6g)
+    # reseeds -- the measured speech operating point, design.md §6g/§6j)
     assert ns.model == "fullrank" and ns.spatial_init and ns.reseed >= 0
-    assert ns.select == "consistency" and ns.band_em
+    assert ns.select == "learned" and ns.band_em and ns.learned
     for name, cfg in _PRESETS.items():
         assert cfg["model"] == "fullrank" and cfg["spatial_init"], name
         assert cfg["reseed"] >= 0, name

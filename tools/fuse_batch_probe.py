@@ -31,8 +31,8 @@ def main():
     import jax.numpy as jnp
 
     import bench
+    from pyfasst_tpu.tf.stft import sine_window
     from pyfasst_tpu.utils.config import GEMConfig
-    from pyfasst_tpu.utils.signal import sine_window
 
     nsamples = int(bench.FS * bench.DUR)
     window = jnp.asarray(sine_window(bench.WLEN), jnp.float32)
