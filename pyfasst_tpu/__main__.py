@@ -59,14 +59,18 @@ _PRESETS = {
                   wlen=8192, multiscale_wlen=2048, iters=400,
                   nmf_comps=6, band_em=None, select="learned",
                   learned=True),
-    # the configs[2]-gate recipe (reverberant 4-source family): band-EM
-    # candidates + cross-seed-consistency selection measure min-SDR
-    # worst/median/best 8.02/8.73/11.44 on the gate draws 102-106
-    # (envcorr selection: 6.64/8.47/11.14; design.md §6g -- the pool
-    # picked a bandem candidate on two of five draws)
+    # the configs[2]-gate recipe (reverberant 4-source family), round 5:
+    # learned-vote candidate + learned-judge selection measures min-SDR
+    # worst/median/best 10.42/11.33/12.92 on the gate draws 102-106 --
+    # above the round-4 consistency+bandem recipe (8.02/8.73/11.44) AND
+    # above the round-3 74-candidate pool-oracle ceilings (6.3-10.3).
+    # Reseeds still help (picked on 3/5 draws); band-EM candidates are
+    # dropped (the measured winner ran the bare pool + learned;
+    # design.md §6j)
     "reverb": dict(model="fullrank", spatial_init=True, reseed=2,
                    wlen=1024, multiscale_wlen=None, iters=400,
-                   nmf_comps=6, band_em=32, select="consistency"),
+                   nmf_comps=6, band_em=None, select="learned",
+                   learned=True),
 }
 
 

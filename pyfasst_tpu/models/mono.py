@@ -24,6 +24,17 @@ All decision-feeding computation (the NMF and the clustering) runs on
 HOST in float64: TPU default-precision matmuls flip clustering decisions
 (two confirmed bf16 victims in this repo; CLAUDE.md) and the init cost
 is negligible (~0.3 s) next to one GEM iteration chunk.
+
+ROBUSTNESS (round-5 sweep, `tools/mono_ceiling.py --sweep 5`, hardware):
+the single-fixture win does NOT generalize — across 5 independent draws
+(J in {2,3}, sampled source kinds) nmf-cluster measures worst/median
+-1.36/2.05 dB vs random-init 0.37/3.75. The init wins when envelope
+clusters track sources (gated/switched material, the J=3 draw) and
+loses when a source's components split across envelope clusters (steady
+band-limited pairs); final-loglik arbitration between the two inits was
+also measured and fails (3/5 correct, both misses costly — design.md
+§6h). Hence this stays the OPT-IN `--spatial-init` mono path, not an
+unconditional default.
 """
 from __future__ import annotations
 

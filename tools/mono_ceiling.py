@@ -93,9 +93,9 @@ def _sweep(args):
                                            seed=0)
             t0 = time.perf_counter()
             if mode == "nmf-cluster":
-                model.estim_param_blind_mono()
+                lls = model.estim_param_blind_mono()
             else:
-                model.estim_param_a_posteriori()
+                lls = model.estim_param_a_posteriori()
             ys = model.separated_images()
             wall = time.perf_counter() - t0
             mn, mean = _best_perm_sdr(ys, ys_true)
@@ -104,6 +104,11 @@ def _sweep(args):
                    "min_sdr_db": round(float(mn), 2),
                    "mean_sdr_db": round(float(mean), 2),
                    "bss512_min_sdr_db": round(float(out["sdr"].min()), 2),
+                   # same model class + same data, different INIT: the
+                   # final loglik is a legitimate arbiter here (unlike
+                   # the stereo pool, where candidates differ
+                   # structurally and loglik is measured misleading)
+                   "final_ll": round(float(np.asarray(lls)[-1]), 1),
                    "wall_s": round(wall, 1)}
             rows.append(row)
             print(json.dumps(row), flush=True)

@@ -388,17 +388,18 @@ def scenario_reverb(rng):
     mix = ys_true.sum(0)
     tft = STFT(wlen=WLEN, fs=FS)
     X = to_host_complex(tft.computeTransform(mix.astype(np.float32)))
-    # the full blind reverberant pipeline (models/reverb.py): candidate
-    # pool (consensus spectral-aligned votes + merge/split + soft realign
-    # + direction-first fallback tier) run to FULL convergence in batched
-    # device programs, tiered degeneracy-statistics selection, EM
-    # posterior reseeding. Measured across 10 fixture draws (round 3,
-    # tools/reverb_robustness.py): min SDR worst/median/best
-    # 5.6 / 7.9 / 11.1 dB (round 2's init+single-fit: 1.9 / 2.4 / 5.4;
-    # round 1's DEMIX rank-expansion: 0.3).
+    # the full blind reverberant pipeline (models/reverb.py) at the
+    # round-5 `--preset reverb` point: candidate pool + LEARNED vote
+    # candidate, learned-judge selection, EM posterior reseeding.
+    # Measured across the gate draws 102-106 (round 5,
+    # tools/reverb_robustness.py --learned --select learned): min SDR
+    # worst/median/best 10.42 / 11.33 / 12.92 dB (round-4 consistency+
+    # bandem recipe: 8.02/8.73/11.44; round 2's init+single-fit:
+    # 1.9/2.4/5.4; round 1's DEMIX rank-expansion: 0.3; design.md §6j).
     from pyfasst_tpu.models.reverb import blind_reverb_separate
     t0 = time.perf_counter()
-    Y, info = blind_reverb_separate(X, J=4, iters=400, em_seeds=2)
+    Y, info = blind_reverb_separate(X, J=4, iters=400, em_seeds=2,
+                                    learned=True, select="learned")
     ys = _istft_images(tft, Y, n)
     wall = time.perf_counter() - t0
     return _report("configs[2] reverberant full-rank 4src (blind "
@@ -428,10 +429,13 @@ def _music_mix(rng, srcs, n, fs, t60, pans):
 
 
 def _music_run(rng, kinds, t60, pans, tag):
-    """Blind separation via the MULTISCALE ladder: alignment evidence at
-    wlen 2048 (46 ms -- beat-locked envelopes still distinguishable),
-    model capacity at wlen 8192 (oracle-init ceiling 13.1 vs 7.1 dB;
-    tools/ladder_lab.py measured the rungs)."""
+    """Blind separation via the MULTISCALE ladder at the round-5
+    `--preset music` point: learned fine-stage candidate + learned
+    fine-stage selection (models/binfeat), alignment evidence at wlen
+    2048 (46 ms), model capacity at wlen 8192 (oracle-init ceiling 13.1
+    vs 7.1 dB). Measured over 3-stem draws 100-104:
+    min SDR 5.18/8.67/10.74 worst/median/best (design.md §6j; the
+    round-4 hand-feature ladder: min ~0, mean ~2.2)."""
     from pyfasst_tpu.models.reverb import blind_reverb_separate_multiscale
 
     fs = 44100
@@ -443,7 +447,8 @@ def _music_run(rng, kinds, t60, pans, tag):
     t0 = time.perf_counter()
     Y, info = blind_reverb_separate_multiscale(
         mix.astype(np.float32), J=len(kinds), fs=fs, wlen_fine=2048,
-        wlen_coarse=8192, iters=400, em_seeds=2, chunk=12)
+        wlen_coarse=8192, iters=400, em_seeds=2, chunk=12,
+        learned=True, select="learned")
     ys = _istft_images(info["transform"], Y, n)
     wall = time.perf_counter() - t0
     return _report(tag, _best_perm_sdr(ys, ys_true), wall, 400,
@@ -479,14 +484,11 @@ def scenario_speech(rng):
     syllable timing) under T60=0.25 s reverb, 2 channels, 10 s — the
     reference's headline campaign regime (SURVEY.md §6: underdetermined
     reverberant speech; no network access for the real corpus). Blind
-    pipeline at the SHIPPED `--preset speech` operating point (band-EM
-    pool + cross-seed-consistency selection, no reseeds -- the round-4
-    A/B winner, design.md §6g). Report-only boundary row like the music
-    rows: measured min SDR over seeds 120-124 was
-    {9.47, 0.60, 0.20, 0.64, 0.34} -- blind separation of 3 overlapped
-    reverberant speakers from 2 mics sits at the capability edge of
-    this model family, and the row records it honestly (the matrix
-    seed is the range's best draw)."""
+    pipeline at the SHIPPED round-5 `--preset speech` operating point
+    (band-EM pool + LEARNED vote candidate + learned-judge selection,
+    no reseeds — design.md §6j). Measured min SDR over seeds 120-124:
+    {9.46, 9.25, 6.84, 12.77, 11.38} — worst 6.84 / median 9.46 (the
+    round-4 hand-feature preset: {9.47, 0.60, 0.20, 0.64, 0.34})."""
     import speech_lab
 
     mix, ys_true, n = speech_lab._fixture(3, 0.25, 120)
@@ -496,7 +498,7 @@ def scenario_speech(rng):
     t0 = time.perf_counter()
     Y, info = blind_reverb_separate(X, J=3, iters=400, em_seeds=2,
                                     reseed_rounds=0, band_em=32,
-                                    select="consistency",
+                                    select="learned", learned=True,
                                     chunk=12)
     ys = _istft_images(tft, Y, n)
     wall = time.perf_counter() - t0
