@@ -80,7 +80,9 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
     HBM traffic at bench shapes).
     """
     from pyfasst_tpu.ops.mstep import _as_conv_A
-    from pyfasst_tpu.ops.pallas_estep import pallas_available, pallas_suff_stats
+    from pyfasst_tpu.ops.pallas_estep import (
+        pallas_available, pallas_geometry_ok, pallas_suff_stats,
+    )
 
     F = X.shape[0]
     ranks = tuple(c.rank for c in params.spat)
@@ -100,7 +102,8 @@ def gem_step(params: FasstParams, X: jnp.ndarray, sigma: jnp.ndarray,
             params = renormalize(params)
         return params, stats.loglik
     Rj = spatial_covs(params, F)                      # (J, F, 4)
-    pallas_ok = cfg.use_pallas and pallas_available()
+    pallas_ok = (cfg.use_pallas and pallas_available()
+                 and pallas_geometry_ok(F))
     if pallas_ok and all(r in (1, 2) for r in ranks):
         # instantaneous models have real mixing (a trace-time dtype fact):
         # the kernel then deletes all identically-zero imaginary arithmetic
@@ -152,7 +155,9 @@ def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
     bf16 passes destroy the E-step reductions and the IS-NMF update ratios
     (verified NaN by ~100 iterations on a real chip).
     """
-    from pyfasst_tpu.ops.pallas_estep import pack_x4, pallas_available
+    from pyfasst_tpu.ops.pallas_estep import (
+        pack_x4, pallas_available, pallas_geometry_ok,
+    )
 
     sigma0, sigma1 = (annealing_endpoints(X, cfg) if sigma_endpoints is None
                       else sigma_endpoints)
@@ -162,7 +167,8 @@ def run_gem(params: FasstParams, X: jnp.ndarray, cfg: GEMConfig,
     # pack the constant mixture plane once, not once per iteration
     # (the Pallas kernel is the 2-channel fast path only)
     x4 = (pack_x4(X) if X.shape[-1] == 2
-          and cfg.use_pallas and pallas_available() else None)
+          and cfg.use_pallas and pallas_available()
+          and pallas_geometry_ok(X.shape[0]) else None)
 
     def body(it, carry):
         params, logliks = carry

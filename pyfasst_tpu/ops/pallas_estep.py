@@ -465,6 +465,22 @@ def pallas_available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def pallas_geometry_ok(F: int) -> bool:
+    """Trace-time geometry gate for the fused kernel.
+
+    The kernel is tuned for STFT-like planes (F >= 257). On WARPED
+    planes with few bands and very long frame axes (uniform-hop ERBlet:
+    F = 48, N = 16384 at the flagship clip) the Mosaic/XLA allocator
+    places the custom call's full result tuple in scoped VMEM (S(1)) --
+    the per-band outputs look small enough -- and the 18 MB tuple blows
+    the 16 MB scoped-vmem stack limit AT COMPILE TIME (measured round 5,
+    scenario_erblet: 'Ran out of memory in memory space vmem ...
+    allocating on stack for %pallas_estep'). Small-F planes gain little
+    from the kernel anyway (the F axis is the tile axis), so they take
+    the XLA path."""
+    return F >= 128
+
+
 def pallas_suff_stats(X, v, Rj, sigma, ranks, A_conv, eps: float = 1e-30,
                       noise_inject: bool = False, interpret: bool = False,
                       x4=None, real_cov: bool = False,
